@@ -1,0 +1,59 @@
+"""Registry of named queries and their DuckDB oracle SQL.
+
+A query is ``Callable[[SparkSession, str], DataFrame]`` where the second
+argument is the directory containing the parquet tables. The oracle is ANSI
+SQL over the same tables (pre-registered as views by the driver).
+
+Contract notes (driver compares row-count + schema + order-insensitive
+value hash):
+- every computed/aggregate column is aliased identically on both sides;
+- every floating-point result is ``round(x, N)`` on both sides so the two
+  engines produce bit-identical doubles;
+- DuckDB ``sum(BIGINT)`` returns HUGEINT — oracles cast to BIGINT/DOUBLE
+  explicitly to match Spark's types.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, "Callable[[SparkSession, str], DataFrame]"] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _load_one(spark, sf_dir: str, name: str):
+    if name != "events":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; read nanos as long and truncate to microseconds
+    # (integer division — a double round-trip would lose precision at 2^53),
+    # matching DuckDB's ns→us truncation.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _load(spark, sf_dir: str, *names: str):
+    dfs = [_load_one(spark, sf_dir, n) for n in names]
+    return dfs[0] if len(dfs) == 1 else dfs

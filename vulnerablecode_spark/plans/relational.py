@@ -1,0 +1,691 @@
+"""Relational operator inventory (SURVEY.md §2.2-§2.9) as named queries.
+
+Each query re-expresses one operator family of the reference
+(aboutcode-org/vulnerablecode, cited file:line) on the driver's synthetic
+TPC-H-ish tables. The Spark side is pure DataFrame API (Catalyst-optimized,
+no Python UDFs); the oracle is the equivalent ANSI SQL for DuckDB.
+
+Scale notes are attached per query: how the plan behaves at 100 TB /
+1000 executors, which side broadcasts, where the shuffles are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.plans.registry import _load, query
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — flagship pricing-summary scan+agg (the "full-corpus
+# sweep" shape of the reference's risk/severity pipelines,
+# compute_package_risk.py:24-185).
+# Scale: single scan, map-side partial agg, tiny shuffle (6 groups). Filter
+# and the 7-column projection push into the parquet scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                 AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                            AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)         AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2)                                 AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)                            AS avg_price,
+           COUNT(*)                                                  AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 point lookup — BaseQuerySet.get_or_none (models.py:91-96).
+# Scale: predicate pushdown to parquet row-group stats; no shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_point_lookup",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer WHERE c_custkey = 42",
+)
+def q02_point_lookup(spark, sf_dir):
+    cust = _load(spark, sf_dir, "customer")
+    return cust.filter(F.col("c_custkey") == 42).select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 semi/anti/exists joins — affecting_vulnerabilities (models.py:114-118),
+# with_is_vulnerable (models.py:802-812), ghost detection anti-join
+# (flag_ghost_packages.py:36-90).
+# Scale: left_semi/left_anti avoid materializing the join payload; with AQE
+# the dedup'd key side broadcasts when small.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q03_semi_join(spark, sf_dir):
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q04_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q04_anti_join(spark, sf_dir):
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q05_exists_flag",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (c_custkey IN (SELECT o_custkey FROM orders)) AS is_active
+    FROM customer
+    """,
+)
+def q05_exists_flag(spark, sf_dir):
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    active = orders.select(F.col("o_custkey").alias("k")).distinct()
+    return (
+        cust.join(active, cust.c_custkey == active.k, "left")
+        .select("c_custkey", "c_name", F.col("k").isNotNull().alias("is_active"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 count annotations — with_vulnerability_counts (models.py:725-733,
+# 3585-3595): per-parent COUNT(DISTINCT child) kept for parents with zero
+# children.
+# Scale: pre-aggregate the fact side BEFORE the join (map-side combine),
+# then join the small per-key aggregate — never join-then-aggregate.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_counts",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COALESCE(o.cnt, 0) AS BIGINT) AS order_count,
+           ROUND(COALESCE(o.total, 0.0), 2)   AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(DISTINCT o_orderkey) AS cnt, SUM(o_totalprice) AS total
+        FROM orders GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def q06_counts(spark, sf_dir):
+    cust, orders = _load(spark, sf_dir, "customer", "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderkey").alias("cnt"),
+        F.sum("o_totalprice").alias("total"),
+    )
+    return (
+        cust.join(agg, cust.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("order_count"),
+            F.round(F.coalesce(F.col("total"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 tiered short-circuit search — VulnerabilityQuerySet.search
+# (models.py:150-178): exact → prefix → contains, each tier only if the
+# previous returned nothing. Rewritten as ONE pass computing a match tier
+# plus a global-min selection (SURVEY §4 item 4) instead of N round trips.
+# Scale: one scan + a 1-row broadcast join; no repeated scans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_tiered_search",
+    oracle="""
+    WITH scored AS (
+        SELECT p_partkey, p_name,
+               CASE WHEN p_name = 'large' THEN 1
+                    WHEN p_name LIKE 'large%' THEN 2
+                    ELSE 3 END AS tier
+        FROM part
+        WHERE p_name LIKE '%large%'
+    ), m AS (SELECT MIN(tier) AS mt FROM scored)
+    SELECT s.p_partkey, s.p_name, s.tier FROM scored s, m WHERE s.tier = m.mt
+    """,
+)
+def q07_tiered_search(spark, sf_dir):
+    part = _load(spark, sf_dir, "part")
+    term = "large"
+    scored = part.filter(F.col("p_name").contains(term)).select(
+        "p_partkey",
+        "p_name",
+        F.when(F.col("p_name") == term, 1)
+        .when(F.col("p_name").startswith(term), 2)
+        .otherwise(3)
+        .alias("tier"),
+    )
+    best = scored.agg(F.min("tier").alias("mt"))
+    return (
+        scored.join(F.broadcast(best), scored.tier == best.mt)
+        .select("p_partkey", "p_name", "tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 SCD2 current-version window — is_latest per avid
+# (pipes/advisory.py:340-346, index models.py:3309-3312): newest row per
+# entity via row_number over (key ORDER BY date DESC, id DESC).
+# Scale: one hash shuffle on the entity key; the same partitioning is what
+# a Delta MERGE maintaining is_latest would reuse.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q08_latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q08_latest_per_key(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 version_rank — rank 1..N within a (type,namespace,name) group
+# (compute_package_version_rank.py:33-94). Versions rank-encode ONCE so all
+# later comparisons are integer (models.py:893-898); here the orderable key
+# stands in for the univers sort key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_version_rank",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS version_rank
+    FROM part
+    """,
+)
+def q09_version_rank(spark, sf_dir):
+    part = _load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    return part.select(
+        "p_brand", "p_partkey", F.rank().over(w).alias("version_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3/§2.5 as-of forward join — nearest_patched_package (utils.py:176-203,
+# models.py:1107-1147): first value strictly greater within the group.
+# Implemented as a range-frame window min — ONE shuffle on the group key,
+# no self-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_next_greater",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           (SELECT MIN(o2.o_orderdate) FROM orders o2
+            WHERE o2.o_custkey = o1.o_custkey AND o2.o_orderdate > o1.o_orderdate)
+           AS next_orderdate
+    FROM orders o1
+    """,
+)
+def q10_next_greater(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp_ltz").cast("long"))
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.min("o_orderdate").over(w).alias("next_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 per-group top-k — max_advisories cap (api_v3.py:267, 326-330).
+# Scale: row_number window = single shuffle; with AQE skewed customers
+# split. Never ORDER BY the whole table for a per-group limit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q11_topk_per_group(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops — union of affecting+fixing id sets (models.py:3017-3041).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_union_ids",
+    oracle="""
+    SELECT CAST(id AS BIGINT) AS id FROM (
+        SELECT o_custkey AS id FROM orders
+        UNION
+        SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier
+    )
+    """,
+)
+def q12_union_ids(spark, sf_dir):
+    orders, supplier = _load(spark, sf_dir, "orders", "supplier")
+    return (
+        orders.select(F.col("o_custkey").alias("id"))
+        .union(supplier.select(F.col("s_suppkey").cast("bigint").alias("id")))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 weighted severity — risk.py:21-61: score × source-weight/10, max per
+# entity, weight from a config dimension (WEIGHT_CONFIG ~2900 entries).
+# Scale: the weight table is a classic broadcast dimension — never shuffled.
+# ---------------------------------------------------------------------------
+
+_PRIORITY_WEIGHTS = [
+    ("1-URGENT", 10), ("2-HIGH", 8), ("3-MEDIUM", 6),
+    ("4-NOT SPECIFIED", 5), ("5-LOW", 2),
+]
+
+
+@query(
+    "q13_weighted_severity",
+    oracle="""
+    SELECT o_custkey,
+           ROUND(MAX(o_totalprice * CASE o_orderpriority
+                 WHEN '1-URGENT' THEN 10 WHEN '2-HIGH' THEN 8
+                 WHEN '3-MEDIUM' THEN 6 WHEN '4-NOT SPECIFIED' THEN 5
+                 WHEN '5-LOW' THEN 2 ELSE 5 END / 10.0), 2) AS weighted_severity
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q13_weighted_severity(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    weights = spark.createDataFrame(_PRIORITY_WEIGHTS, "priority string, weight int")
+    return (
+        orders.join(
+            F.broadcast(weights),
+            orders.o_orderpriority == weights.priority,
+            "left",
+        )
+        .withColumn("w", F.coalesce(F.col("weight"), F.lit(5)))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.max(F.col("o_totalprice") * F.col("w") / 10.0), 2).alias(
+                "weighted_severity"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 risk score — risk.py:95-105 / models.py:305-315:
+# min(weighted_severity × exploitability, 10) rounded to 1dp.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_risk_score",
+    oracle="""
+    SELECT o_orderkey,
+           LEAST(10.0, ROUND(o_totalprice / 50000.0 *
+                 CASE o_orderpriority WHEN '1-URGENT' THEN 2.0
+                      WHEN '2-HIGH' THEN 1.0 ELSE 0.5 END, 1)) AS risk_score
+    FROM orders
+    """,
+)
+def q14_risk_score(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    exploitability = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 2.0)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1.0)
+        .otherwise(0.5)
+    )
+    return orders.select(
+        "o_orderkey",
+        F.least(
+            F.lit(10.0), F.round(F.col("o_totalprice") / 50000.0 * exploitability, 1)
+        ).alias("risk_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 exploitability level — risk.py:64-92: case-priority aggregation over
+# exploit/EPSS/reference evidence → {0.5, 1, 2}.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_exploitability",
+    oracle="""
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'error' THEN 2.0
+                    WHEN event_type = 'purchase' THEN 1.0
+                    ELSE 0.5 END) AS exploitability
+    FROM events GROUP BY user_id
+    """,
+)
+def q15_exploitability(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    level = (
+        F.when(F.col("event_type") == "error", 2.0)
+        .when(F.col("event_type") == "purchase", 1.0)
+        .otherwise(0.5)
+    )
+    return events.groupBy("user_id").agg(F.max(level).alias("exploitability"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 consensus vote — per-alias majority vote across sources
+# (compute_advisory_todo.py:781-838): mode with deterministic tie-break.
+# Scale: two-level agg (count then argmax) — both map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_consensus",
+    oracle="""
+    SELECT user_id, event_type AS consensus_type, CAST(cnt AS BIGINT) AS votes
+    FROM (
+        SELECT user_id, event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY cnt DESC, event_type ASC) AS rn
+        FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+              FROM events GROUP BY user_id, event_type)
+    ) WHERE rn = 1
+    """,
+)
+def q16_consensus(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("consensus_type"),
+            F.col("cnt").cast("bigint").alias("votes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 severity range — get_severity_range (utils.py:512-546): "lo - hi"
+# over a value set.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17_severity_range",
+    oracle="""
+    SELECT p_brand,
+           ROUND(MIN(p_retailprice), 2) AS min_price,
+           ROUND(MAX(p_retailprice), 2) AS max_price,
+           COUNT(*) AS n_parts
+    FROM part GROUP BY p_brand
+    """,
+)
+def q17_severity_range(spark, sf_dir):
+    part = _load(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 prefetch_related — join + group-materialize related rows per parent
+# (api.py:666-685) = groupBy(parent).agg(collect_set), rendered as a sorted
+# joined string so both engines hash identically.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q18_collect_related",
+    oracle="""
+    SELECT o_custkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderpriority)), ',') AS priorities
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q18_collect_related(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 incremental/tumbling time bucket — scheduled micro-batch semantics
+# (schedules.py:22-44); in Spark a tumbling event-time window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q19_hourly_rollup",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q19_hourly_rollup(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 JSON field access — JSONField columns (models.py:1387-1399) and
+# get_item (utils.py:214-246): extract from a JSON props column.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q20_json_extract",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(k), 2) AS avg_k,
+           CAST(MAX(k) AS INTEGER) AS max_k
+    FROM (SELECT event_type,
+                 CAST(REGEXP_EXTRACT(props, '([0-9]+)', 1) AS INTEGER) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q20_json_extract(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r"([0-9]+)", 1).cast("int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 2).alias("avg_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 bounded range join — version-in-range unfurl shape
+# (unfurl_version_range.py:129-162): interval containment re-expressed as a
+# bucketed equi-join + residual filter, NOT a nested-loop theta join.
+# Scale: candidate pairs come from an equi-join on (user, hour-bucket);
+# the probe side explodes to exactly 2 buckets per row, so the join stays
+# hash-partitioned and skew-splittable — this is the 100 TB-safe shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_bucketed_range_join",
+    oracle="""
+    SELECT s.event_id, s.user_id, CAST(COUNT(c.event_id) AS BIGINT) AS click_count
+    FROM events s
+    LEFT JOIN events c
+      ON c.user_id = s.user_id AND c.event_type = 'click'
+     AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def q21_bucketed_range_join(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"), F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"), F.date_trunc("hour", "ts").alias("c_bucket"),
+    )
+    probe = signups.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "s_ts"),
+                F.date_trunc("hour", "s_ts") + F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    joined = probe.join(
+        clicks,
+        (probe.s_user == clicks.c_user)
+        & (probe.bucket == clicks.c_bucket)
+        & (clicks.c_ts >= probe.s_ts)
+        & (clicks.c_ts < probe.s_ts + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy(
+        F.col("s_id").alias("event_id"), F.col("s_user").alias("user_id")
+    ).agg(F.count("c_id").alias("click_count"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 as-of backward join — "latest event at or before t" (the
+# nearest-patched / valid_versions.py:69-82 shape, time instead of version
+# rank). Implemented as a merge-sorted union + last(ignorenulls) window:
+# ONE shuffle on the key, no self-join, no correlated subquery.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(v.ts) FROM events v
+            WHERE v.user_id = p.user_id AND v.event_type = 'view'
+              AND v.ts <= p.ts) AS last_view_ts
+    FROM events p WHERE p.event_type = 'purchase'
+    """,
+)
+def q22_asof_join(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_purchase"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        "event_id",
+        F.lit(1).alias("is_purchase"),
+    )
+    merged = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_purchase").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        merged.withColumn("last_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", F.col("t").alias("ts"), "last_view_ts")
+    )

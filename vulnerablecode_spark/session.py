@@ -1,0 +1,48 @@
+"""SparkSession factory tuned for this engine.
+
+The defaults target the driver's local[32] test harness but every knob is the
+one you would set on a real 1000-executor cluster: AQE on (runtime shuffle
+coalescing, skew-join splitting, broadcast conversion), Arrow on (all our
+Python kernels run as vectorized pandas UDFs), and shuffle partitions sized
+so a sf0.1 shuffle stays in memory while a 100 TB run simply raises
+``spark.sql.shuffle.partitions`` / relies on AQE coalescing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "vulnerablecode-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join handling, broadcast
+        # conversion — the scale path for 100 TB shuffles.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for every pandas UDF in functions/ and llm/.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Broadcast threshold: dimension tables (region/nation/weight maps/
+        # LSH band tables) must broadcast, never shuffle.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the driver's parquet tables as a dict of DataFrames."""
+    names = names or ("region", "nation", "customer", "supplier", "part",
+                      "orders", "lineitem", "events", "documents", "embeddings")
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
