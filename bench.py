@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (no driver collect)
+so the timing covers the whole distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",   # full-scan aggregation
+    "q06_counts",            # pre-aggregated join
+    "q08_latest_per_key",    # SCD2 window
+    "q10_next_greater",      # as-of window (range frame)
+    "q11_topk_per_group",    # per-group top-k
+    "q13_weighted_severity", # broadcast dimension join
+    "q16_consensus",         # two-level agg + argmax
+    "q21_bucketed_range_join",  # bucketed interval join
+    "q22_asof_join",         # merge-sorted as-of
+    "q24_ngram_jaccard",     # inverted-index near-dup
+    "q25_minhash_lsh",       # minhash + LSH banding
+    "q26_simhash",           # simhash signatures
+    "q30_embedding_topk",    # brute-force cosine top-k
+    "q31_embedding_ann_lsh", # LSH-bucketed ANN
+    "q32_multimodal_meta",   # Arrow mapInPandas decode
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    import vulnerablecode_spark.plans.llm  # noqa: F401
+    import vulnerablecode_spark.plans.relational  # noqa: F401
+    from vulnerablecode_spark.plans import QUERIES
+    from vulnerablecode_spark.session import get_spark
+
+    spark = get_spark("vulnerablecode-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest SF so per-query numbers measure the
+    # plan, not first-call JIT.
+    QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

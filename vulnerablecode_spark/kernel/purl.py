@@ -1,0 +1,128 @@
+"""Package-URL (purl) parsing and normalization.
+
+A minimal, dependency-free implementation of the purl spec subset the
+reference uses (packageurl-python via utils.py:572-601, models.py:927-950):
+parse, canonical string, plain purl (no qualifiers/subpath), version
+replacement. Namespace/name case is preserved except for ecosystems that
+are case-insensitive per spec (pypi, npm scope lowering is NOT applied —
+pypi also normalizes ``_`` to ``-``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from urllib.parse import quote, unquote
+
+# ecosystems whose namespace/name are case-insensitive per the purl spec
+_LOWERCASE_TYPES = {"pypi", "npm", "deb", "golang", "hex", "composer"}
+
+
+class PurlError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class Purl:
+    type: str
+    namespace: str = ""
+    name: str = ""
+    version: str = ""
+    qualifiers: dict = field(default_factory=dict)
+    subpath: str = ""
+
+    def to_string(self) -> str:
+        parts = [f"pkg:{self.type}/"]
+        if self.namespace:
+            parts.append("/".join(quote(seg, safe="") for seg in self.namespace.split("/")) + "/")
+        parts.append(quote(self.name, safe=""))
+        if self.version:
+            parts.append("@" + quote(self.version, safe=""))
+        if self.qualifiers:
+            pairs = "&".join(f"{k}={quote(str(v), safe='')}"
+                             for k, v in sorted(self.qualifiers.items()) if v)
+            if pairs:
+                parts.append("?" + pairs)
+        if self.subpath:
+            parts.append("#" + self.subpath.strip("/"))
+        return "".join(parts)
+
+    @property
+    def plain(self) -> "Purl":
+        """purl minus qualifiers and subpath (utils.py:410-423)."""
+        return replace(self, qualifiers={}, subpath="")
+
+    @property
+    def versionless(self) -> "Purl":
+        """base purl: no version either (ImpactedPackage.base_purl)."""
+        return replace(self, version="", qualifiers={}, subpath="")
+
+    def with_version(self, version: str) -> "Purl":
+        """update_purl_version (utils.py:157-174)."""
+        return replace(self, version=version or "")
+
+
+def parse_purl(purl: str) -> Purl:
+    """Parse ``pkg:type/namespace/name@version?qualifiers#subpath``."""
+    if not purl or not purl.startswith("pkg:"):
+        raise PurlError(f"not a purl: {purl!r}")
+    rest = purl[4:].lstrip("/")
+
+    subpath = ""
+    if "#" in rest:
+        rest, subpath = rest.split("#", 1)
+        subpath = "/".join(seg for seg in subpath.split("/")
+                           if seg not in ("", ".", ".."))
+
+    qualifiers: dict = {}
+    if "?" in rest:
+        rest, qs = rest.split("?", 1)
+        for pair in qs.split("&"):
+            if not pair:
+                continue
+            k, _, v = pair.partition("=")
+            if v:
+                qualifiers[k.lower()] = unquote(v)
+
+    version = ""
+    if "@" in rest:
+        rest, version = rest.rsplit("@", 1)
+        version = unquote(version)
+
+    segments = [unquote(seg) for seg in rest.split("/") if seg]
+    if len(segments) < 2:
+        ptype, name = (segments + [""])[0], (segments + ["", ""])[1]
+        namespace = ""
+    else:
+        ptype, *middle, name = segments
+        namespace = "/".join(middle)
+    if not ptype or not name:
+        raise PurlError(f"purl needs type and name: {purl!r}")
+
+    ptype = ptype.lower()
+    if ptype in _LOWERCASE_TYPES:
+        namespace = namespace.lower()
+        name = name.lower()
+    if ptype == "pypi":
+        name = name.replace("_", "-")
+    return Purl(ptype, namespace, name, version, qualifiers, subpath)
+
+
+def normalize_purl(purl: str) -> str:
+    """Canonical purl string for a possibly messy input."""
+    return parse_purl(purl).to_string()
+
+
+def plain_purl(purl: str) -> str:
+    """Canonical purl without qualifiers/subpath (utils.py:410-423)."""
+    return parse_purl(purl).plain.to_string()
+
+
+def purl_to_dict(purl: str) -> dict:
+    """Exploded struct fields, empty-string defaults (utils.py:572-592)."""
+    p = parse_purl(purl)
+    return {
+        "type": p.type, "namespace": p.namespace, "name": p.name,
+        "version": p.version,
+        "qualifiers": "&".join(f"{k}={v}" for k, v in sorted(p.qualifiers.items())),
+        "subpath": p.subpath,
+    }
