@@ -1,0 +1,478 @@
+"""End-to-end domain pipeline tests: sources → ingest → unfurl → risk →
+lookup → grouping → todos, on synthetic fixtures (the golden-file test
+shape of the reference, SURVEY.md §5, exercising FIXTURES.md §4
+invariants)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+OSV_RECORDS = [
+    {
+        "id": "PYSEC-2024-1",
+        "summary": "Sample pickle vuln",
+        "aliases": ["CVE-2024-1111", "GHSA-aaaa-bbbb-cccc"],
+        "published": "2024-01-10T00:00:00Z",
+        "severity": [{"type": "CVSS_V3",
+                      "score": "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H"}],
+        "affected": [{
+            "package": {"ecosystem": "PyPI", "name": "sample",
+                        "purl": "pkg:pypi/sample"},
+            "ranges": [{"type": "ECOSYSTEM",
+                        "events": [{"introduced": "1.0.0"}, {"fixed": "1.2.0"}]}],
+        }],
+        "references": [{"type": "ADVISORY", "url": "https://example.com/adv/1"}],
+        "database_specific": {"cwe_ids": ["CWE-502"]},
+    },
+    {
+        "id": "PYSEC-2024-2",
+        "summary": "",
+        "aliases": ["CVE-2024-2222"],
+        "published": "2024-02-01T00:00:00Z",
+        "affected": [{
+            "package": {"ecosystem": "npm", "name": "Leftpad"},
+            "ranges": [{"type": "SEMVER",
+                        "events": [{"introduced": "0"}, {"fixed": "2.0.0"}]}],
+        }],
+        "references": [{"type": "WEB", "url": "https://example.com/adv/2"}],
+    },
+    {
+        # explicit version list, no ranges
+        "id": "PYSEC-2024-3",
+        "summary": "Pinned versions",
+        "aliases": ["CVE-2024-1111"],  # shares alias with PYSEC-2024-1
+        "affected": [{
+            "package": {"ecosystem": "PyPI", "name": "sample",
+                        "purl": "pkg:pypi/sample"},
+            "versions": ["1.0.0", "1.1.0"],
+        }],
+    },
+]
+
+PACKAGE_VERSIONS = [
+    ("pkg:pypi/sample", v) for v in
+    ["0.9", "1.0.0", "1.1.0", "1.1.5", "1.2.0", "1.10.0"]
+] + [
+    ("pkg:npm/leftpad", v) for v in ["0.5.0", "1.0.0", "2.0.0"]
+]
+
+
+@pytest.fixture(scope="module")
+def osv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("osv")
+    for rec in OSV_RECORDS:
+        (d / f"{rec['id']}.json").write_text(json.dumps(rec))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, osv_dir):
+    from vulnerablecode_spark.sources.osv import read_osv
+
+    return read_osv(spark, osv_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def advisories(parsed):
+    from vulnerablecode_spark.operators.ingest import to_canonical_advisories
+
+    return to_canonical_advisories(
+        parsed, "pysec", "pysec_importer_v2", "2024-03-01 00:00:00"
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def package_versions(spark):
+    return spark.createDataFrame(PACKAGE_VERSIONS, "base_purl string, version string")
+
+
+class TestOsvParsing:
+    def test_three_advisories(self, parsed):
+        assert parsed.count() == 3
+
+    def test_range_to_vers(self, parsed):
+        row = parsed.filter(F.col("advisory_id") == "PYSEC-2024-1").first()
+        ap = row.affected_packages[0]
+        assert ap.package == "pkg:pypi/sample"
+        assert ap.affected_version_range == "vers:pypi/>=1.0.0|<1.2.0"
+        assert ap.fixed_version == "1.2.0"
+
+    def test_introduced_zero_open_range(self, parsed):
+        row = parsed.filter(F.col("advisory_id") == "PYSEC-2024-2").first()
+        ap = row.affected_packages[0]
+        assert ap.package == "pkg:npm/leftpad"  # name lowered, purl built
+        assert ap.affected_version_range == "vers:npm/<2.0.0"
+
+    def test_explicit_versions(self, parsed):
+        row = parsed.filter(F.col("advisory_id") == "PYSEC-2024-3").first()
+        assert row.affected_packages[0].affected_version_range == \
+            "vers:pypi/=1.0.0|=1.1.0"
+
+    def test_weaknesses_and_refs(self, parsed):
+        row = parsed.filter(F.col("advisory_id") == "PYSEC-2024-1").first()
+        assert row.weaknesses == [502]
+        assert row.references[0].reference_type == "advisory"
+
+
+class TestIngest:
+    def test_avid_and_latest(self, advisories):
+        rows = advisories.collect()
+        assert all(r.avid.startswith("pysec/") for r in rows)
+        assert all(r.is_latest for r in rows)  # one version each
+
+    def test_content_id_deterministic(self, parsed, spark):
+        from vulnerablecode_spark.operators.ingest import to_canonical_advisories
+
+        a = to_canonical_advisories(parsed, "pysec", "p", "2024-03-01").select(
+            "advisory_id", "unique_content_id")
+        b = to_canonical_advisories(parsed, "pysec", "p", "2024-04-01").select(
+            "advisory_id", "unique_content_id")
+        assert a.join(b, "advisory_id").filter(
+            a.unique_content_id != b.unique_content_id).count() == 0
+
+    def test_scd2_merge_flips_latest(self, advisories, parsed, spark):
+        """FIXTURES.md §4.1: exactly one is_latest per avid, old rows kept."""
+        from vulnerablecode_spark.operators.ingest import (
+            merge_advisories, to_canonical_advisories)
+
+        changed = parsed.withColumn(
+            "summary", F.concat(F.col("summary"), F.lit(" [updated]"))
+        )
+        v2 = to_canonical_advisories(changed, "pysec", "p", "2024-05-01 00:00:00")
+        merged = merge_advisories(advisories, v2)
+        assert merged.count() == 6  # 3 avids × 2 content versions
+        per_avid = merged.groupBy("avid").agg(
+            F.sum(F.col("is_latest").cast("int")).alias("n_latest"))
+        assert per_avid.filter(F.col("n_latest") != 1).count() == 0
+        latest = merged.filter(F.col("is_latest")).select("summary").collect()
+        assert all("[updated]" in r.summary or r.summary == " [updated]"
+                   for r in latest)
+
+    def test_merge_idempotent(self, advisories):
+        from vulnerablecode_spark.operators.ingest import merge_advisories
+
+        merged = merge_advisories(advisories, advisories)
+        assert merged.count() == advisories.count()
+
+
+class TestUnfurl:
+    @pytest.fixture(scope="class")
+    def impacts(self, advisories):
+        from vulnerablecode_spark.operators.ingest import extract_impacts
+
+        return extract_impacts(advisories).cache()
+
+    def test_impacts_shape(self, impacts):
+        assert impacts.count() == 3
+        assert impacts.filter(F.col("base_purl") == "pkg:pypi/sample").count() == 2
+
+    def test_unfurl_range(self, impacts, package_versions):
+        """vers:pypi/>=1.0.0|<1.2.0 over the upstream list → exactly the
+        in-range versions, honoring numeric (non-lexicographic) order."""
+        from vulnerablecode_spark.operators.unfurl import unfurl_affected
+
+        got = unfurl_affected(impacts, package_versions)
+        sample = {
+            (r.version,) for r in got.filter(
+                (F.col("base_purl") == "pkg:pypi/sample")
+                & F.col("affecting_vers").contains(">=1.0.0")
+            ).collect()
+        }
+        assert sample == {("1.0.0",), ("1.1.0",), ("1.1.5",)}
+
+    def test_unfurl_open_range(self, impacts, package_versions):
+        from vulnerablecode_spark.operators.unfurl import unfurl_affected
+
+        got = unfurl_affected(impacts, package_versions)
+        npm = {r.version for r in got.filter(
+            F.col("base_purl") == "pkg:npm/leftpad").collect()}
+        assert npm == {"0.5.0", "1.0.0"}
+
+    def test_materialized_packages_and_bridges(self, impacts, package_versions):
+        from vulnerablecode_spark.operators.unfurl import (
+            affecting_bridge, fixed_by_bridge, materialize_packages,
+            unfurl_affected)
+
+        unfurled = unfurl_affected(impacts, package_versions)
+        pkgs = materialize_packages(unfurled)
+        assert pkgs.filter(F.col("package_url") == "pkg:pypi/sample@1.1.5").count() == 1
+        assert pkgs.filter(F.col("type") == "pypi").count() > 0
+        bridges = affecting_bridge(unfurled)
+        assert bridges.count() == unfurled.select("impact_pk", "base_purl",
+                                                  "version").distinct().count()
+        fixed = fixed_by_bridge(impacts, package_versions)
+        # fixed 1.2.0 (pypi) and 2.0.0 (npm) both exist upstream
+        assert fixed.count() == 2
+
+    def test_watermark_stamping(self, impacts, package_versions):
+        from vulnerablecode_spark.operators.unfurl import (stamp_watermarks,
+                                                           unfurl_affected)
+
+        unfurled = unfurl_affected(impacts, package_versions)
+        stamped = stamp_watermarks(impacts, unfurled)
+        assert stamped.filter(F.col("last_range_unfurl_at").isNotNull()).count() == 3
+
+
+class TestRiskAndLookup:
+    @pytest.fixture(scope="class")
+    def tables(self, advisories, package_versions):
+        from vulnerablecode_spark.functions.risk import compute_advisory_risk
+        from vulnerablecode_spark.operators.ingest import extract_impacts
+        from vulnerablecode_spark.operators.unfurl import (
+            affecting_bridge, fixed_by_bridge, unfurl_affected,
+            unfurled_package_universe)
+
+        impacts = extract_impacts(advisories)
+        unfurled = unfurl_affected(impacts, package_versions)
+        packages = unfurled_package_universe(unfurled, impacts, package_versions)
+        risk = compute_advisory_risk(advisories, advisories.sparkSession)
+        adv = advisories.drop("weighted_severity", "exploitability", "risk_score") \
+            .join(risk, "advisory_pk", "left")
+        return {
+            "advisories": adv, "impacts": impacts,
+            "affecting": affecting_bridge(unfurled),
+            "fixed_by": fixed_by_bridge(impacts, package_versions),
+            "packages": packages,
+        }
+
+    def test_advisory_risk(self, tables):
+        r = tables["advisories"].filter(
+            F.col("advisory_id") == "PYSEC-2024-1").first()
+        # CVSS numeric string is not parseable as float value "CVSS:…" → the
+        # severity VALUE here is the vector string; numeric parse fails →
+        # textual map misses → score 0. Exploitability: severities present,
+        # no EPSS → 0.5.
+        assert r.exploitability == 0.5
+        assert r.weighted_severity == 0.0
+
+    def test_lookup_flagship(self, spark, tables):
+        from vulnerablecode_spark.operators.lookup import (
+            advisories_for_purls, normalize_request_purls, vulnerable_purls)
+
+        request = normalize_request_purls(
+            spark, ["pkg:pypi/sample@1.1.0", "pkg:pypi/sample@1.2.0",
+                    "pkg:npm/leftpad@0.5.0", "pkg:gem/unknown@1.0"])
+        vuln = vulnerable_purls(request, tables["packages"], tables["affecting"],
+                                tables["impacts"], tables["advisories"])
+        got = {r.purl for r in vuln.collect()}
+        assert got == {"pkg:pypi/sample@1.1.0", "pkg:npm/leftpad@0.5.0"}
+
+        details = advisories_for_purls(
+            request, tables["packages"], tables["affecting"], tables["fixed_by"],
+            tables["impacts"], tables["advisories"], max_advisories=10)
+        row = {r.purl: r for r in details.collect()}["pkg:pypi/sample@1.1.0"]
+        ids = {a.advisory_id for a in row.advisories}
+        assert ids == {"PYSEC-2024-1", "PYSEC-2024-3"}
+        fixed = [a.fixed_by_purls for a in row.advisories
+                 if a.advisory_id == "PYSEC-2024-1"][0]
+        assert fixed == ["pkg:pypi/sample@1.2.0"]
+
+    def test_with_is_vulnerable(self, tables):
+        from vulnerablecode_spark.operators.lookup import with_is_vulnerable
+
+        flagged = with_is_vulnerable(tables["packages"], tables["affecting"],
+                                     tables["impacts"], tables["advisories"])
+        by_url = {r.package_url: r.is_vulnerable for r in flagged.collect()}
+        assert by_url["pkg:pypi/sample@1.1.5"] is True
+        assert by_url["pkg:pypi/sample@1.2.0"] is False
+
+
+class TestGrouping:
+    def test_shared_alias_groups(self, spark, advisories):
+        """FIXTURES.md §4.3: advisories sharing an alias group together."""
+        from vulnerablecode_spark.operators.grouping import group_advisories
+
+        pks = {r.advisory_id: r.advisory_pk for r in
+               advisories.select("advisory_id", "advisory_pk").collect()}
+        membership = spark.createDataFrame(
+            [(100, "affecting", pks["PYSEC-2024-1"]),
+             (100, "affecting", pks["PYSEC-2024-3"]),
+             (100, "affecting", pks["PYSEC-2024-2"])],
+            "package_pk bigint, relation_type string, advisory_pk bigint",
+        )
+        groups = group_advisories(membership, advisories).collect()
+        gid = {r.member_advisory_pk: r.group_id for r in groups}
+        # 1 and 3 share CVE-2024-1111 → same group; 2 is alone
+        assert gid[pks["PYSEC-2024-1"]] == gid[pks["PYSEC-2024-3"]]
+        assert gid[pks["PYSEC-2024-2"]] != gid[pks["PYSEC-2024-1"]]
+
+    def test_primary_is_max_precedence(self, spark, advisories):
+        from vulnerablecode_spark.operators.grouping import group_advisories
+
+        pks = {r.advisory_id: r.advisory_pk for r in
+               advisories.select("advisory_id", "advisory_pk").collect()}
+        withprec = advisories.withColumn(
+            "precedence",
+            F.when(F.col("advisory_id") == "PYSEC-2024-3", 9).otherwise(1),
+        )
+        membership = spark.createDataFrame(
+            [(100, "affecting", pks["PYSEC-2024-1"]),
+             (100, "affecting", pks["PYSEC-2024-3"])],
+            "package_pk bigint, relation_type string, advisory_pk bigint",
+        )
+        groups = group_advisories(membership, withprec).collect()
+        assert all(r.primary_advisory_pk == pks["PYSEC-2024-3"] for r in groups)
+
+
+class TestEnrichment:
+    def test_kev_exploits_join(self, spark, advisories, tmp_path):
+        from vulnerablecode_spark.operators.exploits import join_exploits
+        from vulnerablecode_spark.operators.ingest import extract_aliases
+        from vulnerablecode_spark.sources.kev import read_kev
+
+        kev = {"count": 1, "vulnerabilities": [{
+            "cveID": "CVE-2024-1111", "shortDescription": "exploited!",
+            "dateAdded": "2024-02-02", "requiredAction": "patch",
+            "dueDate": "2024-02-20", "notes": "",
+            "knownRansomwareCampaignUse": "Known"}]}
+        p = tmp_path / "kev.json"
+        p.write_text(json.dumps(kev))
+        catalog = read_kev(spark, str(p))
+        got = join_exploits(extract_aliases(advisories), catalog)
+        rows = got.collect()
+        # CVE-2024-1111 is an alias of advisories 1 AND 3
+        assert len(rows) == 2
+        assert all(r.known_ransomware_campaign_use for r in rows)
+
+    def test_epss_relate(self, spark, advisories, tmp_path):
+        from vulnerablecode_spark.operators.relate import (
+            attach_related_severities, relate_severities)
+        from vulnerablecode_spark.sources.epss import read_epss
+
+        p = tmp_path / "epss.csv"
+        p.write_text("#model_version:v2023.03.01,score_date:2024-05-19\n"
+                     "cve,epss,percentile\n"
+                     "CVE-2024-1111,0.97,0.999\n"
+                     "CVE-2024-9999,0.01,0.2\n")
+        epss = read_epss(spark, str(p))
+        assert epss.count() == 2
+        related = relate_severities(advisories, epss)
+        # attaches to advisories 1 and 3 via the shared alias
+        assert related.count() == 2
+        enriched = attach_related_severities(advisories, related)
+        row = enriched.filter(F.col("advisory_id") == "PYSEC-2024-3").first()
+        assert any(s.system == "epss" for s in row.severities)
+
+    def test_high_epss_raises_exploitability(self, spark, advisories, tmp_path):
+        from vulnerablecode_spark.functions.risk import compute_advisory_risk
+        from vulnerablecode_spark.operators.relate import (
+            attach_related_severities, relate_severities)
+        from vulnerablecode_spark.sources.epss import read_epss
+
+        p = tmp_path / "epss.csv"
+        p.write_text("#c\ncve,epss,percentile\nCVE-2024-1111,0.97,0.999\n")
+        enriched = attach_related_severities(
+            advisories, relate_severities(advisories, read_epss(spark, str(p))))
+        risk = compute_advisory_risk(enriched, spark)
+        by_id = {r.advisory_pk: r for r in risk.collect()}
+        pk1 = advisories.filter(F.col("advisory_id") == "PYSEC-2024-1") \
+            .first().advisory_pk
+        assert by_id[pk1].exploitability == 2.0
+
+
+class TestTodos:
+    def test_missing_summary_issue(self, advisories):
+        from vulnerablecode_spark.operators.todos import per_advisory_issues
+
+        issues = per_advisory_issues(advisories)
+        got = {(r.avid, r.issue_type) for r in issues.collect()}
+        assert ("pysec/PYSEC-2024-2", "MISSING_SUMMARY") in got
+        assert ("pysec/PYSEC-2024-3", "MISSING_FIXED_BY_PACKAGE") in got
+
+    def test_conflicting_affected(self, advisories):
+        from vulnerablecode_spark.operators.todos import \
+            conflicting_affected_issues
+
+        conflicts = conflicting_affected_issues(advisories)
+        rows = {r.alias for r in conflicts.collect()}
+        # advisories 1 and 3 share CVE-2024-1111 but declare different
+        # affected sets → conflict
+        assert "CVE-2024-1111" in rows
+
+
+class TestGhost:
+    def test_ghost_flagging(self, spark, package_versions):
+        from vulnerablecode_spark.operators.ghost import flag_ghost_packages
+
+        pkgs = spark.createDataFrame(
+            [(1, "pypi", "", "sample", "1.1.5", "", "", "pkg:pypi/sample@1.1.5",
+              "pkg:pypi/sample@1.1.5", False, None, 0),
+             (2, "pypi", "", "sample", "9.9.9", "", "", "pkg:pypi/sample@9.9.9",
+              "pkg:pypi/sample@9.9.9", False, None, 0),
+             (3, "pypi", "", "sample", "v1.2.0", "", "", "pkg:pypi/sample@v1.2.0",
+              "pkg:pypi/sample@v1.2.0", False, None, 0)],
+            "package_pk bigint, type string, namespace string, name string, "
+            "version string, qualifiers string, subpath string, "
+            "package_url string, plain_package_url string, is_ghost boolean, "
+            "risk_score string, version_rank int",
+        )
+        flagged = {r.package_pk: r.is_ghost
+                   for r in flag_ghost_packages(pkgs, package_versions).collect()}
+        assert flagged[1] is False
+        assert flagged[2] is True    # 9.9.9 absent upstream
+        assert flagged[3] is False   # leading v stripped before compare
+
+
+class TestVersionOps:
+    def test_rank_and_next_non_vulnerable(self, spark):
+        from vulnerablecode_spark.functions.version_funcs import rank_versions
+        from vulnerablecode_spark.operators.versions import (
+            nearest_fixed_version, with_non_vulnerable_versions)
+
+        rows = [("pypi", "", "pkg", v, vuln, ghost) for v, vuln, ghost in [
+            ("1.0", True, False), ("1.2", True, False), ("1.9", True, False),
+            ("1.10", False, False), ("2.0", False, True), ("2.1", False, False),
+        ]]
+        df = spark.createDataFrame(
+            rows, "type string, namespace string, name string, version string, "
+                  "is_vulnerable boolean, is_ghost boolean")
+        ranked = rank_versions(df)
+        by_v = {r.version: r.version_rank for r in ranked.collect()}
+        assert by_v["1.9"] < by_v["1.10"] < by_v["2.0"]  # numeric order
+
+        annotated = with_non_vulnerable_versions(ranked)
+        row = {r.version: r for r in annotated.collect()}["1.2"]
+        assert row.next_non_vulnerable == "1.10"   # 2.0 is ghost, skipped
+        assert row.latest_non_vulnerable == "2.1"
+
+        affected = ranked.filter(F.col("is_vulnerable"))
+        fixed = ranked.filter(~F.col("is_vulnerable") & ~F.col("is_ghost"))
+        nearest = nearest_fixed_version(affected, fixed)
+        got = {r.affected_version: r.fixed_version for r in nearest.collect()}
+        assert got == {"1.0": "1.10", "1.2": "1.10", "1.9": "1.10"}
+
+
+class TestSearch:
+    def test_tiered_search_short_circuit(self, advisories):
+        from vulnerablecode_spark.operators.search import tiered_search
+
+        # exact advisory id → tier 1 only, even though 'PYSEC' would
+        # substring-match everything at tier 3
+        got = tiered_search(advisories, "PYSEC-2024-1").collect()
+        assert [r.advisory_id for r in got] == ["PYSEC-2024-1"]
+        assert got[0].tier == 1
+
+        got = tiered_search(advisories, "CVE-2024-1111").collect()
+        assert {r.advisory_id for r in got} == {"PYSEC-2024-1", "PYSEC-2024-3"}
+        assert all(r.tier == 2 for r in got)
+
+        got = tiered_search(advisories, "pysec").collect()
+        assert len(got) == 3 and all(r.tier == 3 for r in got)
+
+    def test_search_packages_purl_aware(self, spark):
+        from vulnerablecode_spark.operators.search import search_packages
+
+        pkgs = spark.createDataFrame(
+            [("pypi", "", "sample", "1.0", "pkg:pypi/sample@1.0",
+              "pkg:pypi/sample@1.0", 1),
+             ("npm", "", "sample-js", "1.0", "pkg:npm/sample-js@1.0",
+              "pkg:npm/sample-js@1.0", 1)],
+            "type string, namespace string, name string, version string, "
+            "package_url string, plain_package_url string, version_rank int")
+        got = search_packages(pkgs, "pkg:pypi/sample").collect()
+        assert len(got) == 1 and got[0].type == "pypi"
+        got = search_packages(pkgs, "sample").collect()
+        assert len(got) == 2

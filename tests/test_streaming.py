@@ -1,0 +1,109 @@
+"""Incremental/streaming layer tests: AvailableNow file-stream ingest with
+exactly-once per file, SCD2 table merge, checkpointed export, changelog."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+RECORD_V1 = {
+    "advisory_id": "OSV-1", "aliases": ["CVE-2020-1"], "summary": "first",
+    "affected_packages": [{"package": "pkg:pypi/x",
+                           "affected_version_range": "vers:pypi/<1.0",
+                           "fixed_version": "1.0"}],
+    "references": [], "severities": [], "weaknesses": [],
+    "date_published": None, "url": "https://example.com/1",
+}
+RECORD_V2 = dict(RECORD_V1, summary="first (revised)")
+RECORD_OTHER = dict(RECORD_V1, advisory_id="OSV-2", aliases=["CVE-2020-2"],
+                    summary="second", url="https://example.com/2")
+
+
+def _write_record(d, name, rec):
+    with open(os.path.join(d, name), "w") as f:
+        json.dump(rec, f)
+
+
+class TestStreamIngest:
+    def test_available_now_exactly_once(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.incremental import stream_ingest
+
+        src = tmp_path / "src"; src.mkdir()
+        table = str(tmp_path / "advisories")
+        ckpt = str(tmp_path / "ckpt")
+
+        _write_record(src, "a.json", RECORD_V1)
+        stream_ingest(spark, str(src), table, ckpt)
+        t1 = spark.read.parquet(table)
+        assert t1.count() == 1 and t1.first().is_latest
+
+        # second trigger: only the NEW file is processed; revised content
+        # becomes the latest version, the old row is retained (SCD2)
+        _write_record(src, "b.json", RECORD_V2)
+        _write_record(src, "c.json", RECORD_OTHER)
+        stream_ingest(spark, str(src), table, ckpt)
+        t2 = spark.read.parquet(table)
+        assert t2.count() == 3  # OSV-1 ×2 versions + OSV-2
+        latest = {r.advisory_id: r.summary
+                  for r in t2.filter("is_latest").collect()}
+        assert latest == {"OSV-1": "first (revised)", "OSV-2": "second"}
+
+        # third trigger with no new files: no change
+        stream_ingest(spark, str(src), table, ckpt)
+        assert spark.read.parquet(table).count() == 3
+
+
+class TestExport:
+    @pytest.fixture()
+    def advisories(self, spark):
+        from vulnerablecode_spark.operators.ingest import to_canonical_advisories
+        from vulnerablecode_spark.schemas import ADVISORY_PARSED
+
+        parsed = spark.createDataFrame(
+            [RECORD_V1, RECORD_OTHER], ADVISORY_PARSED)
+        return to_canonical_advisories(parsed, "osv", "p", "2024-01-01 00:00:00")
+
+    def test_incremental_export_checkpoint(self, spark, advisories, tmp_path):
+        from vulnerablecode_spark.operators.ingest import (
+            merge_advisories, to_canonical_advisories)
+        from vulnerablecode_spark.schemas import ADVISORY_PARSED
+        from vulnerablecode_spark.streaming.export import export_advisories
+
+        out = str(tmp_path / "export")
+        ckpt = str(tmp_path / "export.ckpt.json")
+        n1 = export_advisories(advisories, out, ckpt)
+        assert n1 == 2
+        # nothing new → nothing exported
+        assert export_advisories(advisories, out, ckpt) == 0
+        # a later collection exports only the delta
+        parsed_v2 = spark.createDataFrame([RECORD_V2], ADVISORY_PARSED)
+        v2 = to_canonical_advisories(parsed_v2, "osv", "p", "2024-02-01 00:00:00")
+        merged = merge_advisories(advisories, v2)
+        assert export_advisories(merged, out, ckpt) == 1
+        exported = spark.read.json(out)
+        assert exported.count() == 3
+        assert exported.first().export_path.startswith("osv/")
+
+
+class TestChangelog:
+    def test_import_vs_update_actions(self, spark):
+        from vulnerablecode_spark.operators.ingest import (
+            merge_advisories, to_canonical_advisories)
+        from vulnerablecode_spark.schemas import ADVISORY_PARSED
+        from vulnerablecode_spark.streaming.changelog import changelog_for_merge
+
+        parsed1 = spark.createDataFrame([RECORD_V1], ADVISORY_PARSED)
+        t1 = to_canonical_advisories(parsed1, "osv", "p", "2024-01-01 00:00:00")
+        log1 = changelog_for_merge(None, t1, actor="osv_importer")
+        assert [r.action_type for r in log1.collect()] == [1]
+
+        parsed2 = spark.createDataFrame([RECORD_V2, RECORD_OTHER], ADVISORY_PARSED)
+        t2raw = to_canonical_advisories(parsed2, "osv", "p", "2024-02-01 00:00:00")
+        merged = merge_advisories(t1, t2raw)
+        log2 = changelog_for_merge(t1, merged, actor="osv_importer")
+        actions = {r.entity_pk: r.action_type for r in log2.collect()}
+        assert len(actions) == 2
+        assert sorted(actions.values()) == [1, 2]  # one new, one revised

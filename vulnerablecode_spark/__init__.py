@@ -25,3 +25,40 @@ designed for a 1000-executor, 100 TB deployment:
 """
 
 __version__ = "0.1.0"
+
+
+def ensure_shipped(spark) -> None:
+    """Ship this package to Spark's Python workers via ``addPyFile``.
+
+    Kernel-backed pandas UDFs (purl/version semantics) are pickled BY
+    REFERENCE and unpickled on workers, which import
+    ``vulnerablecode_spark`` — but workers only share the driver's
+    sys.path when the driver happens to run from the repo root. Zipping
+    the package once per session makes every UDF location-independent
+    (the cluster equivalent of ``spark-submit --py-files``).
+
+    Idempotent and cheap: called from each UDF-using operator.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_vulnerablecode_spark_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(),
+                         f"vulnerablecode_spark-{__version__}.zip")
+    if not os.path.exists(zpath):
+        fd, tmp = tempfile.mkstemp(suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._vulnerablecode_spark_shipped = True

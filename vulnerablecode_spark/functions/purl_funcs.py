@@ -68,6 +68,9 @@ def purl_struct(purls: pd.Series) -> pd.DataFrame:
 
 def with_purl_columns(df, purl_col: str = "package_url"):
     """Attach the denormalized purl columns the engine joins on."""
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
     return (
         df.withColumn("package_url", normalize_purl(F.col(purl_col)))
         .withColumn("plain_package_url", plain_purl(F.col(purl_col)))

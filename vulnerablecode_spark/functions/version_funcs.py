@@ -58,7 +58,12 @@ def rank_versions(df: DataFrame, group_cols: tuple[str, ...] = ("type", "namespa
     of one package), so the sort is in-memory per group while groups
     distribute across the cluster — the same shape at 100 TB.
     """
-    schema = df.schema.add(out_col, "integer")
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, IntegerType())])
     gcols = list(group_cols)
 
     def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -98,6 +103,9 @@ def resolve_version_range(versions_df: DataFrame, ranges_df: DataFrame,
     group: versions-of-one-package × ranges-for-that-package), THEN the
     containment UDF filters — never a cross join.
     """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(versions_df.sparkSession)
     joined = versions_df.join(ranges_df, on)
     return joined.withColumn(
         "in_range",

@@ -1,0 +1,75 @@
+"""Search operators: tiered short-circuit search and purl-aware search.
+
+VulnerabilityQuerySet.search (models.py:150-178) runs up to four queries,
+each only if the previous returned nothing. Rewritten as ONE scan
+computing a per-row match tier + a global-min broadcast join
+(SURVEY.md §4 item 4) — at 100 TB that is one pass instead of four.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.kernel.purl import PurlError, parse_purl
+
+
+def tiered_search(advisories: DataFrame, query: str) -> DataFrame:
+    """Tier 1: exact advisory_id; 2: exact alias; 3: id/alias contains;
+    4: summary/reference-url contains. Rows of the best populated tier
+    only, ordered by advisory_id (models.py:150-178)."""
+    q = (query or "").strip()
+    ql = q.lower()
+    tier = (
+        F.when(F.col("advisory_id") == q, 1)
+        .when(F.array_contains(F.col("aliases"), q), 2)
+        .when(
+            F.lower(F.col("advisory_id")).contains(ql)
+            | F.exists("aliases", lambda a: F.lower(a).contains(ql)),
+            3,
+        )
+        .when(
+            F.lower(F.col("summary")).contains(ql)
+            | F.exists("references", lambda r: F.lower(r["url"]).contains(ql)),
+            4,
+        )
+        .otherwise(F.lit(None).cast("int"))
+    )
+    scored = advisories.withColumn("tier", tier).filter(F.col("tier").isNotNull())
+    best = scored.agg(F.min("tier").alias("best_tier"))
+    return (
+        scored.join(F.broadcast(best), scored.tier == best.best_tier)
+        .drop("best_tier")
+        .orderBy("advisory_id")
+    )
+
+
+def search_packages(packages: DataFrame, query: str) -> DataFrame:
+    """Purl-aware package search (models.py:746-764, 3565-3583): a query
+    that parses as a purl prefix-matches the canonical plain purl;
+    otherwise substring-match on package_url. Ordered output."""
+    q = (query or "").strip()
+    try:
+        canonical = parse_purl(q).to_string() if q.startswith("pkg:") else None
+    except PurlError:
+        canonical = None
+    if canonical:
+        cond = F.col("plain_package_url").startswith(canonical) | F.col(
+            "package_url"
+        ).startswith(canonical)
+    else:
+        cond = F.col("package_url").contains(q.lower())
+    return packages.filter(cond).orderBy("type", "namespace", "name", "version_rank")
+
+
+def search_flags(advisories: DataFrame) -> DataFrame:
+    """with_cves / with_cpes style classification flags
+    (models.py:120-142): annotate rather than filter so one pass serves
+    both lookups."""
+    return advisories.withColumn(
+        "has_cve", F.exists("aliases", lambda a: a.startswith("CVE-"))
+    ).withColumn(
+        "has_cpe",
+        F.exists("references",
+                 lambda r: F.coalesce(r["reference_id"], F.lit("")).startswith("cpe")),
+    )

@@ -1,0 +1,127 @@
+"""Unfurl: materialize concrete affected/fixed packages from vers ranges.
+
+Reference: UnfurlVersionRangePipeline (unfurl_version_range.py:33-212) —
+for each ImpactedPackage, fetch the upstream version list per base purl,
+keep versions inside affecting_vers, bulk-create PackageV2 rows + bridges,
+stamp watermarks. Spark shape (SURVEY.md §2.3): equi-join impacts to the
+``package_versions`` dimension on base_purl (bounded fan-out per package),
+filter with the Arrow-batched containment UDF, derive package rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.functions.version_funcs import version_in_range
+
+
+def stale_impacts(impacts: DataFrame, reunfurl_after_days: int = 2) -> DataFrame:
+    """Incremental selection: never-unfurled or stale rows
+    (impacted_package_qs, unfurl_version_range.py:201-212)."""
+    cutoff = F.current_timestamp() - F.expr(f"INTERVAL {reunfurl_after_days} DAYS")
+    return impacts.filter(
+        F.col("last_range_unfurl_at").isNull()
+        | (F.col("last_range_unfurl_at") <= cutoff)
+    )
+
+
+def unfurl_affected(impacts: DataFrame, package_versions: DataFrame) -> DataFrame:
+    """(impact_pk, base_purl, version) rows for every upstream version
+    inside the affecting range. Rows with `*`/empty constraints unfurl to
+    nothing but still count as processed (FIXTURES.md §4.5 — handled by
+    the caller stamping watermarks on ALL selected impacts)."""
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(impacts.sparkSession)
+    candidates = impacts.select(
+        "impact_pk", "advisory_pk", "base_purl", "affecting_vers"
+    ).filter(F.col("affecting_vers").isNotNull()).join(
+        package_versions.select("base_purl", "version"), "base_purl"
+    )
+    return candidates.withColumn(
+        "in_range", version_in_range(F.col("version"), F.col("affecting_vers"))
+    ).filter(F.col("in_range") == True).drop("in_range")  # noqa: E712
+
+
+def materialize_packages(unfurled: DataFrame) -> DataFrame:
+    """Distinct (base_purl, version) → PACKAGE rows with canonical purl
+    columns (bulk_get_or_create_from_purls, unfurl_version_range.py:173-186).
+    purl fields come from string ops on the already-canonical base_purl —
+    the parse UDF ran at ingest, not here."""
+    pkgs = unfurled.select("base_purl", "version").distinct()
+    no_prefix = F.regexp_replace("base_purl", r"^pkg:", "")
+    segments = F.split(no_prefix, "/")
+    return pkgs.select(
+        F.xxhash64("base_purl", "version").alias("package_pk"),
+        segments[0].alias("type"),
+        F.when(F.size(segments) > 2,
+               F.array_join(F.slice(segments, 2, F.size(segments) - 2), "/")
+               ).otherwise(F.lit("")).alias("namespace"),
+        F.element_at(segments, -1).alias("name"),
+        F.col("version"),
+        F.lit("").alias("qualifiers"),
+        F.lit("").alias("subpath"),
+        F.concat("base_purl", F.lit("@"), "version").alias("package_url"),
+        F.concat("base_purl", F.lit("@"), "version").alias("plain_package_url"),
+        F.lit(False).alias("is_ghost"),
+        F.lit(None).cast("string").alias("risk_score"),
+        F.lit(0).alias("version_rank"),
+    )
+
+
+def affecting_bridge(unfurled: DataFrame) -> DataFrame:
+    """impact↔package bridge rows (ImpactedPackageAffecting,
+    models.py:3899-3921)."""
+    return unfurled.select(
+        "impact_pk",
+        F.xxhash64("base_purl", "version").alias("package_pk"),
+        F.lit("affecting").alias("relation"),
+    ).distinct()
+
+
+def fixed_package_rows(impacts: DataFrame, package_versions: DataFrame) -> DataFrame:
+    """(impact_pk, base_purl, version) for fixed versions confirmed to
+    exist upstream (exact-purl extraction, pipes/advisory.py:380-419)."""
+    fixed = impacts.filter(F.col("fixed_version").isNotNull()).select(
+        "impact_pk", "base_purl", F.col("fixed_version").alias("version")
+    )
+    return fixed.join(package_versions.select("base_purl", "version"),
+                      ["base_purl", "version"], "left_semi")
+
+
+def fixed_by_bridge(impacts: DataFrame, package_versions: DataFrame) -> DataFrame:
+    """impact↔package bridge for fixing packages."""
+    return fixed_package_rows(impacts, package_versions).select(
+        "impact_pk",
+        F.xxhash64("base_purl", "version").alias("package_pk"),
+        F.lit("fixed_by").alias("relation"),
+    ).distinct()
+
+
+def unfurled_package_universe(unfurled: DataFrame, impacts: DataFrame,
+                              package_versions: DataFrame) -> DataFrame:
+    """All package rows the unfurl materializes: affected versions PLUS
+    confirmed fixed versions (the reference creates PackageV2 rows for
+    both, pipes/advisory.py:380-419)."""
+    affected = unfurled.select("base_purl", "version")
+    fixed = fixed_package_rows(impacts, package_versions).select(
+        "base_purl", "version")
+    return materialize_packages(affected.unionByName(fixed))
+
+
+def stamp_watermarks(impacts: DataFrame, processed_impacts: DataFrame) -> DataFrame:
+    """Set last_range_unfurl_at on processed rows (timestamp watermark
+    updates, unfurl_version_range.py:106-124)."""
+    done = processed_impacts.select("impact_pk").distinct().withColumn(
+        "_done", F.lit(True)
+    )
+    return (
+        impacts.join(done, "impact_pk", "left")
+        .withColumn(
+            "last_range_unfurl_at",
+            F.when(F.col("_done"), F.current_timestamp())
+            .otherwise(F.col("last_range_unfurl_at")),
+        )
+        .drop("_done")
+    )

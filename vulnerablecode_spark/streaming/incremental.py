@@ -1,0 +1,94 @@
+"""Incremental advisory ingest.
+
+Two equivalent drivers around the same SCD2 merge (operators/ingest.py):
+
+- ``stream_ingest``: Structured Streaming file source +
+  ``Trigger.AvailableNow`` + ``foreachBatch`` — the engine's version of the
+  RQ scheduler waking an importer every run_interval
+  (pipelines/__init__.py:293-295): each trigger drains NEW source files
+  (process-once semantics = the reference's ``date_imported is null``
+  selection, pipelines/__init__.py:231-235) and merges them.
+- ``batch_merge_to_table``: one merge pass for externally-scheduled runs.
+
+Storage is parquet snapshot-swap (this environment has no Delta); on Delta
+the merge body becomes MERGE INTO + the is_latest window re-flag, and the
+checkpoint the stream's own offset log.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vulnerablecode_spark.operators.ingest import (merge_advisories,
+                                                   to_canonical_advisories)
+from vulnerablecode_spark.schemas import ADVISORY_PARSED
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    return os.path.exists(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    return spark.read.parquet(path) if _table_exists(spark, path) else None
+
+
+def write_table(df: DataFrame, path: str) -> None:
+    """Snapshot-swap write: materialize to a staging dir, then atomically
+    replace. (Delta/Iceberg would make this a transactional commit.)"""
+    staging = path.rstrip("/") + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + ".old"
+    if os.path.exists(path):
+        os.replace(path, backup)
+    os.replace(staging, path)
+    if os.path.exists(backup):
+        import shutil
+
+        shutil.rmtree(backup, ignore_errors=True)
+
+
+def batch_merge_to_table(spark: SparkSession, incoming: DataFrame,
+                         table_path: str) -> DataFrame:
+    """Merge a batch of canonical advisories into the stored table."""
+    existing = read_table(spark, table_path)
+    if existing is not None:
+        # work on a materialized copy so the merge does not read the files
+        # it is about to replace
+        existing = spark.createDataFrame(existing.collect(), existing.schema)
+    merged = merge_advisories(existing, incoming)
+    write_table(merged, table_path)
+    return spark.read.parquet(table_path)
+
+
+def stream_ingest(spark: SparkSession, source_dir: str, table_path: str,
+                  checkpoint_dir: str, datasource_id: str = "osv",
+                  pipeline_id: str = "stream_ingest") -> None:
+    """Drain new parsed-advisory JSON files from ``source_dir`` and merge.
+
+    readStream(file source) tracks processed files in the checkpoint —
+    exactly-once per file; Trigger.AvailableNow processes the backlog and
+    stops (a scheduled micro-batch run, SURVEY.md §2.9).
+    """
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        canonical = to_canonical_advisories(batch_df, datasource_id, pipeline_id)
+        batch_merge_to_table(batch_df.sparkSession, canonical, table_path)
+
+    stream = (
+        spark.readStream.schema(ADVISORY_PARSED)
+        .option("multiLine", "true")
+        .json(source_dir)
+    )
+    (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
