@@ -1,0 +1,219 @@
+"""Coverage queries for the remaining SURVEY §2 operator families:
+pagination, set operations, scalar-function kernels, date rollups,
+content-hash dedup, and argmax joins — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.plans.registry import _load, query
+
+# ---------------------------------------------------------------------------
+# §2.6 pagination — PageNumber pagination (pagination.py:1-6,
+# settings.py:265-267): a stable total order + offset/limit. Deterministic
+# because the order key (o_orderkey) is unique.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q33_pagination",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey LIMIT 100 OFFSET 200
+    """,
+)
+def q33_pagination(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    return (
+        orders.orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .offset(200).limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set ops — INTERSECT / EXCEPT on id sets (union already covered by
+# q12): customers active in 1995 ∩ 1996, and 1995 ∖ 1996.
+# ---------------------------------------------------------------------------
+
+
+def _active(orders, year: int):
+    return orders.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+
+@query(
+    "q34_set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    """,
+)
+def q34_set_intersect(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    return _active(orders, 1995).intersect(_active(orders, 1996))
+
+
+@query(
+    "q35_set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+    """,
+)
+def q35_set_except(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    return _active(orders, 1995).exceptAll(_active(orders, 1996)).distinct()
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar-function kernels — identifier classification (is_cve rlike),
+# reference-id extraction (last URL path segment, utils.py:342-350), alias
+# URL derivation (models.py:1334-1348), severity-range rendering. Exercised
+# over synthesized identifier strings so the whole kernel family is graded.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_scalar_kernels",
+    oracle=r"""
+    SELECT event_id,
+           ident,
+           regexp_matches(ident, '^CVE-\d{4}-\d{4,19}$') AS is_cve,
+           CASE WHEN regexp_matches(ident, '^CVE-\d{4}-\d{4,19}$')
+                THEN 'https://nvd.nist.gov/vuln/detail/' || ident END AS alias_url,
+           regexp_extract('https://example.com/advisories/' || ident,
+                          '([^/]+)$', 1) AS reference_id,
+           upper(substring(ident, 1, 3)) AS prefix
+    FROM (SELECT event_id,
+                 CASE WHEN event_id % 3 = 0
+                      THEN 'CVE-2024-' || CAST(10000 + event_id AS VARCHAR)
+                      WHEN event_id % 3 = 1
+                      THEN 'GHSA-' || CAST(event_id AS VARCHAR)
+                      ELSE 'note-' || CAST(event_id AS VARCHAR) END AS ident
+          FROM events)
+    """,
+)
+def q36_scalar_kernels(spark, sf_dir):
+    from vulnerablecode_spark.functions.text_funcs import (alias_url, is_cve,
+                                                           reference_id_from_url)
+
+    events = _load(spark, sf_dir, "events")
+    ident = (
+        F.when(F.col("event_id") % 3 == 0,
+               F.concat(F.lit("CVE-2024-"), (F.col("event_id") + 10000).cast("string")))
+        .when(F.col("event_id") % 3 == 1,
+              F.concat(F.lit("GHSA-"), F.col("event_id").cast("string")))
+        .otherwise(F.concat(F.lit("note-"), F.col("event_id").cast("string")))
+    )
+    df = events.select("event_id", ident.alias("ident"))
+    url = F.concat(F.lit("https://example.com/advisories/"), F.col("ident"))
+    return df.select(
+        "event_id", "ident",
+        is_cve(F.col("ident")).alias("is_cve"),
+        alias_url(F.col("ident")).alias("alias_url"),
+        reference_id_from_url(url).alias("reference_id"),
+        F.upper(F.substring("ident", 1, 3)).alias("prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 date kernels + §2.4 rollup — date part extraction and a
+# year × quarter aggregate (the changelog/history time rollup shape).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_date_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q37_date_rollup(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 content-address dedup — the advisory content-id mechanism
+# (utils.py:623-726, remove_duplicate_advisories.py) over a relational
+# surrogate: rows hashing identical canonical content collapse, keep-first.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_content_hash_dedup",
+    oracle="""
+    WITH hashed AS (
+        SELECT l_orderkey, l_linenumber,
+               md5(CAST(l_partkey AS VARCHAR) || '|' ||
+                   CAST(l_suppkey AS VARCHAR) || '|' ||
+                   CAST(ROUND(l_quantity, 2) AS VARCHAR)) AS content_id
+        FROM lineitem
+    )
+    SELECT content_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(l_orderkey * 10 + l_linenumber) AS BIGINT) AS keeper
+    FROM hashed GROUP BY content_id HAVING COUNT(*) > 1
+    """,
+)
+def q38_content_hash_dedup(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")
+    content = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            F.round(F.col("l_quantity"), 2).cast("string"),
+        )
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", content.alias("content_id"))
+        .groupBy("content_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+            .cast("bigint").alias("keeper"),
+        )
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 argmax — max_by semantics (primary advisory = max precedence,
+# group_advisories.py:247-285): per customer the single highest-value
+# order, via the max_by aggregate rather than a window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_argmax_primary",
+    oracle="""
+    SELECT o_custkey,
+           CAST(max_by(o_orderkey, o_totalprice) AS BIGINT) AS primary_order,
+           ROUND(MAX(o_totalprice), 2) AS best_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q39_argmax_primary(spark, sf_dir):
+    # (o_custkey, o_totalprice) is tie-free in this dataset (verified at
+    # sf0.01/sf0.1), so a plain max_by is deterministic; with ties a
+    # row_number window (q11) is the right tool.
+    orders = _load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").cast("bigint").alias("primary_order"),
+        F.round(F.max("o_totalprice"), 2).alias("best_price"),
+    )
