@@ -110,3 +110,57 @@ class TestDebianSource:
             "2024-03-01 00:00:00")
         assert adv.count() == 2
         assert adv.filter(F.col("is_latest")).count() == 2
+
+
+OVAL_XML = """<?xml version='1.0' encoding='utf-8'?>
+<oval_definitions xmlns="http://oval.mitre.org/XMLSchema/oval-definitions-5"
+                  xmlns:linux="http://oval.mitre.org/XMLSchema/oval-definitions-5#linux">
+  <definitions>
+    <definition class="vulnerability" id="oval:test:def:1" version="1">
+      <metadata>
+        <title>CVE-2001-1593</title>
+        <description>demo vuln</description>
+        <debian><date>2014-03-31</date></debian>
+      </metadata>
+      <criteria operator="AND">
+        <criterion comment="release" test_ref="oval:test:tst:1"/>
+        <criterion comment="pkg earlier than fix" test_ref="oval:test:tst:2"/>
+      </criteria>
+    </definition>
+    <definition class="inventory" id="oval:test:def:2" version="1"/>
+  </definitions>
+  <tests>
+    <linux:dpkginfo_test id="oval:test:tst:2" version="1">
+      <linux:object object_ref="oval:test:obj:1"/>
+      <linux:state state_ref="oval:test:ste:1"/>
+    </linux:dpkginfo_test>
+  </tests>
+  <objects>
+    <linux:dpkginfo_object id="oval:test:obj:1" version="1">
+      <linux:name>a2ps</linux:name>
+    </linux:dpkginfo_object>
+  </objects>
+  <states>
+    <linux:dpkginfo_state id="oval:test:ste:1" version="1">
+      <linux:evr datatype="debian_evr_string" operation="less than">1:4.14-1.1+deb7u1</linux:evr>
+    </linux:dpkginfo_state>
+  </states>
+</oval_definitions>
+"""
+
+
+class TestOvalSource:
+    def test_parse(self, spark, tmp_path):
+        from vulnerablecode_spark.sources.oval import read_oval
+
+        (tmp_path / "debian.xml").write_text(OVAL_XML)
+        got = read_oval(spark, str(tmp_path)).collect()
+        assert len(got) == 1  # inventory definition skipped
+        row = got[0]
+        assert row.advisory_id == "oval:test:def:1"
+        assert row.aliases == ["CVE-2001-1593"]
+        ap = row.affected_packages[0]
+        assert ap.package == "pkg:deb/debian/a2ps"
+        assert ap.affected_version_range == "vers:deb/<1:4.14-1.1+deb7u1"
+        assert ap.fixed_version == "1:4.14-1.1+deb7u1"
+        assert row.date_published is not None

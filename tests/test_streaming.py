@@ -107,3 +107,40 @@ class TestChangelog:
         actions = {r.entity_pk: r.action_type for r in log2.collect()}
         assert len(actions) == 2
         assert sorted(actions.values()) == [1, 2]  # one new, one revised
+
+
+class TestStatefulSessionize:
+    def test_sessions_across_microbatches(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.stateful import sessionize
+
+        src = tmp_path / "events"; src.mkdir()
+        out = str(tmp_path / "sessions")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_batch():
+            stream = (spark.readStream
+                      .schema("user_id bigint, ts timestamp")
+                      .json(str(src)))
+            (sessionize(stream, gap_seconds=60)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start().awaitTermination())
+
+        # batch 1: two events 10s apart (one open session), nothing closes
+        with open(src / "b1.json", "w") as f:
+            f.write('{"user_id": 1, "ts": "2024-01-01T00:00:00"}\n')
+            f.write('{"user_id": 1, "ts": "2024-01-01T00:00:10"}\n')
+        run_batch()
+        assert spark.read.parquet(out).count() == 0
+
+        # batch 2: an event 190s later closes the first session
+        with open(src / "b2.json", "w") as f:
+            f.write('{"user_id": 1, "ts": "2024-01-01T00:03:20"}\n')
+        run_batch()
+        sessions = spark.read.parquet(out).collect()
+        assert len(sessions) == 1
+        s = sessions[0]
+        assert s.user_id == 1 and s.n_events == 2
+        assert (s.session_end - s.session_start).total_seconds() == 10
