@@ -111,24 +111,26 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, j, minhash) for j in 0..N_HASHES-1.
+    """Wide MinHash signatures: (id, mh_0 … mh_15) in ONE aggregation.
 
-    Universal hashing ((a_j·h + b_j) mod P) over md5-derived shingle hashes;
-    h is reduced mod P first so a_j·h never overflows int64 — the identical
-    arithmetic is expressible in ANSI SQL for oracle verification.
+    Universal hashing ((a_j·h + b_j) mod P) over md5-derived shingle
+    hashes; h is reduced mod P first so a_j·h never overflows int64 — the
+    identical arithmetic is expressible in ANSI SQL for oracle
+    verification. All 16 lanes are parallel ``min`` aggregates over the
+    shingle rows — no ×16 row explosion, so the shuffle stays the size of
+    the shingle set (the thing that matters at 100 TB).
     """
     sh = shingles(df, text_col, id_col, n)
-    hp = (hash64(F.col("shingle")) % MINHASH_P).alias("hp")
-    exploded = sh.select(F.col(id_col), hp, F.explode(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("j"))
-    a_j = 37 + F.col("j") * 101
-    b_j = 17 + F.col("j") * 257
-    hj = (a_j * F.col("hp") + b_j) % MINHASH_P
-    return (
-        exploded.select(F.col(id_col), "j", hj.alias("hj"))
-        .groupBy(id_col, "j")
-        .agg(F.min("hj").alias("minhash"))
-    )
+    # materialize the md5-derived hash ONCE per shingle row — referencing
+    # hash64() inside each lane would recompute the md5 16 times
+    hashed = sh.select(F.col(id_col),
+                       (hash64(F.col("shingle")) % MINHASH_P).alias("hp"))
+    lanes = [
+        F.min(((37 + j * 101) * F.col("hp") + (17 + j * 257)) % MINHASH_P)
+        .alias(f"mh_{j}")
+        for j in range(N_HASHES)
+    ]
+    return hashed.groupBy(id_col).agg(*lanes)
 
 
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
@@ -139,13 +141,18 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     an equi-join on (band, band_signature), never O(n²).
     """
     sig = minhash_signatures(df, text_col, id_col, n)
-    band = (F.col("j") / BAND_ROWS).cast("int").alias("band")
-    r = F.col("j") % BAND_ROWS
-    # conditional aggregation pivots the band rows into one signature string
-    slot = [F.max(F.when(r == k, F.col("minhash"))) for k in range(BAND_ROWS)]
-    bands = (
-        sig.groupBy(id_col, band)
-        .agg(F.concat_ws("-", *slot).alias("band_sig"))
+    # each band's signature string comes straight off the wide columns;
+    # stack() unpivots to (id, band, band_sig) for the candidate join
+    band_sigs = [
+        F.concat_ws("-", *[F.col(f"mh_{b * BAND_ROWS + r}")
+                           for r in range(BAND_ROWS)]).alias(f"band_{b}")
+        for b in range(N_HASHES // BAND_ROWS)
+    ]
+    n_bands = N_HASHES // BAND_ROWS
+    wide = sig.select(F.col(id_col), *band_sigs)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
+    bands = wide.selectExpr(
+        id_col, f"stack({n_bands}, {stack_expr}) AS (band, band_sig)"
     )
     left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
     right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
@@ -161,18 +168,24 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """Per-document SimHash signature (bit-majority over token hashes).
 
-    Explodes (token occurrence × bit position) → weight ±1, sums per bit,
-    recombines set bits into one integer. Entirely map-side-combinable
-    aggregation; deterministic md5-derived token hashes.
+    One aggregation: per token row, every bit position contributes ±1 via
+    ``bits`` parallel conditional sums; the signature recombines the sums'
+    signs. No (token × bit) row explosion — the shuffle stays the size of
+    the token stream, map-side-combinable, deterministic md5 hashes.
     """
     toks = F.split(F.col(text_col), r"\s+")
     t = spread(df, id_col).select(F.col(id_col), F.explode(toks).alias("tok"))
-    t = t.select(F.col(id_col), hash64(F.col("tok")).alias("h"),
-                 F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"))
-    # shiftright/shiftleft with a COLUMN shift amount is SQL-only syntax
-    weight = F.when(F.expr("shiftright(h, cast(b as int)) & 1") == 1, 1).otherwise(-1)
-    per_bit = t.groupBy(id_col, "b").agg(F.sum(weight).alias("s"))
-    bit_val = F.when(F.col("s") > 0,
-                     F.expr("shiftleft(cast(1 as bigint), cast(b as int))")
-                     ).otherwise(F.lit(0).cast("bigint"))
-    return per_bit.groupBy(id_col).agg(F.sum(bit_val).cast("bigint").alias("simhash"))
+    t = t.select(F.col(id_col), hash64(F.col("tok")).alias("h"))
+    lanes = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    per_doc = t.groupBy(id_col).agg(*lanes)
+    sig = None
+    for b in range(bits):
+        bit_val = F.when(F.col(f"s_{b}") > 0,
+                         F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit_val if sig is None else sig + bit_val
+    return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
