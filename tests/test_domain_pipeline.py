@@ -476,3 +476,37 @@ class TestSearch:
         assert len(got) == 1 and got[0].type == "pypi"
         got = search_packages(pkgs, "sample").collect()
         assert len(got) == 2
+
+
+class TestCrossSourceCompare:
+    def test_agreement_matrix(self, spark, advisories, parsed):
+        from vulnerablecode_spark.operators.compare import (compare_sources,
+                                                            source_claims)
+        from vulnerablecode_spark.operators.ingest import (
+            extract_impacts, to_canonical_advisories)
+
+        # a second "datasource" carrying the same CVE with a DIFFERENT range
+        from pyspark.sql import functions as F
+        altered = parsed.withColumn(
+            "affected_packages",
+            F.transform(
+                "affected_packages",
+                lambda ap: F.struct(
+                    ap["package"].alias("package"),
+                    F.concat(ap["affected_version_range"], F.lit("|<9.9"))
+                    .alias("affected_version_range"),
+                    ap["fixed_version"].alias("fixed_version"),
+                ),
+            ),
+        )
+        other = to_canonical_advisories(altered, "ghsa", "x", "2024-03-02 00:00:00")
+        claims = source_claims(advisories, extract_impacts(advisories)).unionByName(
+            source_claims(other, extract_impacts(other)))
+        matrix = compare_sources(claims)
+        rows = {(r.base_purl, r.cve): r for r in matrix.collect()}
+        conflict = rows[("pkg:pypi/sample", "CVE-2024-1111")]
+        assert conflict.agreement == "conflict"
+        assert set(conflict.sources) == {"pysec", "ghsa"}
+        # sanity: a cve+purl claimed by one source only
+        singles = [r for r in rows.values() if r.agreement == "single_source"]
+        assert all(r.n_sources == 1 for r in singles)

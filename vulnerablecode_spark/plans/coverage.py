@@ -217,3 +217,49 @@ def q39_argmax_primary(spark, sf_dir):
         F.max_by("o_orderkey", "o_totalprice").cast("bigint").alias("primary_order"),
         F.round(F.max("o_totalprice"), 2).alias("best_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 connected components — the advisory-grouping union-find at scale
+# (group_advisories.py:182-245) as iterative label propagation over a
+# derived graph: customers and suppliers linked through their nation.
+# Oracle: recursive-CTE reachability with min-root aggregation.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_connected_components",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS src,
+               'n:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+        UNION
+        SELECT 's:' || CAST(s_suppkey AS VARCHAR),
+               'n:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+    ),
+    sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    reach(node, root) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node, MIN(root) AS component FROM reach GROUP BY node
+    """,
+)
+def q40_connected_components(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import connected_components
+
+    cust, supp = _load(spark, sf_dir, "customer", "supplier")
+    edges = (
+        cust.select(
+            F.concat(F.lit("c:"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .union(
+            supp.select(
+                F.concat(F.lit("s:"), F.col("s_suppkey").cast("string")),
+                F.concat(F.lit("n:"), F.col("s_nationkey").cast("string")),
+            )
+        )
+    )
+    return connected_components(edges)
