@@ -510,3 +510,29 @@ class TestCrossSourceCompare:
         # sanity: a cve+purl claimed by one source only
         singles = [r for r in rows.values() if r.agreement == "single_source"]
         assert all(r.n_sources == 1 for r in singles)
+
+
+class TestServe:
+    def test_json_response_and_pagination(self, spark, advisories):
+        from vulnerablecode_spark.operators.serve import (keyset_page,
+                                                          paginate,
+                                                          to_json_response)
+        import json as _json
+
+        resp = to_json_response(
+            advisories.select("advisory_pk", "advisory_id", "aliases"),
+            "advisory_pk")
+        row = resp.first()
+        payload = _json.loads(row.json)
+        assert "advisory_id" in payload and "aliases" in payload
+
+        page1 = paginate(advisories, ["advisory_id"], page=1, page_size=2)
+        ids1 = [r.advisory_id for r in page1.select("advisory_id").collect()]
+        page2 = paginate(advisories, ["advisory_id"], page=2, page_size=2)
+        ids2 = [r.advisory_id for r in page2.select("advisory_id").collect()]
+        assert len(ids1) == 2 and len(ids2) == 1
+        assert ids1 + ids2 == sorted(ids1 + ids2)
+
+        ks = keyset_page(advisories.select("advisory_id"), "advisory_id",
+                         after=ids1[-1], page_size=2)
+        assert [r.advisory_id for r in ks.collect()] == ids2

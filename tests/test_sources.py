@@ -164,3 +164,90 @@ class TestOvalSource:
         assert ap.affected_version_range == "vers:deb/<1:4.14-1.1+deb7u1"
         assert ap.fixed_version == "1:4.14-1.1+deb7u1"
         assert row.date_published is not None
+
+
+NVD_FEED = {
+    "CVE_Items": [{
+        "cve": {
+            "CVE_data_meta": {"ID": "CVE-2024-4242"},
+            "description": {"description_data": [
+                {"lang": "es", "value": "hola"},
+                {"lang": "en", "value": "An overflow in libfoo."}]},
+            "references": {"reference_data": [
+                {"url": "https://example.com/poc", "tags": ["Exploit"]},
+                {"url": "https://example.com/adv", "tags": ["Vendor Advisory"]}]},
+            "problemtype": {"problemtype_data": [
+                {"description": [{"value": "CWE-787"}]}]},
+        },
+        "configurations": {"nodes": [{
+            "cpe_match": [{
+                "vulnerable": True,
+                "cpe23Uri": "cpe:2.3:a:foovendor:libfoo:*:*:*:*:*:*:*:*",
+                "versionStartIncluding": "1.0",
+                "versionEndExcluding": "1.4"}],
+            "children": [],
+        }]},
+        "impact": {"baseMetricV3": {"cvssV3": {
+            "vectorString": "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+            "baseScore": "9.8", "version": "3.1"}}},
+        "publishedDate": "2024-04-01T10:00Z",
+    }],
+}
+
+GITHUB_PAGE = {
+    "securityAdvisories": {"nodes": [{
+        "ghsaId": "GHSA-abcd-efgh-ijkl",
+        "summary": "Prototype pollution in widget",
+        "severity": "HIGH",
+        "publishedAt": "2024-02-02T00:00:00Z",
+        "identifiers": [{"type": "GHSA", "value": "GHSA-abcd-efgh-ijkl"},
+                        {"type": "CVE", "value": "CVE-2024-3333"}],
+        "references": [{"url": "https://example.com/gh"}],
+        "cvss": {"score": "7.5",
+                 "vectorString": "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:N/A:N"},
+        "cwes": {"nodes": [{"cweId": "CWE-1321"}]},
+        "vulnerabilities": {"nodes": [{
+            "package": {"ecosystem": "NPM", "name": "Widget"},
+            "vulnerableVersionRange": ">= 1.0, < 1.8",
+            "firstPatchedVersion": {"identifier": "1.8.0"}}]},
+    }]},
+}
+
+
+class TestNvdSource:
+    def test_parse(self, spark, tmp_path):
+        from vulnerablecode_spark.sources.nvd import read_nvd
+
+        (tmp_path / "feed.json").write_text(json.dumps(NVD_FEED))
+        got = read_nvd(spark, str(tmp_path / "feed.json")).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.advisory_id == "CVE-2024-4242"
+        assert r.summary == "An overflow in libfoo."
+        ap = r.affected_packages[0]
+        assert ap.package == "pkg:generic/foovendor/libfoo"
+        assert ap.affected_version_range == "vers:generic/>=1.0|<1.4"
+        assert ap.fixed_version == "1.4"
+        assert r.weaknesses == [787]
+        types = {x.reference_type for x in r.references}
+        assert types == {"exploit", "advisory"}
+        assert r.severities[0].system == "cvssv3"
+
+
+class TestGithubSource:
+    def test_parse(self, spark, tmp_path):
+        from vulnerablecode_spark.sources.github import read_github
+
+        (tmp_path / "page1.json").write_text(json.dumps(GITHUB_PAGE))
+        got = read_github(spark, str(tmp_path / "page1.json")).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.advisory_id == "GHSA-abcd-efgh-ijkl"
+        assert r.aliases == ["CVE-2024-3333"]
+        ap = r.affected_packages[0]
+        assert ap.package == "pkg:npm/widget"
+        assert ap.affected_version_range == "vers:npm/>=1.0|<1.8"
+        assert ap.fixed_version == "1.8.0"
+        assert r.weaknesses == [1321]
+        systems = {s.system for s in r.severities}
+        assert systems == {"cvssv3.1", "generic_textual"}

@@ -39,8 +39,9 @@ def fingerprint(text: Column) -> Column:
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(text, r"\s+"))
+    """Whitespace token count (plain-space tokenizer, matching the shingle
+    tokenizer in llm.dedup)."""
+    return F.size(F.split(text, " "))
 
 
 def bpe_token_count(text: Column) -> Column:

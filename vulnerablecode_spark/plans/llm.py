@@ -20,7 +20,7 @@ _SQL_HASH64 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 _SQL_SHINGLES = r"""
     SELECT DISTINCT doc_id,
            tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3] AS shingle
-    FROM (SELECT doc_id, string_split_regex(text, '\s+') AS tokens FROM documents),
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
          UNNEST(range(0, greatest(len(tokens) - 2, 0))) AS t(i)
 """
 
@@ -114,7 +114,7 @@ def q25_minhash_lsh(spark, sf_dir):
 @query(
     "q26_simhash",
     oracle=f"""
-    WITH t AS (SELECT doc_id, UNNEST(string_split_regex(text, '\\s+')) AS tok
+    WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
                FROM documents),
     th AS (SELECT doc_id, {_SQL_HASH64.format(s='tok')} AS h FROM t),
     tb AS (SELECT doc_id, h, UNNEST(range(32)) AS b FROM th),
@@ -189,7 +189,7 @@ _SQL_EN = r"\b(the|a|of|and)\b"
     oracle=rf"""
     WITH base AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
                len(regexp_extract_all(lower(text), '{_SQL_EN}')) AS stop_hits
         FROM documents
@@ -219,7 +219,7 @@ def q28_quality_score(spark, sf_dir):
     "q29_token_count",
     oracle=rf"""
     SELECT source,
-           CAST(SUM(len(string_split_regex(text, '\s+'))) AS BIGINT)   AS ws_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)   AS ws_tokens,
            CAST(SUM(len(regexp_extract_all(text, '{text.BPE_TOKEN_RE}'))) AS BIGINT)
                                                                         AS bpe_tokens,
            CAST(SUM(CAST(CEIL(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS est_tokens,
