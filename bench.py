@@ -67,12 +67,36 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+
+    # Baseline per BASELINE.md: the DuckDB oracle runtime on the same
+    # queries at the same scale factor (the reference publishes no
+    # latency numbers).
+    duck_timings: dict[str, float] = {}
+    try:
+        from vulnerablecode_spark.plans import ORACLES
+        from vulnerablecode_spark.testing import duckdb_conn
+
+        con = duckdb_conn(sf_dir)
+        for name in HEADLINE:
+            if name not in ORACLES:
+                continue
+            start = time.perf_counter()
+            con.execute(ORACLES[name]).fetchall()
+            duck_timings[name] = round(time.perf_counter() - start, 3)
+    except Exception as exc:  # baseline is informational — never fail bench
+        print(f"# duckdb baseline skipped: {exc}", file=sys.stderr)
+
+    duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "duckdb_baseline_total": duck_total,
+        "duckdb_baseline_queries": duck_timings,
+        "spark_vs_duckdb_ratio": (
+            round(total / duck_total, 3) if duck_total else None),
     }))
 
 

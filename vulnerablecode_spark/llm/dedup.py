@@ -88,6 +88,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     from the per-shingle doc lists, |A∪B| = |A|+|B|-|A∩B|.
     """
     sh = shingles(df, text_col, id_col, n).cache()
+    # eager materialization: three subtrees (sizes + both join sides) read
+    # this cache concurrently in one action; racing the population can
+    # recompute the explode per subtree and triples the hottest stage
+    sh.count()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
