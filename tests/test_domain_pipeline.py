@@ -536,3 +536,46 @@ class TestServe:
         ks = keyset_page(advisories.select("advisory_id"), "advisory_id",
                          after=ids1[-1], page_size=2)
         assert [r.advisory_id for r in ks.collect()] == ids2
+
+
+class TestImprovers:
+    def test_exact_purl_extraction(self, spark):
+        """improvers/default.py:87-141 doctest semantics: =2.0.0 inside
+        the range -> affected; != and fixed_version -> fixed."""
+        from vulnerablecode_spark.operators.improvers import \
+            exact_purl_inferences
+
+        impacts = spark.createDataFrame(
+            [(1, 10, "pkg:npm/green", "vers:npm/<1.0.0|>=2.0.0|<3.0.0", None,
+              "5.0.0", None),
+             (2, 11, "pkg:npm/blue", "vers:npm/*|!=1.5.0", None, None, None),
+             (3, 12, "pkg:npm/empty", "vers:npm/<2.0", None, None, None)],
+            "impact_pk bigint, advisory_pk bigint, base_purl string, "
+            "affecting_vers string, fixed_vers string, fixed_version string, "
+            "last_range_unfurl_at timestamp")
+        got = {r.impact_pk: r for r in exact_purl_inferences(impacts).collect()}
+        assert got[1].affected_purls == ["pkg:npm/green@2.0.0"]
+        assert got[1].fixed_purls == ["pkg:npm/green@5.0.0"]
+        assert got[2].affected_purls == []
+        assert got[2].fixed_purls == ["pkg:npm/blue@1.5.0"]
+        # a strict upper bound's own version is NOT in the range → no purls
+        assert 3 not in got
+
+    def test_valid_versions_respects_publication_date(self, spark, advisories):
+        from vulnerablecode_spark.operators.improvers import \
+            valid_version_inferences
+        from vulnerablecode_spark.operators.ingest import extract_impacts
+
+        import datetime as dt
+        pv = spark.createDataFrame(
+            [("pkg:pypi/sample", "1.0.0", dt.datetime(2023, 1, 1)),
+             ("pkg:pypi/sample", "1.1.0", dt.datetime(2023, 6, 1)),
+             # released AFTER PYSEC-2024-1's date_published (2024-01-10)
+             ("pkg:pypi/sample", "1.1.9", dt.datetime(2024, 6, 1))],
+            "base_purl string, version string, release_date timestamp")
+        impacts = extract_impacts(advisories)
+        got = valid_version_inferences(advisories, impacts, pv)
+        row = [r for r in got.collect()
+               if "pkg:pypi/sample@1.0.0" in r.affected_purls]
+        assert row, "expected an inference for pkg:pypi/sample"
+        assert "pkg:pypi/sample@1.1.9" not in row[0].affected_purls

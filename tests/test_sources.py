@@ -251,3 +251,73 @@ class TestGithubSource:
         assert r.weaknesses == [1321]
         systems = {s.system for s in r.severities}
         assert systems == {"cvssv3.1", "generic_textual"}
+
+
+class TestExploitCatalogs:
+    def test_exploitdb_csv(self, spark, tmp_path):
+        from vulnerablecode_spark.sources.exploit_catalogs import read_exploitdb
+
+        p = tmp_path / "files_exploits.csv"
+        p.write_text(
+            "id,file,description,date_published,author,type,platform,port,"
+            "date_added,date_updated,verified,codes,tags,aliases,"
+            "screenshot_url,application_url,source_url\n"
+            '1,exploits/a.py,RCE in foo,2024-01-05,alice,remote,linux,,'
+            '2024-01-06,2024-01-07,1,CVE-2024-1111;CVE-2024-2222,,,,,'
+            'https://example.com/exp/1\n'
+            "2,exploits/b.py,no cve,2024-01-05,bob,local,windows,,,,0,,,,,,\n"
+        )
+        got = read_exploitdb(spark, str(p)).collect()
+        assert {r.alias for r in got} == {"CVE-2024-1111", "CVE-2024-2222"}
+        assert all(r.data_source == "exploitdb" for r in got)
+        assert got[0].source_url == "https://example.com/exp/1"
+
+    def test_metasploit_json(self, spark, tmp_path):
+        from vulnerablecode_spark.sources.exploit_catalogs import read_metasploit
+
+        meta = {
+            "exploit_linux/foo": {
+                "name": "Foo RCE", "fullname": "exploit/linux/foo",
+                "description": "pwn", "references":
+                    ["CVE-2024-1111", "OSVDB-999", "URL-https://x"],
+                "disclosure_date": "2024-01-02", "rank": 600,
+                "type": "exploit", "platform": "linux",
+                "path": "/modules/exploits/linux/foo.rb"},
+            "aux_scan": {"name": "scan", "fullname": "aux/scan",
+                         "description": "", "references": [],
+                         "disclosure_date": None, "rank": 300,
+                         "type": "auxiliary", "platform": "",
+                         "path": "/modules/aux/scan.rb"},
+        }
+        p = tmp_path / "modules_metadata_base.json"
+        p.write_text(json.dumps(meta))
+        got = read_metasploit(spark, str(p)).collect()
+        assert len(got) == 1
+        assert got[0].alias == "CVE-2024-1111"
+        assert got[0].data_source == "metasploit"
+        assert got[0].source_url.endswith("/modules/exploits/linux/foo.rb")
+
+    def test_catalogs_union_with_kev_join(self, spark, tmp_path, ):
+        """All three catalogs share one schema → one union + one alias join
+        (the enhance_with_* pipelines as a single broadcast join)."""
+        from vulnerablecode_spark.operators.exploits import join_exploits
+        from vulnerablecode_spark.sources.exploit_catalogs import read_exploitdb
+        from vulnerablecode_spark.sources.kev import read_kev
+
+        kev = {"count": 1, "vulnerabilities": [{
+            "cveID": "CVE-2024-1111", "shortDescription": "kev",
+            "dateAdded": "2024-02-02", "requiredAction": "patch",
+            "dueDate": "2024-02-20", "notes": "",
+            "knownRansomwareCampaignUse": "Unknown"}]}
+        (tmp_path / "kev.json").write_text(json.dumps(kev))
+        (tmp_path / "edb.csv").write_text(
+            "id,file,description,date_published,author,type,platform,port,"
+            "date_added,date_updated,verified,codes,tags,aliases,"
+            "screenshot_url,application_url,source_url\n"
+            "1,f,edb,2024-01-05,a,remote,linux,,,,1,CVE-2024-1111,,,,,\n")
+        catalog = read_kev(spark, str(tmp_path / "kev.json")).unionByName(
+            read_exploitdb(spark, str(tmp_path / "edb.csv")))
+        aliases = spark.createDataFrame([(77, "CVE-2024-1111")],
+                                        "advisory_pk bigint, alias string")
+        got = join_exploits(aliases, catalog)
+        assert {r.data_source for r in got.collect()} == {"KEV", "exploitdb"}

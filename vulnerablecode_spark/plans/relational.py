@@ -689,3 +689,79 @@ def q22_asof_join(spark, sf_dir):
         .filter(F.col("is_purchase") == 1)
         .select("event_id", "user_id", F.col("t").alias("ts"), "last_view_ts")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.9 sessionization (batch form) — the stateful streaming operator
+# (streaming/stateful.py) has this exact batch equivalent: a gap > 30min
+# starts a new session; session id = running count of gap-starts. Windowed
+# lag + conditional running sum, one shuffle on the user key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q41_sessionization(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = events.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60, 0).otherwise(1),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = marked.withColumn("session_no",
+                                 F.sum("new_session").over(w_run))
+    return numbered.groupBy(
+        "user_id", F.col("session_no").cast("bigint").alias("session_no")
+    ).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 distribution stats — severity-range style analytics generalized:
+# exact median (continuous interpolation) + p95 per group, rounded so both
+# engines produce identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(QUANTILE_CONT(value, 0.5), 3) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.95), 3) AS p95,
+           ROUND(AVG(value), 3) AS mean
+    FROM events GROUP BY event_type
+    """,
+)
+def q42_percentiles(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 3).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 3).alias("p95"),
+        F.round(F.avg("value"), 3).alias("mean"),
+    )
