@@ -108,3 +108,23 @@ class TestFixCommits:
              ("git://github.com/org/repo/",)], "url string")
         got = [r[0] for r in df.select(normalize_vcs_url(F.col("url"))).collect()]
         assert got == ["https://github.com/org/repo"] * 3
+
+
+class TestSummaryBackfill:
+    def test_longest_summary_wins_only_for_missing(self, spark):
+        from vulnerablecode_spark.operators.improvers import backfill_summaries
+
+        vulns = spark.createDataFrame(
+            [(1, ""), (2, "already has one")],
+            "vulnerability_pk bigint, summary string")
+        advisories = spark.createDataFrame(
+            [(10, "short", True), (11, "a much longer summary", True),
+             (12, "latest=false is ignored but longest", False)],
+            "advisory_pk bigint, summary string, is_latest boolean")
+        bridge = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, 12), (2, 11)],
+            "vulnerability_pk bigint, advisory_pk bigint")
+        got = {r.vulnerability_pk: r.summary
+               for r in backfill_summaries(vulns, advisories, bridge).collect()}
+        assert got[1] == "a much longer summary"
+        assert got[2] == "already has one"

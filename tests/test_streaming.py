@@ -144,3 +144,27 @@ class TestStatefulSessionize:
         s = sessions[0]
         assert s.user_id == 1 and s.n_events == 2
         assert (s.session_end - s.session_start).total_seconds() == 10
+
+
+class TestRunLog:
+    def test_success_and_failure_rows(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.runlog import (EXIT_FAILURE,
+                                                           EXIT_SUCCESS,
+                                                           PipelineRun,
+                                                           load_run_log)
+
+        log_dir = str(tmp_path / "runs")
+        with PipelineRun("osv_importer", log_dir) as run:
+            run.log("collected 3 advisories")
+        try:
+            with PipelineRun("broken_pipeline", log_dir) as run:
+                raise ValueError("boom")
+        except ValueError:
+            pass
+        df = load_run_log(spark, log_dir)
+        rows = {r.pipeline_id: r for r in df.collect()}
+        assert rows["osv_importer"].exit_code == EXIT_SUCCESS
+        assert rows["osv_importer"].status == "success"
+        assert "collected 3" in rows["osv_importer"].log
+        assert rows["broken_pipeline"].exit_code == EXIT_FAILURE
+        assert "boom" in rows["broken_pipeline"].log

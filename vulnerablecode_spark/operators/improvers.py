@@ -82,6 +82,35 @@ def exact_purl_inferences(impacts: DataFrame) -> DataFrame:
     )
 
 
+def backfill_summaries(vulnerabilities: DataFrame,
+                       advisories: DataFrame,
+                       alias_bridge: DataFrame) -> DataFrame:
+    """Fill missing vulnerability summaries from the best advisory summary
+    (populate_vulnerability_summary_pipeline.py): among the latest
+    advisories sharing an alias with the vulnerability, take the longest
+    non-empty summary (deterministic tie-break on summary text)."""
+    candidate = (
+        alias_bridge.join(
+            advisories.filter(F.col("is_latest"))
+            .select("advisory_pk", "summary")
+            .filter(F.length(F.trim("summary")) > 0),
+            "advisory_pk",
+        )
+        .groupBy("vulnerability_pk")
+        .agg(F.max_by("summary", F.struct(F.length("summary"), F.col("summary")))
+             .alias("best_summary"))
+    )
+    return (
+        vulnerabilities.join(candidate, "vulnerability_pk", "left")
+        .withColumn(
+            "summary",
+            F.when(F.length(F.trim(F.coalesce("summary", F.lit("")))) > 0,
+                   F.col("summary")).otherwise(F.col("best_summary")),
+        )
+        .drop("best_summary")
+    )
+
+
 def valid_version_inferences(advisories: DataFrame, impacts: DataFrame,
                              package_versions: DataFrame) -> DataFrame:
     """ValidVersionImprover: unfurl ranges against versions released
