@@ -68,3 +68,26 @@ class TestNearDupEngineered:
                 simhash(docs.unionByName(planted)).collect()}
         ham = bin(sigs[0] ^ sigs[100000]).count("1")
         assert ham <= 6, f"near-dup hamming distance too large: {ham}"
+
+
+class TestNearDupComposition:
+    def test_lsh_verified_matches_exact_on_planted_dup(self, spark):
+        from vulnerablecode_spark.llm.dedup import (near_dup_pairs,
+                                                    ngram_jaccard_pairs)
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        base = docs.filter(F.col("doc_id") == 0).first().text
+        planted = spark.createDataFrame(
+            [(100000, base + " extra token", "en", "srcX", len(base) + 12)],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+        corpus = docs.unionByName(planted)
+        fast = {(r.doc_a, r.doc_b): r.jaccard
+                for r in near_dup_pairs(corpus, threshold=0.8).collect()}
+        exact = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in ngram_jaccard_pairs(corpus, threshold=0.8).collect()}
+        # the planted pair must appear in both with the same score
+        assert (0, 100000) in fast
+        assert fast[(0, 100000)] == exact[(0, 100000)]
+        # the composition never invents pairs the exact pass wouldn't
+        assert set(fast) <= set(exact)

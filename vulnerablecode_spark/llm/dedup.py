@@ -168,6 +168,42 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def near_dup_pairs(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", n: int = 3,
+                   threshold: float = 0.8) -> DataFrame:
+    """The corpus-scale near-dup composition: MinHash/LSH candidates first,
+    exact Jaccard verification ONLY on candidates.
+
+    ``ngram_jaccard_pairs`` scores every pair sharing ≥1 shingle — exact
+    but O(sum d²) over shingle document-frequencies. Here the quadratic
+    step runs on the LSH candidate set (pairs agreeing on a full band),
+    which is ~linear in the number of true near-dups: candidates join back
+    to the inverted index, so only candidate pairs pay the intersect.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sh.count()  # eager: three consumers below
+    candidates = lsh_candidate_pairs(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")  # candidates only
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+    )
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 32) -> DataFrame:
     """Per-document SimHash signature (bit-majority over token hashes).
