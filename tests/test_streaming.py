@@ -7,7 +7,6 @@ import json
 import os
 
 import pytest
-from pyspark.sql import functions as F
 
 RECORD_V1 = {
     "advisory_id": "OSV-1", "aliases": ["CVE-2020-1"], "summary": "first",

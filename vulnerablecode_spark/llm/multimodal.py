@@ -20,7 +20,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
 
 MEDIA_META_SCHEMA = StructType([

@@ -5,7 +5,6 @@ content-hash dedup, and argmax joins — each with a DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from vulnerablecode_spark.plans.registry import _load, query
