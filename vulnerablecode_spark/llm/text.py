@@ -77,28 +77,33 @@ def predicted_language(text: Column) -> Column:
 
 
 def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality metrics + composite score in [0, 1].
+    """Per-document quality metrics + composite score in basis points.
 
     Length, token stats, stopword ratio — the same class of signals the
     reference uses for data-quality ToDos (compute_advisory_todo.py), here
     as corpus quality scoring for training-data filtering.
+
+    ALL metrics are integer arithmetic (×100 / basis-point fixed point):
+    Spark rounds doubles via shortest-decimal HALF_UP while other engines
+    round the binary value, so any float formula diverges at exact decimal
+    half-boundaries — integers never do.
     """
     text = F.col(text_col)
-    n_tokens = ws_token_count(text)
-    n_chars = F.length(text)
-    avg_token_len = F.round((n_chars - (n_tokens - 1)) / n_tokens, 4)
-    stop_ratio = F.round(marker_hits(text, LANG_MARKERS["en"]) / n_tokens, 4)
-    score = F.round(
-        F.least(F.lit(1.0), n_tokens / F.lit(64.0)) * 0.5
-        + F.least(F.lit(1.0), stop_ratio * 4) * 0.25
-        + F.when((avg_token_len >= 3) & (avg_token_len <= 8), 0.25).otherwise(0.0),
-        4,
-    )
-    return df.select(
+    base = df.select(
         F.col(id_col),
-        n_tokens.cast("bigint").alias("n_tokens"),
-        n_chars.cast("bigint").alias("n_chars"),
-        avg_token_len.alias("avg_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality_score"),
+        ws_token_count(text).cast("bigint").alias("n_tokens"),
+        F.length(text).cast("bigint").alias("n_chars"),
+        marker_hits(text, LANG_MARKERS["en"]).cast("bigint").alias("stop_hits"),
+    )
+    with_parts = base.selectExpr(
+        id_col, "n_tokens", "n_chars",
+        "((n_chars - (n_tokens - 1)) * 100) div n_tokens AS avg_token_len_x100",
+        "(stop_hits * 10000) div n_tokens AS stopword_ratio_bp",
+        "(least(n_tokens, 64) * 5000) div 64 AS length_part",
+    )
+    return with_parts.selectExpr(
+        id_col, "n_tokens", "n_chars", "avg_token_len_x100", "stopword_ratio_bp",
+        "CAST(length_part + (least(stopword_ratio_bp * 4, 10000) div 4) + "
+        "(CASE WHEN avg_token_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)"
+        " AS BIGINT) AS quality_score_bp",
     )

@@ -186,23 +186,29 @@ _SQL_EN = r"\b(the|a|of|and)\b"
 
 @query(
     "q28_quality_score",
+    # Fully integer arithmetic (basis points): float rounding diverges
+    # across engines at exact decimal half-boundaries (Spark rounds the
+    # shortest decimal repr HALF_UP, DuckDB rounds the binary value).
     oracle=rf"""
     WITH base AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars,
-               len(regexp_extract_all(lower(text), '{_SQL_EN}')) AS stop_hits
+               CAST(len(regexp_extract_all(lower(text), '{_SQL_EN}')) AS BIGINT)
+                   AS stop_hits
         FROM documents
+    ), parts AS (
+        SELECT doc_id, n_tokens, n_chars,
+               ((n_chars - (n_tokens - 1)) * 100) // n_tokens AS avg_token_len_x100,
+               (stop_hits * 10000) // n_tokens AS stopword_ratio_bp,
+               (LEAST(n_tokens, 64) * 5000) // 64 AS length_part
+        FROM base
     )
-    SELECT doc_id, n_tokens, n_chars,
-           ROUND((n_chars - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
-           ROUND(stop_hits / n_tokens, 4) AS stopword_ratio,
-           ROUND(LEAST(1.0, n_tokens / 64.0) * 0.5
-                 + LEAST(1.0, ROUND(stop_hits / n_tokens, 4) * 4) * 0.25
-                 + CASE WHEN ROUND((n_chars - (n_tokens - 1)) / n_tokens, 4)
-                             BETWEEN 3 AND 8
-                        THEN 0.25 ELSE 0.0 END, 4) AS quality_score
-    FROM base
+    SELECT doc_id, n_tokens, n_chars, avg_token_len_x100, stopword_ratio_bp,
+           CAST(length_part + (LEAST(stopword_ratio_bp * 4, 10000) // 4) +
+                (CASE WHEN avg_token_len_x100 BETWEEN 300 AND 800
+                      THEN 2500 ELSE 0 END) AS BIGINT) AS quality_score_bp
+    FROM parts
     """,
 )
 def q28_quality_score(spark, sf_dir):
