@@ -251,7 +251,8 @@ def q08_latest_per_key(spark, sf_dir):
     "q09_version_rank",
     oracle="""
     SELECT p_brand, p_partkey,
-           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS version_rank
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS INT)
+               AS version_rank
     FROM part
     """,
 )
@@ -306,7 +307,7 @@ def q10_next_greater(spark, sf_dir):
 @query(
     "q11_topk_per_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
