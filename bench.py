@@ -68,6 +68,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Per-query floor: the fixed cost of ONE trivial Spark action (plan +
+    # job launch + 32-task stage) on this box right now. At sf0.1 many
+    # headline queries are floor-dominated — this records how much of the
+    # total is Spark's fixed per-job overhead rather than plan work, so the
+    # ratio can be read against a load-varying DuckDB baseline honestly.
+    floors = []
+    for _ in range(3):
+        start = time.perf_counter()
+        spark.range(0, 1000, 1, 32).write.format("noop").mode("overwrite").save()
+        floors.append(time.perf_counter() - start)
+    floor = round(sorted(floors)[1], 3)
+
     # Baseline per BASELINE.md: the DuckDB oracle runtime on the same
     # queries at the same scale factor (the reference publishes no
     # latency numbers).
@@ -97,6 +109,15 @@ def main() -> None:
         "duckdb_baseline_queries": duck_timings,
         "spark_vs_duckdb_ratio": (
             round(total / duck_total, 3) if duck_total else None),
+        "spark_job_floor_sec": floor,
+        "spark_total_minus_floor": round(max(total - floor * len(HEADLINE), 0.0), 3),
+        "spark_vs_duckdb_ratio_minus_floor": (
+            round(max(total - floor * len(HEADLINE), 0.0) / duck_total, 3)
+            if duck_total else None),
+        # host contention snapshot — this box is shared, and per-query
+        # numbers at sf0.1 are second-scale, so a tenant load spike can
+        # multiply any single reading several-fold.
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }))
 
 

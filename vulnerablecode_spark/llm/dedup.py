@@ -8,11 +8,15 @@ reproducible across engines and runs.
 
 Scale design (100 TB):
 - shingling explodes each doc into O(tokens) rows → embarrassingly parallel;
+- each distinct shingle is reduced to ONE 60-bit integer immediately after
+  the explode, so every downstream shuffle/join moves bigints, not strings;
 - MinHash reduces each doc to a fixed 16-int signature (map-side combinable
   min-aggregation), so the candidate join touches signatures, not text;
 - LSH banding turns O(n²) pair search into an equi-join on (band, signature)
   — hash-partitioned, AQE-skew-splittable;
-- exact Jaccard verification runs only on LSH candidates.
+- exact Jaccard verification runs only on LSH candidates, and the shingle
+  frame is semi-joined down to candidate docs BEFORE the pair-enumeration
+  join, so the quadratic step never materializes non-candidate pairs.
 """
 
 from __future__ import annotations
@@ -79,24 +83,66 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def hashed_shingles(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """Distinct (id, h) pairs where h = 60-bit hash of the shingle string.
+
+    The string is dropped at the earliest possible point: every consumer
+    (Jaccard intersect join, MinHash lanes) only needs shingle IDENTITY,
+    so the 60-bit hash stands in for the string and all downstream
+    shuffles move fixed-width bigints. Distinctness is at the hash level —
+    a 60-bit collision within one document is deterministic and
+    oracle-reproducible (the DuckDB oracle applies the identical md5
+    arithmetic), with negligible probability at any realistic corpus size.
+    """
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # hash BEFORE the distinct: one shuffle, and it moves 8-byte ints, not
+    # shingle strings. (Equivalent to distinct-strings-then-hash because
+    # hash64 is a pure function of the string.)
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .select(F.col(id_col), hash64(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        hashed: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs ≥ threshold.
 
-    Inverted-index join on the shingle (never a cross join): |A∩B| comes
-    from the per-shingle doc lists, |A∪B| = |A|+|B|-|A∩B|.
+    Inverted-index join on the shingle hash (never a cross join): |A∩B|
+    comes from the per-shingle doc lists, |A∪B| = |A|+|B|-|A∩B|.
+
+    This is the EXACT variant: it enumerates every pair sharing ≥1 shingle
+    (O(Σ df²) over shingle document frequencies), so it is for modest
+    corpora or pre-bucketed partitions. The corpus-scale composition is
+    :func:`near_dup_pairs` (LSH candidates + verify-only-candidates).
+
+    ``hashed``: optionally a precomputed :func:`hashed_shingles` frame
+    (e.g. a cached one shared with the MinHash pipeline).
     """
-    sh = shingles(df, text_col, id_col, n).cache()
-    # eager materialization: three subtrees (sizes + both join sides) read
-    # this cache concurrently in one action; racing the population can
-    # recompute the explode per subtree and triples the hottest stage
-    sh.count()
+    if hashed is None:
+        # eager localCheckpoint: materialize the shingle frame ONCE for the
+        # two consumers below (sizes + both join sides) without .cache() —
+        # blocks are freed by the ContextCleaner when this frame is GC'd,
+        # so nothing leaks across a long-lived session.
+        hashed = hashed_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = hashed
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("doc_a"), "h")
+    b = sh.select(F.col(id_col).alias("doc_b"), "h")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -113,8 +159,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def minhash_signatures(df: DataFrame | None = None, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       hashed: DataFrame | None = None) -> DataFrame:
     """Wide MinHash signatures: (id, mh_0 … mh_15) in ONE aggregation.
 
     Universal hashing ((a_j·h + b_j) mod P) over md5-derived shingle
@@ -124,27 +171,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     shingle rows — no ×16 row explosion, so the shuffle stays the size of
     the shingle set (the thing that matters at 100 TB).
     """
-    sh = shingles(df, text_col, id_col, n)
-    # materialize the md5-derived hash ONCE per shingle row — referencing
-    # hash64() inside each lane would recompute the md5 16 times
-    hashed = sh.select(F.col(id_col),
-                       (hash64(F.col("shingle")) % MINHASH_P).alias("hp"))
+    sh = hashed if hashed is not None else hashed_shingles(df, text_col, id_col, n)
+    hp = (F.col("h") % MINHASH_P).alias("hp")
+    hashed_mod = sh.select(F.col(id_col), hp)
     lanes = [
         F.min(((37 + j * 101) * F.col("hp") + (17 + j * 257)) % MINHASH_P)
         .alias(f"mh_{j}")
         for j in range(N_HASHES)
     ]
-    return hashed.groupBy(id_col).agg(*lanes)
+    return hashed_mod.groupBy(id_col).agg(*lanes)
 
 
-def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        hashed: DataFrame | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of MinHash signatures.
 
     Docs agreeing on ALL rows of at least one band become candidates —
     an equi-join on (band, band_signature), never O(n²).
     """
-    sig = minhash_signatures(df, text_col, id_col, n)
+    sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed)
     # each band's signature string comes straight off the wide columns;
     # stack() unpivots to (id, band, band_sig) for the candidate join
     band_sigs = [
@@ -168,27 +214,49 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def near_dup_pairs(df: DataFrame, text_col: str = "text",
+def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3,
-                   threshold: float = 0.8) -> DataFrame:
+                   threshold: float = 0.8,
+                   hashed: DataFrame | None = None,
+                   candidates: DataFrame | None = None) -> DataFrame:
     """The corpus-scale near-dup composition: MinHash/LSH candidates first,
     exact Jaccard verification ONLY on candidates.
 
     ``ngram_jaccard_pairs`` scores every pair sharing ≥1 shingle — exact
-    but O(sum d²) over shingle document-frequencies. Here the quadratic
+    but O(Σ df²) over shingle document-frequencies. Here the quadratic
     step runs on the LSH candidate set (pairs agreeing on a full band),
-    which is ~linear in the number of true near-dups: candidates join back
-    to the inverted index, so only candidate pairs pay the intersect.
+    which is ~linear in the number of true near-dups. Critically the
+    shingle frame is semi-joined down to candidate doc ids BEFORE the
+    pair-enumeration join, so the intersect join's input — not just its
+    output — is candidates-only; non-candidate docs never enter the
+    shuffle of the quadratic stage.
+
+    ``hashed``/``candidates`` inject precomputed (cached) frames so a
+    caller running both the candidate query and the verified query (or
+    several thresholds) pays for MinHash/LSH once.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
-    sh.count()  # eager: three consumers below
-    candidates = lsh_candidate_pairs(df, text_col, id_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    if hashed is None:
+        # eager localCheckpoint (not .cache()): materialized once for the
+        # candidate pipeline + verify subtrees; blocks are freed by the
+        # ContextCleaner when the frame is GC'd — no storage leak.
+        hashed = hashed_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
+    sh = hashed
+    if candidates is None:
+        candidates = lsh_candidate_pairs(hashed=sh, id_col=id_col, n=n)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .union(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # shrink the shingle frame to candidate docs BEFORE any pair join
+    sh_c = sh.join(cand_ids, id_col, "left_semi")
+    sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_c.select(F.col(id_col).alias("doc_a"), "h")
+    b = sh_c.select(F.col(id_col).alias("doc_b"), "h")
     common = (
-        a.join(b, "shingle")
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")  # candidates only
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")  # exact pair gate
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
