@@ -55,10 +55,12 @@ def batch_merge_to_table(spark: SparkSession, incoming: DataFrame,
                          table_path: str) -> DataFrame:
     """Merge a batch of canonical advisories into the stored table."""
     existing = read_table(spark, table_path)
-    if existing is not None:
-        # work on a materialized copy so the merge does not read the files
-        # it is about to replace
-        existing = spark.createDataFrame(existing.collect(), existing.schema)
+    # No driver-side materialization: write_table stages the merged result
+    # to a SEPARATE path while the current snapshot's files are still in
+    # place (the lazy `existing` plan reads them during the staging write),
+    # and only then swaps directories. The merge therefore stays fully
+    # distributed — at cluster scale this is the parquet stand-in for
+    # Delta's MERGE INTO, and driver memory never holds table data.
     merged = merge_advisories(existing, incoming)
     write_table(merged, table_path)
     return spark.read.parquet(table_path)
