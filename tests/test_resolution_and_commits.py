@@ -11,13 +11,18 @@ from vulnerablecode_spark.kernel.ssvc import ssvc_decision
 
 
 class TestSsvcKernel:
+    # expectations are the exact CISA coordinator table rows
+    # (reference utils.py:817-853, kernel/ssvc.py DECISION_TABLE)
     @pytest.mark.parametrize("vector,decision", [
         ("SSVC:v2.0.3/E:N/A:N/T:P/M:M", "Track"),
-        ("SSVC:v2.0.3/E:N/A:Y/T:T/M:H", "Track*"),
+        ("SSVC:v2.0.3/E:N/A:Y/T:T/M:H", "Attend"),
+        ("SSVC:v2.0.3/E:N/A:N/T:T/M:H", "Track*"),
         ("SSVC:v2.0.3/E:P/A:Y/T:T/M:M", "Track*"),
-        ("SSVC:v2.0.3/E:P/A:N/T:P/M:H", "Attend"),
+        ("SSVC:v2.0.3/E:P/A:N/T:P/M:H", "Track*"),
+        ("SSVC:v2.0.3/E:P/A:Y/T:P/M:H", "Attend"),
         ("SSVC:v2.0.3/E:A/A:Y/T:T/M:H", "Act"),
-        ("SSVC:v2.0.3/E:A/A:N/T:P/M:M", "Attend"),
+        ("SSVC:v2.0.3/E:A/A:N/T:P/M:M", "Track"),
+        ("SSVC:v2.0.3/E:A/A:Y/T:P/M:L", "Attend"),
         ("garbage", None),
     ])
     def test_decisions(self, vector, decision):
