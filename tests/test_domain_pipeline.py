@@ -579,3 +579,28 @@ class TestImprovers:
                if "pkg:pypi/sample@1.0.0" in r.affected_purls]
         assert row, "expected an inference for pkg:pypi/sample"
         assert "pkg:pypi/sample@1.1.9" not in row[0].affected_purls
+
+
+class TestWeightedSeverityVectorScoring:
+    def test_v4_vector_scored_when_enabled(self, spark):
+        from vulnerablecode_spark.functions.risk import weighted_severity
+
+        advisories = spark.createDataFrame(
+            [(1, [{"system": "cvssv4", "value": "n/a",
+                   "scoring_elements": ("CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/"
+                                        "VC:H/VI:H/VA:H/SC:N/SI:N/SA:N"),
+                   "published_at": None,
+                   "url": "https://nvd.nist.gov/vuln/detail/CVE-X"}])],
+            "advisory_pk bigint, severities array<struct<system:string,"
+            "value:string,scoring_elements:string,published_at:timestamp,"
+            "url:string>>",
+        )
+        got = {r.advisory_pk: r.weighted_severity
+               for r in weighted_severity(advisories, spark,
+                                          score_vectors=True).collect()}
+        # 9.3 base score x nvd weight 10 / 10 = 9.3
+        assert got[1] == 9.3
+        # without vector scoring the non-numeric value scores 0
+        got_off = {r.advisory_pk: r.weighted_severity
+                   for r in weighted_severity(advisories, spark).collect()}
+        assert got_off[1] == 0.0

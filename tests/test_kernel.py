@@ -164,3 +164,76 @@ class TestCvss:
     def test_invalid(self):
         assert cvss.base_score("") is None
         assert cvss.cvss3_base_score("CVSS:3.1/AV:X") is None
+
+
+class TestCvss4Kernel:
+    """v4.0 scores validated against the reference repo's recorded values:
+    the SUSE fixture (9.3), the severity_systems.py doctest (9.9), and the
+    spec's zero-impact rule."""
+
+    def test_reference_fixture_scores(self):
+        from vulnerablecode_spark.kernel.cvss4 import cvss4_base_score
+
+        assert cvss4_base_score(
+            "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H"
+            "/SC:N/SI:N/SA:N") == 9.3
+        assert cvss4_base_score(
+            "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H"
+            "/SC:H/SI:H/SA:N") == 9.9
+
+    def test_zero_impact_and_invalid(self):
+        from vulnerablecode_spark.kernel.cvss4 import cvss4_base_score
+
+        assert cvss4_base_score(
+            "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:N/VI:N/VA:N"
+            "/SC:N/SI:N/SA:N") == 0.0
+        assert cvss4_base_score("CVSS:3.1/AV:N/AC:L") is None
+        assert cvss4_base_score("CVSS:4.0/AV:N") is None  # missing metrics
+        assert cvss4_base_score("") is None
+
+    def test_lookup_table_shape(self):
+        from vulnerablecode_spark.kernel.cvss4 import MACRO_LOOKUP
+
+        # 3 eq1 x 2 eq2 x 5 valid (eq3,eq6) x 3 eq4 x 3 eq5 = 270 rows
+        assert len(MACRO_LOOKUP) == 270
+        assert all(0.0 <= v <= 10.0 for v in MACRO_LOOKUP.values())
+        # eq3=2 implies eq6=1 (no High impact to elevate)
+        assert not any(k[2] == "2" and k[5] == "0" for k in MACRO_LOOKUP)
+
+    def test_interpolation_bounded_by_macro_score(self):
+        from vulnerablecode_spark.kernel.cvss4 import (MACRO_LOOKUP,
+                                                       cvss4_base_score,
+                                                       parse_cvss4_vector,
+                                                       _macro_vector)
+        import itertools
+
+        # exhaustive base-metric sweep on a coarse grid: score is defined,
+        # within [0,10], and never above its macrovector's table value
+        grid = itertools.product("NP", "LH", "HN", "HN", "HN", "HLN")
+        for av, ac, vc, vi, va, sc in grid:
+            vector = (f"CVSS:4.0/AV:{av}/AC:{ac}/AT:N/PR:N/UI:N/VC:{vc}"
+                      f"/VI:{vi}/VA:{va}/SC:{sc}/SI:N/SA:N")
+            score = cvss4_base_score(vector)
+            assert score is not None and 0.0 <= score <= 10.0, vector
+            metrics = parse_cvss4_vector(vector)
+            def m(name, _mx=metrics):
+                from vulnerablecode_spark.kernel.cvss4 import _m
+                if name in ("MSI", "MSA"):
+                    return _mx.get(name, "X")
+                return _m(_mx, name)
+            macro = _macro_vector(m)
+            assert score <= MACRO_LOOKUP[macro] + 1e-9, vector
+
+    def test_exploit_maturity_lowers_score(self):
+        from vulnerablecode_spark.kernel.cvss4 import cvss4_base_score
+
+        base = "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H/SC:N/SI:N/SA:N"
+        assert cvss4_base_score(base + "/E:U") < cvss4_base_score(
+            base + "/E:P") <= cvss4_base_score(base)
+
+    def test_dispatch_through_base_score(self):
+        from vulnerablecode_spark.kernel.cvss import base_score
+
+        assert base_score(
+            "CVSS:4.0/AV:N/AC:L/AT:N/PR:N/UI:N/VC:H/VI:H/VA:H"
+            "/SC:N/SI:N/SA:N") == 9.3

