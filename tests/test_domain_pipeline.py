@@ -382,15 +382,69 @@ class TestTodos:
         assert ("pysec/PYSEC-2024-2", "MISSING_SUMMARY") in got
         assert ("pysec/PYSEC-2024-3", "MISSING_FIXED_BY_PACKAGE") in got
 
-    def test_conflicting_affected(self, advisories):
+    def test_conflicting_packages(self, advisories):
         from vulnerablecode_spark.operators.todos import \
-            conflicting_affected_issues
+            conflicting_package_issues
 
-        conflicts = conflicting_affected_issues(advisories)
-        rows = {r.alias for r in conflicts.collect()}
+        conflicts = {r.alias: r.issue_type
+                     for r in conflicting_package_issues(advisories).collect()}
         # advisories 1 and 3 share CVE-2024-1111 but declare different
-        # affected sets → conflict
-        assert "CVE-2024-1111" in rows
+        # affected sets AND different fixed sets (1.2.0 vs none) → the
+        # combined issue type (compute_advisory_todo.py:1007-1011)
+        assert conflicts["CVE-2024-1111"] == \
+            "CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES"
+
+    def test_missing_both_collapses_to_one_issue(self, spark):
+        from vulnerablecode_spark.operators.todos import per_advisory_issues
+
+        advisories = spark.createDataFrame(
+            [(1, "x/ADV-1", "a summary", [], True)],
+            "advisory_pk bigint, avid string, summary string, "
+            "affected_packages array<struct<package:string,"
+            "affected_version_range:string,fixed_version:string>>, "
+            "is_latest boolean",
+        )
+        got = {r.issue_type for r in per_advisory_issues(advisories).collect()}
+        assert got == {"MISSING_AFFECTED_AND_FIXED_BY_PACKAGES"}
+
+    def test_conflicting_weaknesses(self, spark):
+        from vulnerablecode_spark.operators.todos import \
+            conflicting_weakness_issues
+
+        advisories = spark.createDataFrame(
+            [(1, ["CVE-1"], [79, 89], True), (2, ["CVE-1"], [79], True),
+             (3, ["CVE-2"], [120], True), (4, ["CVE-2"], [120], True)],
+            "advisory_pk bigint, aliases array<string>, "
+            "weaknesses array<int>, is_latest boolean",
+        ).withColumn("affected_packages", F.lit(None).cast(
+            "array<struct<package:string,affected_version_range:string,"
+            "fixed_version:string>>"))
+        got = {r.alias for r in conflicting_weakness_issues(advisories).collect()}
+        assert got == {"CVE-1"}  # CVE-2 sources agree
+
+    def test_consensus_cvss_metrics_agreement_subset(self, spark):
+        from vulnerablecode_spark.operators.todos import consensus_cvss_metrics
+
+        sev = ("array<struct<system:string,value:string,"
+               "scoring_elements:string,published_at:timestamp,url:string>>")
+        advisories = spark.createDataFrame(
+            [(1, ["CVE-1"],
+              [{"system": "cvssv3.1", "value": "9.8",
+                "scoring_elements": "CVSS:3.1/AV:N/AC:L/PR:N/UI:N/S:U/C:H/I:H/A:H",
+                "published_at": None, "url": None}], True),
+             (2, ["CVE-1"],
+              [{"system": "cvssv3.1", "value": "8.8",
+                "scoring_elements": "CVSS:3.1/AV:N/AC:L/PR:L/UI:N/S:U/C:H/I:H/A:H",
+                "published_at": None, "url": None}], True)],
+            f"advisory_pk bigint, aliases array<string>, severities {sev}, "
+            "is_latest boolean",
+        )
+        got = {(r.metric, r.value)
+               for r in consensus_cvss_metrics(advisories).collect()}
+        # PR disagrees (N vs L) → dropped; the rest agree → kept
+        assert ("PR", "N") not in got and ("PR", "L") not in got
+        assert {("AV", "N"), ("AC", "L"), ("UI", "N"), ("S", "U"),
+                ("C", "H"), ("I", "H"), ("A", "H")} <= got
 
 
 class TestGhost:

@@ -1,10 +1,13 @@
 """Data-quality issue detection (ToDos): cross-source conflicts per alias.
 
-Reference: pipelines/v2_improvers/compute_advisory_todo.py (1295 LoC) —
-per alias across datasources, detect: missing summary / affected /
-fixed packages, conflicting CVSS metrics (consensus majority vote,
-:781-838), conflicting severity scores. Spark shape: groupBy(alias) +
-collect_list(struct) + array comparisons — one shuffle on the alias key.
+Reference: pipelines/v2_improvers/compute_advisory_todo.py (1295 LoC) +
+models.py:2450-2467 (ISSUE_TYPE_CHOICES, the full 9-type enum). Per alias
+across datasources, detect: missing summary / affected / fixed / both,
+conflicting affected / fixed / both package sets, conflicting CVSS
+metrics (per-metric consensus, :781-838), conflicting weaknesses
+(:577-657). Spark shape: groupBy(alias) + set-hash comparisons — one
+shuffle on the alias key; per-metric consensus is an explode + two-level
+aggregation (map-side combinable counts).
 """
 
 from __future__ import annotations
@@ -12,26 +15,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# models.py:2450-2467 ISSUE_TYPE_CHOICES
 ISSUE_MISSING_SUMMARY = "MISSING_SUMMARY"
 ISSUE_MISSING_AFFECTED = "MISSING_AFFECTED_PACKAGE"
 ISSUE_MISSING_FIXED = "MISSING_FIXED_BY_PACKAGE"
+ISSUE_MISSING_BOTH = "MISSING_AFFECTED_AND_FIXED_BY_PACKAGES"
 ISSUE_CONFLICTING_SEVERITY = "CONFLICTING_SEVERITY_SCORES"
 ISSUE_CONFLICTING_AFFECTED = "CONFLICTING_AFFECTED_PACKAGES"
+ISSUE_CONFLICTING_FIXED = "CONFLICTING_FIXED_BY_PACKAGES"
+ISSUE_CONFLICTING_BOTH = "CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES"
+ISSUE_CONFLICTING_WEAKNESSES = "CONFLICTING_WEAKNESSES"
+
+ISSUE_TYPES = (
+    ISSUE_MISSING_SUMMARY, ISSUE_MISSING_AFFECTED, ISSUE_MISSING_FIXED,
+    ISSUE_MISSING_BOTH, ISSUE_CONFLICTING_SEVERITY,
+    ISSUE_CONFLICTING_AFFECTED, ISSUE_CONFLICTING_FIXED,
+    ISSUE_CONFLICTING_BOTH, ISSUE_CONFLICTING_WEAKNESSES,
+)
+
+_AP_EMPTY = ("array<struct<package:string,affected_version_range:string,"
+             "fixed_version:string>>")
 
 
 def per_advisory_issues(advisories: DataFrame) -> DataFrame:
-    """Single-advisory completeness issues (todo checks on each latest
-    advisory)."""
+    """Single-advisory completeness issues on each latest advisory
+    (check_missing_summary :839-858 +
+    check_missing_affected_and_fixed_by_packages :859-909: missing BOTH
+    affected and fixed collapses to one MISSING_AFFECTED_AND_FIXED_BY_
+    PACKAGES issue, not two)."""
     latest = advisories.filter(F.col("is_latest"))
-    has_fixed = F.exists("affected_packages", lambda p: p["fixed_version"].isNotNull())
+    packages = F.coalesce("affected_packages", F.array().cast(_AP_EMPTY))
+    has_affected = F.exists(packages,
+                            lambda p: p["affected_version_range"].isNotNull())
+    has_fixed = F.exists(packages, lambda p: p["fixed_version"].isNotNull())
+    missing_pkg_issue = (
+        F.when(~has_affected & ~has_fixed, F.lit(ISSUE_MISSING_BOTH))
+        .when(~has_affected, F.lit(ISSUE_MISSING_AFFECTED))
+        .when(~has_fixed, F.lit(ISSUE_MISSING_FIXED))
+    )
     issues = F.filter(
         F.array(
             F.when(F.length(F.trim(F.coalesce("summary", F.lit("")))) == 0,
                    F.lit(ISSUE_MISSING_SUMMARY)),
-            F.when(F.size(F.coalesce("affected_packages",
-                                     F.array().cast("array<struct<package:string,affected_version_range:string,fixed_version:string>>"))) == 0,
-                   F.lit(ISSUE_MISSING_AFFECTED)),
-            F.when(~has_fixed, F.lit(ISSUE_MISSING_FIXED)),
+            missing_pkg_issue,
         ),
         lambda x: x.isNotNull(),
     )
@@ -40,9 +66,73 @@ def per_advisory_issues(advisories: DataFrame) -> DataFrame:
     )
 
 
+def _alias_set_hashes(advisories: DataFrame) -> DataFrame:
+    """(alias, advisory_pk, affected_hash, fixed_hash, weakness_hash):
+    deterministic content hashes of each advisory's sorted affected-purl
+    set, fixed-version set, and weakness set."""
+    latest = advisories.filter(F.col("is_latest"))
+    packages = F.coalesce("affected_packages", F.array().cast(_AP_EMPTY))
+    affected_set = F.array_sort(F.array_distinct(F.transform(
+        packages, lambda p: F.concat_ws("@", p["package"],
+                                        p["affected_version_range"]))))
+    fixed_set = F.array_sort(F.array_distinct(F.filter(
+        F.transform(packages,
+                    lambda p: F.concat_ws("@", p["package"],
+                                          p["fixed_version"])),
+        lambda x: x.isNotNull())))
+    weakness_set = F.array_sort(F.array_distinct(
+        F.coalesce("weaknesses", F.array().cast("array<int>"))))
+    return latest.select(
+        F.explode("aliases").alias("alias"),
+        "advisory_pk",
+        F.md5(F.to_json(affected_set)).alias("affected_hash"),
+        F.md5(F.to_json(fixed_set)).alias("fixed_hash"),
+        F.md5(F.to_json(weakness_set)).alias("weakness_hash"),
+    )
+
+
+def conflicting_package_issues(advisories: DataFrame) -> DataFrame:
+    """Sources sharing an alias but disagreeing on package sets
+    (check_conflicting_affected_and_fixed_by_packages_for_alias
+    :933-1062): affected-only → CONFLICTING_AFFECTED_PACKAGES,
+    fixed-only → CONFLICTING_FIXED_BY_PACKAGES, both →
+    CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES. Set disagreement
+    (union != intersection) is equivalent to "not all per-advisory sets
+    identical", i.e. countDistinct(set hash) > 1."""
+    hashes = _alias_set_hashes(advisories)
+    agg = hashes.groupBy("alias").agg(
+        F.countDistinct("affected_hash").alias("n_affected"),
+        F.countDistinct("fixed_hash").alias("n_fixed"),
+        F.count(F.lit(1)).alias("n_advisories"),
+    ).filter((F.col("n_advisories") > 1)
+             & ((F.col("n_affected") > 1) | (F.col("n_fixed") > 1)))
+    issue = (
+        F.when((F.col("n_affected") > 1) & (F.col("n_fixed") > 1),
+               F.lit(ISSUE_CONFLICTING_BOTH))
+        .when(F.col("n_affected") > 1, F.lit(ISSUE_CONFLICTING_AFFECTED))
+        .otherwise(F.lit(ISSUE_CONFLICTING_FIXED))
+    )
+    return agg.select("alias", "n_advisories", issue.alias("issue_type"))
+
+
+def conflicting_weakness_issues(advisories: DataFrame) -> DataFrame:
+    """Sources sharing an alias but disagreeing on the CWE set
+    (check_conflicting_weaknesses_for_alias :590-657 /
+    compute_cwe_disagreement :577-588)."""
+    hashes = _alias_set_hashes(advisories)
+    return (
+        hashes.groupBy("alias")
+        .agg(F.countDistinct("weakness_hash").alias("n_variants"),
+             F.count(F.lit(1)).alias("n_advisories"))
+        .filter((F.col("n_advisories") > 1) & (F.col("n_variants") > 1))
+        .select("alias", "n_variants",
+                F.lit(ISSUE_CONFLICTING_WEAKNESSES).alias("issue_type"))
+    )
+
+
 def conflicting_severity_issues(advisories: DataFrame) -> DataFrame:
     """Across sources sharing an alias: distinct CVSS vectors for the same
-    scoring system → conflict (compute_advisory_todo.py:781-838)."""
+    scoring system → conflict (compute_advisory_todo.py:658-759)."""
     latest = advisories.filter(F.col("is_latest"))
     sev = latest.select(
         "advisory_pk",
@@ -63,6 +153,21 @@ def conflicting_severity_issues(advisories: DataFrame) -> DataFrame:
         "alias", "system", "n_vectors",
         F.lit(ISSUE_CONFLICTING_SEVERITY).alias("issue_type"),
     )
+
+
+def all_todo_issues(advisories: DataFrame) -> DataFrame:
+    """The full ToDo computation: one (key-columns, issue_type) frame per
+    detector, unioned on the common (alias-or-avid, issue_type) shape —
+    the ComputeToDo pipeline's complete output surface."""
+    per_adv = per_advisory_issues(advisories).select(
+        F.col("avid").alias("subject"), "issue_type")
+    pkg = conflicting_package_issues(advisories).select(
+        F.col("alias").alias("subject"), "issue_type")
+    weak = conflicting_weakness_issues(advisories).select(
+        F.col("alias").alias("subject"), "issue_type")
+    sev = conflicting_severity_issues(advisories).select(
+        F.col("alias").alias("subject"), "issue_type")
+    return per_adv.union(pkg).union(weak).union(sev)
 
 
 def consensus_severity(advisories: DataFrame) -> DataFrame:
@@ -87,19 +192,41 @@ def consensus_severity(advisories: DataFrame) -> DataFrame:
     )
 
 
-def conflicting_affected_issues(advisories: DataFrame) -> DataFrame:
-    """Sources sharing an alias but disagreeing on the affected package
-    set (different purl+range content hashes)."""
+def consensus_cvss_metrics(advisories: DataFrame) -> DataFrame:
+    """Per-metric CVSS consensus (consensus_cvss_metrics :781-808): for
+    each (alias, system), keep each vector metric key whose value is
+    IDENTICAL across every reporting advisory — the agreement subset, not
+    a majority vote. Output: (alias, system, metric, value) rows.
+
+    Spark shape: explode the vector into metric key/value pairs, then one
+    aggregation counting distinct values per (alias, system, metric) —
+    keys with exactly one distinct value survive.
+    """
     latest = advisories.filter(F.col("is_latest"))
-    content = latest.select(
+    sev = latest.select(F.explode("aliases").alias("alias"), "advisory_pk").join(
+        latest.select("advisory_pk", F.explode("severities").alias("s")),
         "advisory_pk",
-        F.explode("aliases").alias("alias"),
-        F.md5(F.to_json(F.array_sort("affected_packages"))).alias("content_hash"),
+    ).select("alias", F.col("s.system").alias("system"),
+             F.col("s.scoring_elements").alias("vector"))
+    pairs = (
+        sev.filter(F.col("vector").isNotNull() & (F.col("vector") != ""))
+        .select(
+            "alias", "system",
+            F.explode(F.split(
+                F.regexp_replace(F.col("vector"), r"^CVSS:[0-9.]+/", ""),
+                "/")).alias("kv"),
+        )
+        .filter(F.col("kv").contains(":"))
+        .select(
+            "alias", "system",
+            F.substring_index(F.col("kv"), ":", 1).alias("metric"),
+            F.substring_index(F.col("kv"), ":", -1).alias("value"),
+        )
     )
     return (
-        content.groupBy("alias")
-        .agg(F.countDistinct("content_hash").alias("n_variants"))
-        .filter(F.col("n_variants") > 1)
-        .select("alias", "n_variants",
-                F.lit(ISSUE_CONFLICTING_AFFECTED).alias("issue_type"))
+        pairs.groupBy("alias", "system", "metric")
+        .agg(F.countDistinct("value").alias("n_values"),
+             F.min("value").alias("value"))
+        .filter(F.col("n_values") == 1)
+        .select("alias", "system", "metric", "value")
     )

@@ -393,3 +393,82 @@ def q43_cvss4_macrovector(spark, sf_dir):
             .otherwise(F.col("score")).alias("macro_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.10 per-metric CVSS consensus (compute_advisory_todo.py:781-808,
+# operators/todos.py consensus_cvss_metrics): for each group, keep each
+# vector metric whose value is identical across every member — the
+# agreement subset, generalizing q16's whole-value majority vote to
+# per-metric granularity. Vectors are the q43 synthesis; groups are
+# customers (many orders per customer → real disagreements).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_cvss_metric_consensus",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey,
+               'CVSS:4.0/AV:' || ['N','A','L','P'][CAST(o_orderkey % 4 AS INT) + 1] ||
+               '/AC:' || ['L','H'][CAST((o_orderkey // 4) % 2 AS INT) + 1] ||
+               '/AT:' || ['N','P'][CAST((o_orderkey // 8) % 2 AS INT) + 1] ||
+               '/PR:' || ['N','L','H'][CAST((o_orderkey // 16) % 3 AS INT) + 1] ||
+               '/UI:' || ['N','P','A'][CAST((o_orderkey // 48) % 3 AS INT) + 1] ||
+               '/VC:' || ['H','L','N'][CAST((o_orderkey // 144) % 3 AS INT) + 1] ||
+               '/VI:' || ['H','L','N'][CAST((o_orderkey // 432) % 3 AS INT) + 1] ||
+               '/VA:' || ['H','L','N'][CAST((o_orderkey // 1296) % 3 AS INT) + 1]
+                   AS vector
+        FROM orders
+    ), kv AS (
+        SELECT o_custkey, UNNEST(string_split(regexp_replace(
+                   vector, '^CVSS:[0-9.]+/', ''), '/')) AS pair
+        FROM m
+    )
+    SELECT o_custkey,
+           string_split(pair, ':')[1] AS metric,
+           MIN(string_split(pair, ':')[2]) AS value
+    FROM kv
+    GROUP BY o_custkey, metric
+    HAVING COUNT(DISTINCT string_split(pair, ':')[2]) = 1
+    """,
+)
+def q44_cvss_metric_consensus(spark, sf_dir):
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+
+    def pick(values, expr):
+        return F.element_at(F.array(*[F.lit(v) for v in values]),
+                            expr.cast("int") + 1)
+
+    vector = F.concat(
+        F.lit("CVSS:4.0/AV:"), pick(["N", "A", "L", "P"], k % 4),
+        F.lit("/AC:"), pick(["L", "H"], (k / 4).cast("bigint") % 2),
+        F.lit("/AT:"), pick(["N", "P"], (k / 8).cast("bigint") % 2),
+        F.lit("/PR:"), pick(["N", "L", "H"], (k / 16).cast("bigint") % 3),
+        F.lit("/UI:"), pick(["N", "P", "A"], (k / 48).cast("bigint") % 3),
+        F.lit("/VC:"), pick(["H", "L", "N"], (k / 144).cast("bigint") % 3),
+        F.lit("/VI:"), pick(["H", "L", "N"], (k / 432).cast("bigint") % 3),
+        F.lit("/VA:"), pick(["H", "L", "N"], (k / 1296).cast("bigint") % 3),
+    )
+    pairs = (
+        orders.select("o_custkey", vector.alias("vector"))
+        .select(
+            "o_custkey",
+            F.explode(F.split(
+                F.regexp_replace(F.col("vector"), r"^CVSS:[0-9.]+/", ""),
+                "/")).alias("kv"),
+        )
+        .select(
+            "o_custkey",
+            F.substring_index(F.col("kv"), ":", 1).alias("metric"),
+            F.substring_index(F.col("kv"), ":", -1).alias("value"),
+        )
+    )
+    return (
+        pairs.groupBy("o_custkey", "metric")
+        .agg(F.countDistinct("value").alias("n_values"),
+             F.min("value").alias("value"))
+        .filter(F.col("n_values") == 1)
+        .select("o_custkey", "metric", "value")
+    )
