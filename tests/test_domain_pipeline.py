@@ -658,3 +658,34 @@ class TestWeightedSeverityVectorScoring:
         got_off = {r.advisory_pk: r.weighted_severity
                    for r in weighted_severity(advisories, spark).collect()}
         assert got_off[1] == 0.0
+
+
+class TestBulkResponse:
+    def test_api_v3_shape(self, spark):
+        import json
+
+        from vulnerablecode_spark.operators.serve import bulk_affected_response
+
+        affected = spark.createDataFrame(
+            [("pkg:pypi/sample", "pysec/PYSEC-2024-1",
+              "a vuln", ["CVE-2024-1111", "PYSEC-2024-1"], 7.25,
+              ["pkg:pypi/sample@1.2.0"]),
+             ("pkg:pypi/sample", "ghsa/GHSA-x",
+              "same vuln", ["CVE-2024-1111"], None, None)],
+            "purl string, avid string, summary string, "
+            "aliases array<string>, risk_score double, "
+            "fixed_by_purls array<string>",
+        )
+        rows = bulk_affected_response(affected).collect()
+        assert len(rows) == 1
+        payload = json.loads(rows[0].response)
+        # sorted by identifier: GHSA-x < PYSEC-2024-1
+        assert [p["advisory_id"] for p in payload] == ["GHSA-x", "PYSEC-2024-1"]
+        first, second = payload
+        # identifier derived from avid's last segment and excluded from aliases
+        assert second["advisory_uid"] == "pysec/PYSEC-2024-1"
+        assert second["aliases"] == ["CVE-2024-1111"]
+        assert second["risk_score"] == "7.3"  # rounded 1dp, serialized
+        assert second["fixed_by_packages"] == ["pkg:pypi/sample@1.2.0"]
+        assert first["fixed_by_packages"] == []
+        assert first["risk_score"] is None

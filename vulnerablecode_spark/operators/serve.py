@@ -50,3 +50,44 @@ def keyset_page(df: DataFrame, key_col: str, after, page_size: int = PAGE_SIZE) 
     size = min(page_size, MAX_PAGE_SIZE)
     filtered = df.filter(F.col(key_col) > after) if after is not None else df
     return filtered.orderBy(key_col).limit(size)
+
+
+def bulk_affected_response(affected: DataFrame,
+                           purl_col: str = "purl") -> DataFrame:
+    """API v3 bulk-lookup response assembly (api_v3.py:566-890,
+    get_affected_advisories_bulk): per requested purl, ONE serialized JSON
+    array of advisory objects — identifier = last path segment of the
+    avid, aliases minus the identifier, risk fields, distinct fixed-by
+    purls, SSVC trees when provided — members sorted by identifier for a
+    deterministic payload.
+
+    ``affected`` is the advisories_for_purls-shaped frame exploded to one
+    (purl, advisory...) row per hit: columns purl, avid, summary, aliases,
+    weighted_severity, exploitability, risk_score, fixed_by_purls and
+    optionally ssvc_trees.
+    """
+    identifier = F.element_at(F.split(F.col("avid"), "/"), -1)
+    member_cols = [
+        identifier.alias("advisory_id"),
+        F.col("avid").alias("advisory_uid"),
+        F.array_remove(F.coalesce("aliases", F.array().cast("array<string>")),
+                       identifier).alias("aliases"),
+        F.coalesce("summary", F.lit("")).alias("summary"),
+    ]
+    for risk_col in ("weighted_severity", "exploitability", "risk_score"):
+        if risk_col in affected.columns:
+            member_cols.append(
+                F.round(F.col(risk_col), 1).cast("decimal(12,1)")
+                .cast("string").alias(risk_col))
+    member_cols.append(
+        F.coalesce("fixed_by_purls", F.array().cast("array<string>"))
+        .alias("fixed_by_packages"))
+    if "ssvc_trees" in affected.columns:
+        member_cols.append(F.col("ssvc_trees"))
+    member = F.struct(*member_cols)
+    return (
+        affected.groupBy(F.col(purl_col).alias("purl"))
+        .agg(F.to_json(F.array_sort(F.collect_list(member)),
+                       # DRF serializes null fields explicitly
+                       {"ignoreNullFields": "false"}).alias("response"))
+    )

@@ -472,3 +472,66 @@ def q44_cvss_metric_consensus(spark, sf_dir):
         .filter(F.col("n_values") == 1)
         .select("o_custkey", "metric", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.2/§2.3 API v3 bulk-lookup response parity (api_v3.py:566-890 via
+# operators/serve.py bulk_affected_response): per requested key, ONE
+# serialized JSON array of member objects — identifier from the uid's
+# last path segment, nested fixed-by list, members sorted by identifier.
+# The whole nested payload is hash-compared byte-for-byte across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_api_bulk_response",
+    oracle="""
+    WITH fixes AS (
+        SELECT l_orderkey,
+               list_sort(list(DISTINCT 'pkg:part/' || l_partkey)) AS fixed_by
+        FROM lineitem GROUP BY l_orderkey
+    ), member AS (
+        SELECT o_custkey,
+               CAST(o_orderkey AS VARCHAR) AS advisory_id,
+               json_object(
+                   'advisory_id', CAST(o_orderkey AS VARCHAR),
+                   'advisory_uid', 'orders/' || CAST(o_orderkey AS VARCHAR),
+                   'aliases', []::VARCHAR[],
+                   'summary', o_orderpriority,
+                   'risk_score', CAST(CAST(ROUND(o_totalprice / 10000, 1)
+                                            AS DECIMAL(12,1)) AS VARCHAR),
+                   'fixed_by_packages', COALESCE(fixed_by, []::VARCHAR[])
+               )::VARCHAR AS obj
+        FROM orders LEFT JOIN fixes ON l_orderkey = o_orderkey
+        WHERE o_custkey <= 150
+    )
+    SELECT 'pkg:cust/' || CAST(o_custkey AS VARCHAR) AS purl,
+           '[' || string_agg(obj, ',' ORDER BY advisory_id) || ']' AS response
+    FROM member GROUP BY o_custkey
+    """,
+)
+def q45_api_bulk_response(spark, sf_dir):
+    from vulnerablecode_spark.operators.serve import bulk_affected_response
+
+    orders, lineitem = _load(spark, sf_dir, "orders", "lineitem")
+    fixes = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set(
+            F.concat(F.lit("pkg:part/"), F.col("l_partkey").cast("string"))
+        )).alias("fixed_by_purls"))
+    )
+    affected = (
+        orders.filter(F.col("o_custkey") <= 150)
+        .join(fixes, orders.o_orderkey == fixes.l_orderkey, "left")
+        .select(
+            F.concat(F.lit("pkg:cust/"),
+                     F.col("o_custkey").cast("string")).alias("purl"),
+            F.concat(F.lit("orders/"),
+                     F.col("o_orderkey").cast("string")).alias("avid"),
+            F.col("o_orderpriority").alias("summary"),
+            F.lit(None).cast("array<string>").alias("aliases"),
+            (F.col("o_totalprice") / 10000).alias("risk_score"),
+            "fixed_by_purls",
+        )
+    )
+    return bulk_affected_response(affected)
