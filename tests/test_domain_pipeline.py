@@ -689,3 +689,70 @@ class TestBulkResponse:
         assert second["fixed_by_packages"] == ["pkg:pypi/sample@1.2.0"]
         assert first["fixed_by_packages"] == []
         assert first["risk_score"] is None
+
+
+class TestCweValidation:
+    def test_broadcast_validation_splits_known_and_unknown(self, spark):
+        from vulnerablecode_spark.functions.cwe import (default_cwe_catalog,
+                                                        validate_weaknesses)
+
+        advisories = spark.createDataFrame(
+            [(1, [79, 502, 99999]), (2, []), (3, None)],
+            "advisory_pk bigint, weaknesses array<int>",
+        )
+        got = {r.advisory_pk: r for r in validate_weaknesses(
+            advisories, default_cwe_catalog(spark)).collect()}
+        assert got[1].weaknesses == [79, 502]
+        assert got[1].invalid_weaknesses == [99999]
+        assert got[2].weaknesses == [] and got[2].invalid_weaknesses == []
+        assert got[3].weaknesses == [] and got[3].invalid_weaknesses == []
+
+    def test_official_csv_loader(self, spark, tmp_path):
+        from vulnerablecode_spark.functions.cwe import load_cwe_catalog
+
+        p = tmp_path / "cwe.csv"
+        p.write_text("CWE-ID,Name,Status\n79,XSS,Stable\n89,SQLi,Stable\n")
+        got = {r.cwe_id for r in load_cwe_catalog(spark, str(p)).collect()}
+        assert got == {79, 89}
+
+    def test_validation_plan_broadcasts(self, spark):
+        from vulnerablecode_spark.functions.cwe import (default_cwe_catalog,
+                                                        validate_weaknesses)
+
+        advisories = spark.createDataFrame(
+            [(1, [79])], "advisory_pk bigint, weaknesses array<int>")
+        plan = validate_weaknesses(
+            advisories, default_cwe_catalog(spark))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestHygieneHelpers:
+    def test_todo_excluded_filter(self, spark):
+        from vulnerablecode_spark.operators.todos import todo_excluded
+
+        adv = spark.createDataFrame(
+            [(1, "pysec_importer_v2"), (2, "epss_importer_v2"),
+             (3, "nvd_importer_v2"), (4, "gitlab_importer_v2")],
+            "advisory_pk bigint, pipeline_id string")
+        kept = {r.advisory_pk for r in todo_excluded(adv).collect()}
+        assert kept == {1, 4}
+
+    def test_build_description(self, spark):
+        from vulnerablecode_spark.functions.text_funcs import build_description
+
+        df = spark.createDataFrame(
+            [("short", "short is in this longer text"),
+             ("short", "unrelated text"),
+             ("only summary", ""),
+             (None, "only description"),
+             ("", "")],
+            "summary string, description string")
+        got = [r.d for r in df.select(
+            build_description(F.col("summary"),
+                              F.col("description")).alias("d")).collect()]
+        assert got == ["short is in this longer text",
+                       "short\nunrelated text",
+                       "only summary",
+                       "only description",
+                       ""]

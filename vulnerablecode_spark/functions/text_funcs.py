@@ -72,3 +72,17 @@ def severity_range(values: Column) -> Column:
 def url_host(col: Column) -> Column:
     """Severity-source host for the weight lookup (risk.py:42-46)."""
     return F.parse_url(col, F.lit("HOST"))
+
+
+def build_description(summary: Column, description: Column) -> Column:
+    """Combine summary + description (utils.py:326-340, vendored from
+    scancode): empty description → summary; summary already contained in
+    the description → description alone; otherwise summary, newline,
+    description."""
+    s = F.trim(F.coalesce(summary, F.lit("")))
+    d = F.trim(F.coalesce(description, F.lit("")))
+    return (
+        F.when(d == "", s)
+        .when((s != "") & ~d.contains(s), F.concat_ws("\n", s, d))
+        .otherwise(d)
+    )

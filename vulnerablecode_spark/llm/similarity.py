@@ -69,37 +69,98 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
-def sign_bucket(vec: Column, bits: int = N_SIGN_BITS) -> Column:
-    """Deterministic LSH bucket id: sign bits of the first ``bits`` dims."""
+def hyperplanes(bits: int = N_SIGN_BITS, dim: int = 64,
+                seed: str = "vc-spark") -> list[list[float]]:
+    """Seeded pseudo-random hyperplane coefficients, one plane per bucket
+    bit: integer-valued doubles in [-1000, 1000] derived from
+    md5(seed:bit:dim) — fully deterministic and exactly representable, so
+    any engine reproduces the identical dot products bit-for-bit.
+    """
+    import hashlib
+
+    planes = []
+    for b in range(bits):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{b}:{d}".encode()).hexdigest()[:15], 16)
+            row.append(float(h % 2001 - 1000))
+        planes.append(row)
+    return planes
+
+
+def sign_bucket(vec: Column, bits: int = N_SIGN_BITS, dim: int = 64,
+                seed: str = "vc-spark") -> Column:
+    """Random-hyperplane LSH bucket id: bit b = sign of ⟨vec, plane_b⟩.
+
+    Unlike sign-of-leading-dims (which skews badly when early dimensions
+    are correlated — e.g. PCA-rotated embeddings where dim 0 dominates),
+    seeded random projections split any distribution near-evenly. The dot
+    products are a strict left-to-right fold, reproducible across engines.
+    """
     acc = F.lit(0)
-    for d in range(bits):
-        acc = acc + F.when(F.element_at(vec, d + 1) >= 0, F.lit(1 << d)).otherwise(0)
+    for b, plane in enumerate(hyperplanes(bits, dim, seed)):
+        dot_b = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(c) for c in plane]),
+                       lambda x, c: x.cast("double") * c),
+            F.lit(0.0), lambda s, x: s + x,
+        )
+        acc = acc + F.when(dot_b >= 0, F.lit(1 << b)).otherwise(0)
     return acc.cast("int")
 
 
-def ivf_index(corpus: DataFrame, n_cells: int = 16,
-              id_col: str = "vec_id", vec_col: str = "embedding"):
-    """Deterministic mini-IVF: the ``n_cells`` lowest-id vectors act as
-    centroids (a real deployment would run k-means; determinism matters
-    more here), every vector is assigned to its nearest centroid by cosine.
-
-    Returns (centroids_df, assigned_df) where assigned carries a ``cell``
-    column. The assignment is one broadcast join + argmax — a single scan
-    of the corpus.
-    """
-    centroids = corpus.orderBy(id_col).limit(n_cells).select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid")
-    )
+def _assign_cells(corpus: DataFrame, centroids: DataFrame,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment: broadcast join + argmax window."""
     scored = corpus.join(F.broadcast(centroids)).select(
         id_col, vec_col, "cell",
         F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell").asc())
-    assigned = (
+    return (
         scored.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .select(id_col, vec_col, "cell")
     )
+
+
+def ivf_index(corpus: DataFrame, n_cells: int = 16,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              kmeans_iters: int = 2):
+    """k-means-lite IVF: deterministic init (the ``n_cells`` lowest-id
+    vectors), then ``kmeans_iters`` Lloyd iterations — assign each vector
+    to its nearest centroid (broadcast join + argmax), recompute each
+    cell's component-wise mean (posexplode + one aggregation). Iterated
+    centroids track the data distribution instead of whatever the lowest
+    ids happened to be, evening out cell sizes.
+
+    Returns (centroids_df, assigned_df) where assigned carries a ``cell``
+    column. Per iteration: one corpus scan + one tiny (n_cells × dim)
+    aggregation — the centroid frame never exceeds broadcast size.
+    """
+    centroids = corpus.orderBy(id_col).limit(n_cells).select(
+        F.col(id_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("centroid"),
+    )
+    for _ in range(kmeans_iters):
+        assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid"))
+        )
+        # empty cells (no members) drop out; keep the previous centroid so
+        # the cell count stays stable
+        centroids = (
+            centroids.select("cell", F.col("centroid").alias("prev"))
+            .join(means, "cell", "left")
+            .select("cell", F.coalesce("centroid", "prev").alias("centroid"))
+        ).localCheckpoint(eager=True)
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
     return centroids, assigned
 
 

@@ -47,7 +47,9 @@ def exact_versions_udf(ranges: pd.Series) -> pd.DataFrame:
                         fixed.append(c.version)
                     elif contains(parsed, c.version):
                         affected.append(c.version)
-            except (VersError, Exception):
+            except (VersError, ValueError):
+                # unparseable/ill-formed range → no inference for this row;
+                # anything else (bugs) must surface, not be swallowed
                 pass
         affected_out.append(affected)
         fixed_out.append(fixed)

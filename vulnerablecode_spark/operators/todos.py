@@ -36,6 +36,25 @@ ISSUE_TYPES = (
 _AP_EMPTY = ("array<struct<package:string,affected_version_range:string,"
              "fixed_version:string>>")
 
+# Pipelines whose advisories are ineligible for ToDo computation
+# (models.py:3069-3073 todo_excluded + importers/__init__.py:134-138 —
+# pipelines marked exclude_from_package_todo: enrichment/catalog sources
+# that never carry package claims worth conflict-checking).
+TODO_EXCLUDED_PIPELINES = (
+    "alpine_linux_importer_v2", "aosp_importer_v2", "epss_importer_v2",
+    "fireeye_importer_v2", "linux_kernel_importer_v2", "mozilla_importer_v2",
+    "nvd_importer_v2", "project-kb-msr-2019_v2",
+    "project_kb_statements_importer_v2", "suse_importer_v2",
+    "vulnrichment_importer_v2", "xen_importer_v2",
+)
+
+
+def todo_excluded(advisories: DataFrame) -> DataFrame:
+    """Drop advisories from ToDo-excluded pipelines (models.py:3069-3073:
+    ``exclude(pipeline_id__in=TODO_EXCLUDED_PIPELINES)`` → ``~isin``)."""
+    return advisories.filter(
+        ~F.col("pipeline_id").isin(*TODO_EXCLUDED_PIPELINES))
+
 
 def per_advisory_issues(advisories: DataFrame) -> DataFrame:
     """Single-advisory completeness issues on each latest advisory

@@ -335,9 +335,15 @@ def q30_embedding_topk(spark, sf_dir):
     return res.withColumn("rk", F.col("rk").cast("int"))
 
 
+# seeded random-hyperplane buckets (llm/similarity.py sign_bucket): the
+# same integer-valued coefficients, the same left-to-right dot-product
+# fold — bit-identical sign decisions in both engines
 _SQL_BUCKET = " + ".join(
-    f"(CASE WHEN embedding[{d + 1}] >= 0 THEN {1 << d} ELSE 0 END)"
-    for d in range(similarity.N_SIGN_BITS)
+    "(CASE WHEN ("
+    + " + ".join(f"(embedding[{d + 1}]::DOUBLE * {c:.1f})"
+                 for d, c in enumerate(plane))
+    + f") >= 0 THEN {1 << b} ELSE 0 END)"
+    for b, plane in enumerate(similarity.hyperplanes())
 )
 
 
