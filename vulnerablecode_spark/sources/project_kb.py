@@ -88,3 +88,104 @@ def parse_project_kb(rows: DataFrame) -> DataFrame:
         F.lit(None).cast("timestamp").alias("date_published"),
         F.lit(KB_URL).alias("url"),
     )
+
+
+def read_kb_statements(spark: SparkSession, path: str) -> DataFrame:
+    raw = (
+        spark.read.format("text").option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.yaml")
+        .load(path)
+        .select("value", F.col("_metadata.file_path").alias("path"))
+    )
+    return parse_kb_statements(raw)
+
+
+def parse_kb_statements(files: DataFrame) -> DataFrame:
+    """SAP project-KB YAML statements importer.
+
+    Reference: pipelines/v2_importers/project_kb_statements_importer.py —
+    each statements/<id>/statement.yaml carries ``vulnerability_id``,
+    ``notes`` (text + links → summary + references), ``fixes`` (commits →
+    commit references, supported VCS hosts also yield a base purl) and
+    ``artifacts`` (purls with affected flags).
+
+    YAML → self-contained mapInPandas.
+    """
+    from vulnerablecode_spark.schemas import ADVISORY_PARSED
+
+    colnames = [f.name for f in ADVISORY_PARSED]
+    host_type = dict(_HOST_TYPE)
+
+    def parse(batches):
+        import re
+
+        import pandas as pd
+        import yaml
+
+        commit_re = re.compile(r"^[0-9a-f]{7,40}$")
+
+        def base_purl_of(vcs_url):
+            m = re.match(r"https?://([^/]+)/([^/]+)/([^/]+?)(\.git)?/?$",
+                         vcs_url or "")
+            if not m or m.group(1) not in host_type:
+                return None
+            return (f"pkg:{host_type[m.group(1)]}/{m.group(2).lower()}"
+                    f"/{m.group(3).lower()}")
+
+        def one(content, path):
+            if not path.endswith("statement.yaml"):
+                return None
+            try:
+                d = yaml.safe_load(content) or {}
+            except yaml.YAMLError:
+                return None
+            vuln_id = d.get("vulnerability_id")
+            if not vuln_id:
+                return None
+            notes, refs = [], []
+            for note in d.get("notes") or []:
+                if note.get("text"):
+                    notes.append(note["text"])
+                for link in note.get("links") or []:
+                    refs.append({"reference_id": None, "reference_type": "",
+                                 "url": link})
+            affected = []
+            for fix in d.get("fixes") or []:
+                for commit in fix.get("commits") or []:
+                    commit_hash = commit.get("id")
+                    if commit_hash and not commit_re.match(commit_hash):
+                        commit_hash = None
+                    vcs_url = commit.get("repository")
+                    refs.append({"reference_id": commit_hash,
+                                 "reference_type": "commit", "url": vcs_url})
+                    purl = base_purl_of(vcs_url)
+                    if purl and not any(a["package"] == purl
+                                        for a in affected):
+                        affected.append({"package": purl,
+                                         "affected_version_range": None,
+                                         "fixed_version": None})
+            for artifact in d.get("artifacts") or []:
+                purl = artifact.get("id") or ""
+                if not purl.startswith("pkg:"):
+                    continue
+                base = purl.split("@", 1)[0]
+                if not any(a["package"] == base for a in affected):
+                    affected.append({"package": base,
+                                     "affected_version_range": None,
+                                     "fixed_version": None})
+            return {
+                "advisory_id": vuln_id, "aliases": [],
+                "summary": "\n".join(notes),
+                "affected_packages": affected, "references": refs,
+                "severities": [], "weaknesses": [], "date_published": None,
+                "url": ("https://github.com/SAP/project-kb/tree/"
+                        f"vulnerability-data/statements/{vuln_id}"),
+            }
+
+        for pdf in batches:
+            rows = [r for r in (one(c, p) for c, p in
+                                zip(pdf["value"], pdf["path"])) if r]
+            yield pd.DataFrame(rows, columns=colnames)
+
+    return files.mapInPandas(parse, ADVISORY_PARSED)
