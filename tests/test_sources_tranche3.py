@@ -222,3 +222,79 @@ class TestKbStatements:
         assert "CVE-2018-16406" in got
         for adv in got.values():
             assert adv.advisory_id.startswith("CVE-")
+
+
+class TestNginx:
+    def test_parse(self, spark):
+        from vulnerablecode_spark.sources.nginx import read_nginx
+
+        got = _rows_by_id(read_nginx(
+            spark, f"{REF}/nginx_v2/security_advisories.html"))
+        adv = got["CVE-2024-32760"]
+        assert adv.summary == "Buffer overwrite in HTTP/3"
+        assert adv.severities[0].value == "medium"
+        ap = adv.affected_packages[0]
+        assert ap.package == "pkg:nginx/nginx"
+        assert ap.affected_version_range == \
+            "vers:nginx/>=1.25.0|<=1.25.5|1.26.0"
+        assert ap.fixed_version == "1.27.0"
+        # CVE link kept as reference
+        assert any(r.reference_id == "CVE-2024-32760"
+                   for r in adv.references)
+        # the whole page parses
+        assert len(got) >= 30
+
+
+class TestApacheKafka:
+    def test_parse(self, spark):
+        from vulnerablecode_spark.sources.apache_kafka import \
+            read_apache_kafka
+
+        got = _rows_by_id(read_apache_kafka(
+            spark, f"{REF}/apache_kafka/cve-list.html"))
+        adv = got["CVE-2018-17196"]
+        assert "bypass" in adv.summary.lower()
+        ap = adv.affected_packages[0]
+        assert ap.package == "pkg:apache/kafka"
+        assert ap.affected_version_range == \
+            "vers:apache/>=0.11.0.0|<=2.1.0|0.10.2.2"
+        assert ap.fixed_version == "2.1.1"
+        assert adv.date_published is not None
+        # log4j CVEs skip range parsing (apache_kafka_importer.py:43-50)
+        for skip_cve in ("CVE-2021-44228",):
+            if skip_cve in got:
+                assert got[skip_cve].affected_packages == []
+
+
+class TestApacheTomcat:
+    def test_parse(self, spark):
+        from vulnerablecode_spark.sources.apache_tomcat import \
+            read_apache_tomcat
+
+        df = read_apache_tomcat(
+            spark, f"{REF}/apache_tomcat/apache_tomcat-selected-advisories.html")
+        rows = df.collect()
+        assert rows
+        for r in rows:
+            assert r.aliases and r.aliases[0].startswith("CVE-")
+            ap = r.affected_packages[0]
+            assert ap.package == "pkg:apache/tomcat"
+            assert ap.fixed_version  # the Fixed_in header version
+
+
+class TestPostgresql:
+    def test_parse(self, spark):
+        from vulnerablecode_spark.sources.postgresql import read_postgresql
+
+        got = _rows_by_id(read_postgresql(
+            spark, f"{REF}/postgresql/advisories.html"))
+        assert got
+        adv = next(iter(got.values()))
+        assert adv.advisory_id.startswith("CVE-")
+        assert adv.affected_packages[0].package.startswith(
+            "pkg:generic/postgresql")
+        with_scores = [a for a in got.values() if a.severities]
+        assert with_scores
+        s = with_scores[0].severities[0]
+        assert s.system == "cvssv3"
+        assert s.scoring_elements.startswith("CVSS:3.0/")
