@@ -138,6 +138,27 @@ def main() -> None:
             affecting_bridge(unfurled).limit(0), impacts, adv,
         ).write.format("noop").mode("overwrite").save()
 
+    with stage("snapshot_merge_4_batches"):
+        # the incremental table merge (batch_merge_to_table): fully
+        # distributed staging-swap writes — no driver materialization, so
+        # this stage must stay ~flat per batch as N grows
+        import shutil
+        import tempfile
+
+        from vulnerablecode_spark.streaming.incremental import \
+            batch_merge_to_table
+
+        table_dir = tempfile.mkdtemp(prefix="merge_scale_")
+        table_path = os.path.join(table_dir, "advisories")
+        try:
+            quarter = adv.withColumn(
+                "_b", F.col("advisory_pk") % 4)
+            for b in range(4):
+                batch = quarter.filter(F.col("_b") == b).drop("_b")
+                batch_merge_to_table(spark, batch, table_path)
+        finally:
+            shutil.rmtree(table_dir, ignore_errors=True)
+
     with stage("alias_components"):
         aliases = extract_aliases(adv)
         edges = aliases.select(
