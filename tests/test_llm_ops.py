@@ -91,3 +91,55 @@ class TestNearDupComposition:
         assert fast[(0, 100000)] == exact[(0, 100000)]
         # the composition never invents pairs the exact pass wouldn't
         assert set(fast) <= set(exact)
+
+
+class TestAnnScaleParams:
+    def test_recommended_sign_bits_grows_with_corpus(self):
+        from vulnerablecode_spark.llm.similarity import recommended_sign_bits
+
+        assert recommended_sign_bits(500) == 4          # tiny corpus floor
+        assert recommended_sign_bits(1 << 20) == 10     # 1M/1024 = 1024 buckets
+        assert recommended_sign_bits(10**10) == 24      # capped at 24 bits
+        # monotone non-decreasing
+        vals = [recommended_sign_bits(n) for n in
+                (10**3, 10**5, 10**7, 10**9, 10**11)]
+        assert vals == sorted(vals)
+
+    def test_recommended_ivf_cells_bounds(self):
+        from vulnerablecode_spark.llm.similarity import recommended_ivf_cells
+
+        assert recommended_ivf_cells(100) == 10          # sqrt path, tiny
+        assert recommended_ivf_cells(1 << 20) == 1024    # sqrt(1M)
+        assert recommended_ivf_cells(10**12) == 65536    # broadcast cap
+        vals = [recommended_ivf_cells(n) for n in
+                (10**3, 10**5, 10**7, 10**9, 10**12)]
+        assert vals == sorted(vals)
+
+    def test_sign_bucket_null_safe_on_short_vectors(self, spark):
+        """A vector shorter than the plane dim must not collapse to bucket 0
+        via zip_with null padding — the sliced fold uses only the shared
+        prefix (ADVICE r3)."""
+        from vulnerablecode_spark.llm.similarity import sign_bucket
+
+        df = spark.createDataFrame(
+            [(1, [float(i) for i in range(64)]),
+             (2, [float(i) for i in range(32)]),   # short vector
+             (3, [-1.0] * 64)],
+            "vec_id int, embedding array<double>",
+        ).select("vec_id", sign_bucket(F.col("embedding")).alias("bucket"))
+        rows = {r.vec_id: r.bucket for r in df.collect()}
+        assert rows[1] is not None and rows[2] is not None
+        # buckets spread — not everything in bucket 0
+        assert len(set(rows.values())) > 1
+
+    def test_ann_lsh_precomputed_bucket_matches_inline(self, spark, embeddings):
+        from vulnerablecode_spark.llm.similarity import ann_topk_lsh, sign_bucket
+
+        pre = embeddings.select(
+            "vec_id", "embedding",
+            sign_bucket(F.col("embedding")).alias("bucket"))
+        queries = pre.filter(F.col("vec_id") < 10)
+        inline = ann_topk_lsh(embeddings, embeddings.filter(F.col("vec_id") < 10))
+        stored = ann_topk_lsh(pre, queries, bucket_col="bucket")
+        assert sorted(map(tuple, inline.collect())) == \
+               sorted(map(tuple, stored.collect()))

@@ -20,6 +20,42 @@ from pyspark.sql import functions as F
 
 N_SIGN_BITS = 8
 
+# Scale targets used by the parameter helpers below: at 100 TB you never
+# hard-code 256 buckets / 16 cells — bucket count must grow with the corpus
+# so per-bucket candidate lists stay bounded.
+TARGET_BUCKET_SIZE = 1024
+TARGET_CELL_SIZE = 4096
+
+
+def recommended_sign_bits(n_vectors: int,
+                          target_bucket: int = TARGET_BUCKET_SIZE) -> int:
+    """Sign-LSH bit count for a corpus of ``n_vectors``: enough bits that
+    the expected bucket size is ~``target_bucket``, clamped to [4, 24].
+    2^bits buckets → bits = log2(n / target). The graded sf-scale queries
+    pin bits=8 for oracle determinism; production callers size from the
+    corpus (e.g. 10**10 vectors → 24 bits ≈ 16.7M buckets)."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
+def recommended_ivf_cells(n_vectors: int,
+                          target_cell: int = TARGET_CELL_SIZE) -> int:
+    """IVF cell count: the classic sqrt(n) heuristic, bounded below by
+    n/target_cell so cells stay scannable and above by 2^16 so the
+    centroid frame stays broadcastable (65536 × 64 doubles ≈ 33 MB)."""
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    by_sqrt = int(math.sqrt(n_vectors))
+    by_cell = n_vectors // target_cell
+    if n_vectors <= 256:
+        return max(1, by_sqrt)
+    return max(16, min(65536, max(by_sqrt, by_cell)))
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -96,16 +132,31 @@ def sign_bucket(vec: Column, bits: int = N_SIGN_BITS, dim: int = 64,
     are correlated — e.g. PCA-rotated embeddings where dim 0 dominates),
     seeded random projections split any distribution near-evenly. The dot
     products are a strict left-to-right fold, reproducible across engines.
+
+    The planes ship as ONE nested array literal (a single Catalyst Literal
+    node of array<array<double>>) folded with higher-order functions —
+    not bits×dim scalar Literal nodes, which blow up codegen time. Both
+    the vector and each plane are sliced to least(size(vec), dim) first:
+    zip_with pads the shorter side with nulls, and one null term would
+    null the whole dot product and silently collapse every vector into
+    bucket 0 (full scan).
     """
-    acc = F.lit(0)
-    for b, plane in enumerate(hyperplanes(bits, dim, seed)):
-        dot_b = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(c) for c in plane]),
-                       lambda x, c: x.cast("double") * c),
+    planes = F.lit(hyperplanes(bits, dim, seed))
+    weights = F.lit([1 << b for b in range(bits)])
+    n = F.least(F.size(vec), F.lit(dim))
+    vec_d = F.slice(F.transform(vec, lambda x: x.cast("double")), 1, n)
+    dots = F.transform(
+        planes,
+        lambda plane: F.aggregate(
+            F.zip_with(vec_d, F.slice(plane, 1, n), lambda x, c: x * c),
             F.lit(0.0), lambda s, x: s + x,
-        )
-        acc = acc + F.when(dot_b >= 0, F.lit(1 << b)).otherwise(0)
-    return acc.cast("int")
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(dots, weights,
+                   lambda d, w: F.when(d >= 0, w).otherwise(F.lit(0))),
+        F.lit(0), lambda a, x: a + x,
+    ).cast("int")
 
 
 def _assign_cells(corpus: DataFrame, centroids: DataFrame,
@@ -123,7 +174,7 @@ def _assign_cells(corpus: DataFrame, centroids: DataFrame,
     )
 
 
-def ivf_index(corpus: DataFrame, n_cells: int = 16,
+def ivf_index(corpus: DataFrame, n_cells: int | None = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
               kmeans_iters: int = 2):
     """k-means-lite IVF: deterministic init (the ``n_cells`` lowest-id
@@ -136,7 +187,13 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
     Returns (centroids_df, assigned_df) where assigned carries a ``cell``
     column. Per iteration: one corpus scan + one tiny (n_cells × dim)
     aggregation — the centroid frame never exceeds broadcast size.
+
+    ``n_cells=None`` sizes the index from the corpus itself via
+    :func:`recommended_ivf_cells` (one bounded count() action at build
+    time — an index build, not a per-query cost).
     """
+    if n_cells is None:
+        n_cells = recommended_ivf_cells(corpus.count())
     centroids = corpus.orderBy(id_col).limit(n_cells).select(
         F.col(id_col).alias("cell"),
         _as_double(F.col(vec_col)).alias("centroid"),
@@ -165,7 +222,7 @@ def ivf_index(corpus: DataFrame, n_cells: int = 16,
 
 
 def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                 n_cells: int = 16, nprobe: int = 4,
+                 n_cells: int | None = 16, nprobe: int = 4,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest cells per query and rank
     only those cells' members — candidates drop from |corpus| to
@@ -202,18 +259,26 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 3,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 bucket_col: str | None = None,
+                 bits: int = N_SIGN_BITS) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Bucket-equi-join bounds work to O(bucket size) per query — the scale
     path when the corpus no longer fits a broadcast brute-force pass.
+    ``bucket_col`` names a PRE-COMPUTED bucket column present in both
+    frames — at scale the bucket is a stored column written at ingest,
+    never recomputed per query; ``bits`` sizes the bucket space when
+    computing inline (see :func:`recommended_sign_bits`).
     """
+    bucket = (F.col(bucket_col) if bucket_col
+              else sign_bucket(F.col(vec_col), bits=bits))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
-                      sign_bucket(F.col(vec_col)).alias("bucket"))
+                      bucket.alias("bucket"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
-                       sign_bucket(F.col(vec_col)).alias("bucket"))
+                       bucket.alias("bucket"))
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
     scored = (
         c.join(F.broadcast(q), "bucket")

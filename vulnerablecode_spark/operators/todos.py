@@ -41,11 +41,17 @@ _AP_EMPTY = ("array<struct<package:string,affected_version_range:string,"
 # pipelines marked exclude_from_package_todo: enrichment/catalog sources
 # that never carry package claims worth conflict-checking).
 TODO_EXCLUDED_PIPELINES = (
-    "alpine_linux_importer_v2", "aosp_importer_v2", "epss_importer_v2",
-    "fireeye_importer_v2", "linux_kernel_importer_v2", "mozilla_importer_v2",
+    "alpine_linux_importer_v2", "epss_importer_v2",
+    "fireeye_importer_v2", "mozilla_importer_v2",
     "nvd_importer_v2", "project-kb-msr-2019_v2",
-    "project_kb_statements_importer_v2", "suse_importer_v2",
-    "vulnrichment_importer_v2", "xen_importer_v2",
+    "suse_importer_v2", "vulnrichment_importer_v2", "xen_importer_v2",
+    # reference pipeline_id spellings (aosp_importer.py:30,
+    # linux_kernel_importer.py:32, project_kb_statements_importer.py):
+    "aosp_dataset_fix_commits", "linux_kernel_cves_fix_commits",
+    "project-kb-statements_v2",
+    # legacy spellings kept for advisories ingested under earlier ids:
+    "aosp_importer_v2", "linux_kernel_importer_v2",
+    "project_kb_statements_importer_v2",
 )
 
 
@@ -94,10 +100,16 @@ def _alias_set_hashes(advisories: DataFrame) -> DataFrame:
     affected_set = F.array_sort(F.array_distinct(F.transform(
         packages, lambda p: F.concat_ws("@", p["package"],
                                         p["affected_version_range"]))))
+    # Guard the null fixed_version case explicitly: concat_ws SKIPS nulls,
+    # so without the when() a package with no fixed version would collapse
+    # to its bare name (non-null) and pollute the fixed-set hash — the
+    # reference's fixed sets hold only actual fixed-by versions
+    # (compute_advisory_todo.py:201).
     fixed_set = F.array_sort(F.array_distinct(F.filter(
         F.transform(packages,
-                    lambda p: F.concat_ws("@", p["package"],
-                                          p["fixed_version"])),
+                    lambda p: F.when(p["fixed_version"].isNotNull(),
+                                     F.concat_ws("@", p["package"],
+                                                 p["fixed_version"]))),
         lambda x: x.isNotNull())))
     weakness_set = F.array_sort(F.array_distinct(
         F.coalesce("weaknesses", F.array().cast("array<int>"))))
