@@ -47,17 +47,29 @@ def main() -> None:
     spark = get_spark("vulnerablecode-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest SF so per-query numbers measure the
-    # plan, not first-call JIT.
-    QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    # Python-worker warmup: the first Arrow UDF in a session forks one
-    # worker per core (~1s each); exclude that one-time cost from q32's
-    # steady-state number.
-    QUERIES["q32_multimodal_meta"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # JVM/codegen warmup: run EVERY headline query once at the smallest SF
+    # so the timed numbers measure the plan, not first-call JIT — each
+    # query family has its own codegen paths (window frames, HOF folds,
+    # stack/unpivot, Arrow python workers), and a long-lived production
+    # session runs all of them warm. Data-proportional work (scans,
+    # shuffles, per-SF artifact builds) still happens at the measured SF
+    # inside the timed window: the sf0.001 corpus is 100× smaller, and the
+    # artifact registries in plans/ are keyed by (app, sf_dir).
+    for name in HEADLINE:
+        QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
+    # Drop the warmup's sf0.001 checkpoint artifacts and start the timed
+    # phase from a settled heap — the warmup's only purpose is code paths,
+    # not resident state.
+    import gc
+
+    from vulnerablecode_spark.plans import llm as _plans_llm
+
+    _plans_llm._ARTIFACTS.clear()
+    gc.collect()
+    spark._jvm.System.gc()
+    time.sleep(0.5)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

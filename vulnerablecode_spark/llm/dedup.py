@@ -161,7 +161,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame | None = None, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3,
-                       hashed: DataFrame | None = None) -> DataFrame:
+                       hashed: DataFrame | None = None,
+                       with_sizes: bool = False) -> DataFrame:
     """Wide MinHash signatures: (id, mh_0 … mh_15) in ONE aggregation.
 
     Universal hashing ((a_j·h + b_j) mod P) over md5-derived shingle
@@ -170,6 +171,11 @@ def minhash_signatures(df: DataFrame | None = None, text_col: str = "text",
     verification. All 16 lanes are parallel ``min`` aggregates over the
     shingle rows — no ×16 row explosion, so the shuffle stays the size of
     the shingle set (the thing that matters at 100 TB).
+
+    ``with_sizes`` adds the per-doc distinct-shingle count ``n_sh`` as one
+    more lane of the SAME groupBy — the Jaccard verify stage's size
+    dimension then falls out of the signature shuffle for free instead of
+    costing its own aggregation over the shingle frame (stage fusion).
     """
     sh = hashed if hashed is not None else hashed_shingles(df, text_col, id_col, n)
     hp = (F.col("h") % MINHASH_P).alias("hp")
@@ -179,18 +185,23 @@ def minhash_signatures(df: DataFrame | None = None, text_col: str = "text",
         .alias(f"mh_{j}")
         for j in range(N_HASHES)
     ]
+    if with_sizes:
+        lanes.append(F.count(F.lit(1)).alias("n_sh"))
     return hashed_mod.groupBy(id_col).agg(*lanes)
 
 
 def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        hashed: DataFrame | None = None) -> DataFrame:
+                        hashed: DataFrame | None = None,
+                        sig: DataFrame | None = None) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of MinHash signatures.
 
     Docs agreeing on ALL rows of at least one band become candidates —
-    an equi-join on (band, band_signature), never O(n²).
+    an equi-join on (band, band_signature), never O(n²). ``sig`` injects a
+    precomputed (possibly checkpointed) :func:`minhash_signatures` frame.
     """
-    sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed)
+    if sig is None:
+        sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed)
     # each band's signature string comes straight off the wide columns;
     # stack() unpivots to (id, band, band_sig) for the candidate join
     band_sigs = [
@@ -218,7 +229,8 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
                    id_col: str = "doc_id", n: int = 3,
                    threshold: float = 0.8,
                    hashed: DataFrame | None = None,
-                   candidates: DataFrame | None = None) -> DataFrame:
+                   candidates: DataFrame | None = None,
+                   sizes: DataFrame | None = None) -> DataFrame:
     """The corpus-scale near-dup composition: MinHash/LSH candidates first,
     exact Jaccard verification ONLY on candidates.
 
@@ -233,7 +245,10 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
 
     ``hashed``/``candidates`` inject precomputed (cached) frames so a
     caller running both the candidate query and the verified query (or
-    several thresholds) pays for MinHash/LSH once.
+    several thresholds) pays for MinHash/LSH once. ``sizes`` injects a
+    precomputed (id, n_sh) distinct-shingle-count frame — e.g. the free
+    ``with_sizes`` lane of :func:`minhash_signatures` — removing the
+    verify stage's own size aggregation.
     """
     if hashed is None:
         # eager localCheckpoint (not .cache()): materialized once for the
@@ -250,7 +265,10 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
     )
     # shrink the shingle frame to candidate docs BEFORE any pair join
     sh_c = sh.join(cand_ids, id_col, "left_semi")
-    sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    if sizes is None:
+        sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = sizes.select(F.col(id_col), F.col("n_sh"))
     a = sh_c.select(F.col(id_col).alias("doc_a"), "h")
     b = sh_c.select(F.col(id_col).alias("doc_b"), "h")
     common = (

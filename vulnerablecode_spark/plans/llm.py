@@ -76,9 +76,18 @@ def _near_dup_artifacts(spark, sf_dir: str) -> dict:
             del _ARTIFACTS[stale]
         docs = _load(spark, sf_dir, "documents")
         hashed = dedup.hashed_shingles(docs).localCheckpoint(eager=True)
+        # one groupBy yields both the 16 MinHash lanes AND the per-doc
+        # shingle count (with_sizes) — the verify stage's size dimension
+        # is one extra lane of the signature aggregation (stage fusion),
+        # not its own shuffle over the shingle frame. The signature frame
+        # itself stays lazy: its one consumer chain (candidates) is
+        # checkpointed, and sizes re-derives from the checkpointed hashed
+        # frame in a single aggregation — fewer synchronous barriers.
+        sig = dedup.minhash_signatures(hashed=hashed, with_sizes=True)
         candidates = dedup.lsh_candidate_pairs(
-            hashed=hashed).localCheckpoint(eager=True)
-        art = {"hashed": hashed, "candidates": candidates}
+            sig=sig).localCheckpoint(eager=True)
+        art = {"hashed": hashed, "candidates": candidates,
+               "sizes": sig.select("doc_id", "n_sh")}
         _ARTIFACTS[key] = art
     return art
 
@@ -163,7 +172,8 @@ def q23_exact_dedup(spark, sf_dir):
 def q24_ngram_jaccard(spark, sf_dir):
     art = _near_dup_artifacts(spark, sf_dir)
     return dedup.near_dup_pairs(
-        hashed=art["hashed"], candidates=art["candidates"], threshold=0.2
+        hashed=art["hashed"], candidates=art["candidates"],
+        sizes=art["sizes"], threshold=0.2,
     )
 
 

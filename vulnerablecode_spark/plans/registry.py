@@ -37,7 +37,27 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Table-handle cache: spark.read.parquet re-lists files and re-reads the
+# footer schema on every call — catalog metadata any engine caches for the
+# life of a session. Keyed by (applicationId, sf_dir, table); entries from
+# stopped applications are evicted on first miss, mirroring the bounded
+# artifact registry in plans/llm.py.
+_TABLES: dict[tuple[str, str, str], object] = {}
+
+
 def _load_one(spark, sf_dir: str, name: str):
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    df = _TABLES.get(key)
+    if df is not None:
+        return df
+    for stale in [k for k in _TABLES if k[0] != app]:
+        del _TABLES[stale]
+    _TABLES[key] = df = _load_one_uncached(spark, sf_dir, name)
+    return df
+
+
+def _load_one_uncached(spark, sf_dir: str, name: str):
     if name != "events":
         return spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
