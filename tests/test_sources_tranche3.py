@@ -298,3 +298,56 @@ class TestPostgresql:
         s = with_scores[0].severities[0]
         assert s.system == "cvssv3"
         assert s.scoring_elements.startswith("CVSS:3.0/")
+
+
+class TestRuby:
+    """Golden test over the reference's own ruby-advisory-db fixtures
+    (tests/test_data/ruby-v2/{gems,rubies})."""
+
+    def test_parse_reference_fixtures(self, spark):
+        from vulnerablecode_spark.sources.ruby import read_ruby
+
+        got = _rows_by_id(read_ruby(spark, f"{REF}/ruby-v2"))
+        assert set(got) == {"gems/CVE-2020-5257", "gems/CVE-2024-6531",
+                            "rubies/CVE-2022-25857", "rubies/CVE-2011-2686"}
+
+        gem = got["gems/CVE-2020-5257"]
+        assert gem.aliases == ["CVE-2020-5257", "GHSA-2p5p-m353-833w"]
+        # patched ">= 0.13.0" inverts to the affected range below the fix
+        # (importers/ruby.py:121-141 GemVersionRange.invert)
+        assert [(p.package, p.affected_version_range)
+                for p in gem.affected_packages] == \
+            [("pkg:gem/administrate", "vers:gem/<0.13.0")]
+        assert gem.summary.startswith(
+            "Sort order SQL injection via `direction` parameter")
+        assert "\n" in gem.summary            # title + description joined
+        assert [(s.system, s.value) for s in gem.severities] == \
+            [("cvssv3", "7.7")]
+        assert gem.url == ("https://github.com/rubysec/ruby-advisory-db/"
+                           "blob/master/gems/CVE-2020-5257.yml")
+        assert gem.date_published is not None
+
+        eng = got["rubies/CVE-2011-2686"]
+        # engine advisories land on pkg:ruby/<engine>
+        assert {p.package for p in eng.affected_packages} == {"pkg:ruby/ruby"}
+        assert {p.affected_version_range for p in eng.affected_packages} == \
+            {"vers:gem/<1.8.7.352", "vers:gem/>=1.8.6.399"}
+        assert [(s.system, s.value) for s in eng.severities] == \
+            [("cvssv2", "5.0")]
+
+    def test_pessimistic_operator_and_osvdb_skip(self, spark, tmp_path):
+        from vulnerablecode_spark.sources.ruby import read_ruby
+
+        gems = tmp_path / "gems"
+        gems.mkdir()
+        (gems / "CVE-2099-1.yml").write_text(
+            "gem: demo\ncve: 2099-1\nosvdb: 999\n"
+            "patched_versions:\n  - \"~> 2.2.3\"\n")
+        (gems / "OSVDB-12.yml").write_text("gem: demo\nosvdb: 12\n")
+        got = _rows_by_id(read_ruby(spark, str(tmp_path)))
+        assert set(got) == {"gems/CVE-2099-1"}          # OSVDB-* skipped
+        adv = got["gems/CVE-2099-1"]
+        assert adv.aliases == ["CVE-2099-1", "OSV-999"]
+        # ~> 2.2.3 → [>=2.2.3, <2.3] → inverted <2.2.3|>=2.3
+        assert adv.affected_packages[0].affected_version_range == \
+            "vers:gem/<2.2.3|>=2.3"
