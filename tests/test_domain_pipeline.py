@@ -756,3 +756,108 @@ class TestHygieneHelpers:
                        "only summary",
                        "only description",
                        ""]
+
+
+class TestGithubPocs:
+    def test_parse_and_join(self, spark, tmp_path):
+        import json
+
+        from vulnerablecode_spark.operators.exploits import (
+            join_github_pocs, read_github_pocs)
+
+        d = tmp_path / "2024"
+        d.mkdir()
+        (d / "CVE-2024-1111.json").write_text(json.dumps([
+            {"html_url": "https://github.com/a/poc1",
+             "created_at": "2024-01-02T03:04:05Z",
+             "updated_at": "2024-02-02T03:04:05Z"},
+            {"html_url": None},               # dropped: no html_url
+            {"html_url": "https://github.com/a/poc1",
+             "created_at": "2024-01-02T03:04:05Z",
+             "updated_at": "2024-02-02T03:04:05Z"},  # duplicate collapses
+        ]))
+        (d / "CVE-2024-2222.json").write_text("not json")  # unparsable skipped
+        pocs = read_github_pocs(spark, str(tmp_path))
+        rows = pocs.collect()
+        assert [(r.alias, r.url) for r in rows] == \
+            [("CVE-2024-1111", "https://github.com/a/poc1")]
+        assert rows[0].created_at is not None
+
+        aliases = spark.createDataFrame(
+            [("CVE-2024-1111", 1), ("CVE-2024-1111", 2), ("CVE-9999-1", 3)],
+            "alias string, advisory_pk long")
+        joined = join_github_pocs(aliases, pocs)
+        assert sorted((r.advisory_pk, r.url) for r in joined.collect()) == \
+            [(1, "https://github.com/a/poc1"), (2, "https://github.com/a/poc1")]
+
+
+class TestArchiveUrls:
+    def test_worklist_and_apply(self, spark):
+        from vulnerablecode_spark.operators.improvers import (
+            NO_ARCHIVE, apply_archive_urls, urls_needing_archive)
+
+        refs = spark.createDataFrame(
+            [("https://a.example/x", None),
+             ("https://b.example/y", None),
+             ("https://c.example/z", "https://web.archive.org/web/0/c"),
+             ("ftp://d.example/w", None)],
+            "url string, archive_url string")
+        work = {r.url for r in urls_needing_archive(refs).collect()}
+        # already-archived and non-http rows are excluded (archive_urls.py:37-48)
+        assert work == {"https://a.example/x", "https://b.example/y"}
+
+        archives = spark.createDataFrame(
+            [("https://a.example/x", "https://web.archive.org/web/1/a"),
+             ("https://b.example/y", None)],       # attempted, unreachable
+            "url string, archive_url string")
+        got = {r.url: r.archive_url
+               for r in apply_archive_urls(refs, archives).collect()}
+        assert got["https://a.example/x"] == "https://web.archive.org/web/1/a"
+        assert got["https://b.example/y"] == NO_ARCHIVE
+        assert got["https://c.example/z"] == "https://web.archive.org/web/0/c"
+        assert got["ftp://d.example/w"] is None
+
+    def test_unattempted_rows_stay_null(self, spark):
+        from vulnerablecode_spark.operators.improvers import apply_archive_urls
+
+        refs = spark.createDataFrame(
+            [("https://a.example/x", None)], "url string, archive_url string")
+        empty = spark.createDataFrame([], "url string, archive_url string")
+        got = apply_archive_urls(refs, empty).collect()
+        assert got[0].archive_url is None
+
+
+class TestMarkUnfurled:
+    def test_marking_rules(self, spark):
+        from vulnerablecode_spark.operators.unfurl import (
+            mark_all_impacts_unfurled)
+
+        advisories = spark.createDataFrame(
+            [(1, True), (2, True), (3, True), (4, False)],
+            "advisory_pk long, is_latest boolean")
+        impacts = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+             (1, "2024-01-02 00:00:00", None),      # attempted, not succeeded
+             (2, None, None),                        # never attempted
+             (3, "2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+             (4, "2024-01-01 00:00:00", "2024-01-01 00:00:00")],
+            "advisory_pk long, last_range_unfurl_at string, "
+            "last_successful_range_unfurl_at string",
+        ).selectExpr(
+            "advisory_pk",
+            "CAST(last_range_unfurl_at AS TIMESTAMP) AS last_range_unfurl_at",
+            "CAST(last_successful_range_unfurl_at AS TIMESTAMP)"
+            " AS last_successful_range_unfurl_at",
+        )
+        got = {r.advisory_pk: r for r in
+               mark_all_impacts_unfurled(advisories, impacts).collect()}
+        # 1: all attempted (→ marked) but one impact not succeeded
+        assert got[1]._all_impacts_unfurled_at is not None
+        assert got[1]._all_impacts_unfurled_successfully_at is None
+        # 2: has an unattempted impact → neither mark
+        assert got[2]._all_impacts_unfurled_at is None
+        # 3: all succeeded → both marks
+        assert got[3]._all_impacts_unfurled_at is not None
+        assert got[3]._all_impacts_unfurled_successfully_at is not None
+        # 4: not latest → untouched
+        assert got[4]._all_impacts_unfurled_at is None

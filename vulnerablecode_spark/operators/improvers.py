@@ -153,3 +153,52 @@ def valid_version_inferences(advisories: DataFrame, impacts: DataFrame,
         )).alias("fixed_purls"),
         F.lit(90).alias("confidence"),
     )
+
+
+NO_ARCHIVE = "NO_ARCHIVE"
+
+
+def urls_needing_archive(references: DataFrame) -> DataFrame:
+    """The archive work list: http(s) reference URLs with no archive yet
+    (ArchiveImproverPipeline.archive_urls,
+    v2_improvers/archive_urls.py:37-48: ``archive_url IS NULL`` and not
+    already flagged ``NO_ARCHIVE``). The Wayback fetch itself is external
+    I/O — a fetcher materializes (url, archive_url) into a landing zone,
+    like the engine's other fetch-bound sources."""
+    base = references
+    if "archive_url" not in base.columns:
+        base = base.withColumn("archive_url", F.lit(None).cast("string"))
+    return (
+        base.filter(
+            F.col("archive_url").isNull()
+            & F.col("url").startswith("http")
+        )
+        .select("url").distinct()
+    )
+
+
+def apply_archive_urls(references: DataFrame, archives: DataFrame) -> DataFrame:
+    """Merge fetched archive results back onto the references:
+    found → the Wayback URL; attempted-but-missing → the ``NO_ARCHIVE``
+    sentinel (archive_urls.py:49-60); rows already archived — or never
+    attempted — keep their value. ``archives`` is (url, archive_url) from
+    the landing zone, one row per ATTEMPTED url with a null archive_url
+    for unreachable ones — dimension-sized next to the reference table,
+    broadcast."""
+    base = references
+    if "archive_url" not in base.columns:
+        base = base.withColumn("archive_url", F.lit(None).cast("string"))
+    fetched = archives.select(
+        "url", F.col("archive_url").alias("_fetched"),
+        F.lit(True).alias("_attempted"))
+    return (
+        base.join(F.broadcast(fetched), "url", "left")
+        .withColumn(
+            "archive_url",
+            F.when(F.col("archive_url").isNotNull(), F.col("archive_url"))
+            .when(~F.col("url").startswith("http"), F.col("archive_url"))
+            .when(F.col("_attempted").isNull(), F.col("archive_url"))
+            .otherwise(F.coalesce(F.col("_fetched"), F.lit(NO_ARCHIVE))),
+        )
+        .drop("_fetched", "_attempted")
+    )

@@ -125,3 +125,69 @@ def stamp_watermarks(impacts: DataFrame, processed_impacts: DataFrame) -> DataFr
         )
         .drop("_done")
     )
+
+
+def mark_all_impacts_unfurled(advisories: DataFrame, impacts: DataFrame,
+                              recheck_after_days: int = 30) -> DataFrame:
+    """Advisory-level unfurl watermarks: mark latest advisories whose
+    impacts have ALL been attempted / ALL succeeded.
+
+    Reference: MarkUnfurlVersionRangePipeline
+    (v2_improvers/mark_unfurl_version_range.py:31-125) — an advisory gets
+    ``_all_impacts_unfurled_at`` once no impact is missing
+    ``last_range_unfurl_at`` (re-checked past a 30-day cutoff), and
+    ``_all_impacts_unfurled_successfully_at`` once every impact also has
+    ``last_successful_range_unfurl_at``. The reference walks advisories in
+    1000-row batches with per-batch Exists subqueries; the Spark shape is
+    ONE aggregation over the impacts (two bool_and lanes — all-attempted /
+    all-succeeded — in the same groupBy) joined to the latest advisories,
+    so marking 10^9 advisories is a single shuffle on advisory_pk.
+
+    ``impacts`` may carry ``last_successful_range_unfurl_at``; without it
+    (the engine's base IMPACT schema tracks attempts only) success falls
+    back to attempted.
+    """
+    success_col = ("last_successful_range_unfurl_at"
+                   if "last_successful_range_unfurl_at" in impacts.columns
+                   else "last_range_unfurl_at")
+    per_adv = impacts.groupBy("advisory_pk").agg(
+        F.bool_and(F.col("last_range_unfurl_at").isNotNull())
+         .alias("_all_attempted"),
+        F.bool_and(F.col(success_col).isNotNull()).alias("_all_succeeded"),
+    )
+    cutoff = F.current_timestamp() - F.expr(
+        f"INTERVAL {recheck_after_days} DAYS")
+    eligible = (
+        F.col("is_latest")
+        & F.col("_all_impacts_unfurled_successfully_at").isNull()
+        & (F.col("_all_impacts_unfurled_at").isNull()
+           | (F.col("_all_impacts_unfurled_at") < cutoff))
+    )
+    base = advisories
+    for col in ("_all_impacts_unfurled_at",
+                "_all_impacts_unfurled_successfully_at"):
+        if col not in base.columns:
+            base = base.withColumn(col, F.lit(None).cast("timestamp"))
+    marked = (
+        base.join(per_adv, "advisory_pk", "left")
+        # materialize eligibility BEFORE either watermark update: chained
+        # withColumns would otherwise re-evaluate it against the column
+        # the first update just wrote
+        .withColumn("_eligible", eligible)
+        .withColumn(
+            "_all_impacts_unfurled_at",
+            F.when(F.col("_eligible")
+                   & F.coalesce("_all_attempted", F.lit(False)),
+                   F.current_timestamp())
+            .otherwise(F.col("_all_impacts_unfurled_at")),
+        )
+        .withColumn(
+            "_all_impacts_unfurled_successfully_at",
+            F.when(F.col("_eligible")
+                   & F.coalesce("_all_succeeded", F.lit(False)),
+                   F.current_timestamp())
+            .otherwise(F.col("_all_impacts_unfurled_successfully_at")),
+        )
+        .drop("_all_attempted", "_all_succeeded", "_eligible")
+    )
+    return marked
