@@ -203,7 +203,11 @@ def ivf_index(corpus: DataFrame, n_cells: int | None = 16,
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            # round the component means: summation order varies across
+            # engines (and partitions) at the last ULP, and centroids feed
+            # further cosine comparisons — 6 decimals pins them to one
+            # reproducible value
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
             .groupBy("cell")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),

@@ -428,3 +428,85 @@ def q31_embedding_ann_lsh(spark, sf_dir):
 def q32_multimodal_meta(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return multimodal.extract_media_meta(multimodal.with_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — deterministic k-means-lite index (llm/similarity.py ivf_index:
+# lowest-id init, 2 Lloyd iterations with 6dp-rounded assignment cosines and
+# centroid means, empty cells keep their previous centroid), nprobe probing.
+# The oracle unrolls the two iterations as CTE pairs reproducing the exact
+# arithmetic, so the whole index build is hash-verified — like q31 does for
+# the hyperplane LSH.
+# ---------------------------------------------------------------------------
+
+_SQL_IVF_COS = """ROUND(list_dot_product({a}, {b}) /
+    (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"""
+
+
+def _ivf_iter_sql(prev: str, a: str, m: str, c: str) -> str:
+    """One Lloyd iteration: assign (argmax rounded cosine, tie on cell) →
+    component-wise 6dp-rounded means → empty cells keep prev centroid."""
+    cos = _SQL_IVF_COS.format(a="e.v", b="c.centroid")
+    return f"""
+    {a} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {cos} DESC, c.cell) AS rk
+            FROM emb e CROSS JOIN {prev} c)
+        WHERE rk = 1),
+    {m} AS (
+        SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+            SELECT cell, i AS pos, ROUND(AVG(v[i + 1]), 6) AS m
+            FROM {a}, UNNEST(range(64)) AS t(i) GROUP BY cell, i)
+        GROUP BY cell),
+    {c} AS (
+        SELECT p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+        FROM {prev} p LEFT JOIN {m} n USING (cell))"""
+
+
+_SQL_IVF = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cell, v AS centroid FROM emb
+           ORDER BY vec_id LIMIT 16),
+    {_ivf_iter_sql('c0', 'a1', 'm1', 'c1')},
+    {_ivf_iter_sql('c1', 'a2', 'm2', 'c2')},
+    af AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_SQL_IVF_COS.format(a='e.v', b='c.centroid')}
+                                DESC, c.cell) AS rk
+            FROM emb e CROSS JOIN c2 c)
+        WHERE rk = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT q.query_id, q.qv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_SQL_IVF_COS.format(a='q.qv', b='c.centroid')}
+                                DESC, c.cell) AS rk
+            FROM q CROSS JOIN c2 c)
+        WHERE rk <= 4),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_dot_product(p.qv, a.v) /
+                     (sqrt(list_dot_product(p.qv, p.qv)) *
+                      sqrt(list_dot_product(a.v, a.v))), 4) AS cosine_sim
+        FROM probes p JOIN af a USING (cell)
+        WHERE p.query_id <> a.vec_id)
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id)
+                  AS rk
+        FROM scored
+    ) WHERE rk <= 5
+"""
+
+
+@query("q46_ann_topk_ivf", oracle=_SQL_IVF)
+def q46_ann_topk_ivf(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    res = similarity.ann_topk_ivf(emb, queries_df, k=5, n_cells=16, nprobe=4)
+    return res.withColumn("rk", F.col("rk").cast("int"))
