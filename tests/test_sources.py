@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 GITLAB_YAML = """\
@@ -230,8 +232,56 @@ class TestNvdSource:
         assert ap.fixed_version == "1.4"
         assert r.weaknesses == [787]
         types = {x.reference_type for x in r.references}
-        assert types == {"exploit", "advisory"}
+        assert types == {"exploit", "advisory", None}
         assert r.severities[0].system == "cvssv3"
+        # CPE search reference first, then the CVE detail reference, then
+        # the feed references (nvd_importer.py:255-281)
+        assert r.references[0].reference_id == \
+            "cpe:2.3:a:foovendor:libfoo:*:*:*:*:*:*:*:*"
+        assert "isCpeNameSearch=true" in r.references[0].url
+        assert r.references[1].reference_id == "CVE-2024-4242"
+        assert r.references[1].url == \
+            "https://nvd.nist.gov/vuln/detail/CVE-2024-4242"
+
+    def test_hardware_cve_skipped_and_wildcard_vendor_excluded(
+            self, spark, tmp_path):
+        from vulnerablecode_spark.sources.nvd import read_nvd
+
+        feed = {"CVE_Items": [
+            # any hardware CPE (part 'h') drops the whole CVE
+            # (nvd_importer.py:137, is_related_to_hardware :326-332)
+            {"cve": {"CVE_data_meta": {"ID": "CVE-2024-7777"},
+                     "description": {"description_data": [
+                         {"lang": "en", "value": "router bug"}]},
+                     "references": {"reference_data": []},
+                     "problemtype": {"problemtype_data": []}},
+             "configurations": {"nodes": [{"cpe_match": [
+                 {"vulnerable": True,
+                  "cpe23Uri": "cpe:2.3:h:acme:router:*:*:*:*:*:*:*:*"},
+                 {"vulnerable": True,
+                  "cpe23Uri": "cpe:2.3:a:acme:firmware-tool:*:*:*:*:*:*:*:*"},
+             ], "children": []}]},
+             "impact": {}, "publishedDate": "2024-04-01T10:00Z"},
+            # wildcard vendor/product never becomes a purl
+            {"cve": {"CVE_data_meta": {"ID": "CVE-2024-8888"},
+                     "description": {"description_data": [
+                         {"lang": "en", "value": "generic bug"}]},
+                     "references": {"reference_data": []},
+                     "problemtype": {"problemtype_data": []}},
+             "configurations": {"nodes": [{"cpe_match": [
+                 {"vulnerable": True,
+                  "cpe23Uri": "cpe:2.3:a:*:-:*:*:*:*:*:*:*:*"},
+             ], "children": []}]},
+             "impact": {}, "publishedDate": "2024-04-01T10:00Z"},
+        ]}
+        (tmp_path / "feed.json").write_text(json.dumps(feed))
+        got = {r.advisory_id: r
+               for r in read_nvd(spark, str(tmp_path / "feed.json")).collect()}
+        assert set(got) == {"CVE-2024-8888"}
+        assert got["CVE-2024-8888"].affected_packages == []
+        # the wildcard CPE still appears as a search reference
+        assert got["CVE-2024-8888"].references[0].reference_id.startswith(
+            "cpe:2.3:a:")
 
 
 class TestGithubSource:
@@ -321,3 +371,58 @@ class TestExploitCatalogs:
                                         "advisory_pk bigint, alias string")
         got = join_exploits(aliases, catalog)
         assert {r.data_source for r in got.collect()} == {"KEV", "exploitdb"}
+
+
+class TestNvdApi2:
+    """Golden tests over the reference's own NVD 2.0 fixtures
+    (tests/test_data/nvd_v2) — references compared sorted, exactly like
+    the reference's sorted_advisory_data comparator."""
+
+    REF = "/root/reference/vulnerabilities/tests/test_data/nvd_v2"
+
+    @pytest.fixture(scope="class")
+    def expected(self):
+        with open(f"{self.REF}/nvd-expected.json") as f:
+            return {a["advisory_id"]: a for a in json.load(f)}
+
+    def test_matches_reference_expected(self, spark, expected):
+        import os
+
+        from vulnerablecode_spark.sources.nvd import read_nvd_api2
+
+        if not os.path.isdir(self.REF):
+            pytest.skip("reference fixtures not available")
+        got = {r.advisory_id: r for r in
+               read_nvd_api2(spark, f"{self.REF}/nvd_test.json").collect()}
+        assert set(got) == set(expected)
+        for cve, exp in expected.items():
+            r = got[cve]
+            assert r.summary == exp["summary"], cve
+            assert sorted(r.weaknesses) == sorted(exp["weaknesses"]), cve
+            assert [(s.system, s.value, s.scoring_elements)
+                    for s in r.severities] == \
+                [(s["system"], s["value"], s["scoring_elements"])
+                 for s in exp["severities"]], cve
+            assert sorted((x.reference_id or "", x.url)
+                          for x in r.references) == \
+                sorted((x["reference_id"], x["url"])
+                       for x in exp["references"]), cve
+            assert r.url == exp["url"]
+            assert str(r.date_published).startswith(
+                exp["date_published"][:19].replace("T", " ")), cve
+
+    def test_rejected_cve_passes_through(self, spark):
+        import os
+
+        from vulnerablecode_spark.sources.nvd import read_nvd_api2
+
+        if not os.path.isdir(self.REF):
+            pytest.skip("reference fixtures not available")
+        with open(f"{self.REF}/nvd-rejected-expected.json") as f:
+            exp = json.load(f)[0]
+        got = read_nvd_api2(spark, f"{self.REF}/rejected_nvd.json").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.advisory_id == exp["advisory_id"]
+        assert r.summary == exp["summary"]
+        assert r.severities == [] and r.affected_packages == []
