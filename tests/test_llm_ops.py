@@ -143,3 +143,70 @@ class TestAnnScaleParams:
         stored = ann_topk_lsh(pre, queries, bucket_col="bucket")
         assert sorted(map(tuple, inline.collect())) == \
                sorted(map(tuple, stored.collect()))
+
+
+class TestConnectedComponentsProperty:
+    """Property test: label propagation vs a driver-side union-find oracle
+    on seeded random graphs (VERDICT r3 hardening item)."""
+
+    @staticmethod
+    def _oracle(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical component = min node id in the component
+        comp = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp.setdefault(r, v)
+        return {v: comp[find(v)] for v in range(n_nodes)
+                if any(v in e for e in edges)}
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        for seed, n_nodes, n_edges in ((7, 200, 150), (13, 500, 700),
+                                       (42, 1000, 400)):
+            rng = random.Random(seed)
+            edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                     for _ in range(n_edges)]
+            edges = [(a, b) for a, b in edges if a != b]
+            from vulnerablecode_spark.operators.components import (
+                connected_components)
+
+            df = spark.createDataFrame(edges, "src long, dst long")
+            got = {r.node: r.component
+                   for r in connected_components(df).collect()}
+            exp_raw = self._oracle(n_nodes, edges)
+            # oracle canonicalizes by min-id too; compare per touched node
+            touched = {v for e in edges for v in e}
+            exp = {}
+            parent_min = {}
+            for v in sorted(touched):
+                r = exp_raw[v]
+                parent_min.setdefault(r, min(
+                    x for x in touched if exp_raw[x] == r))
+                exp[v] = parent_min[r]
+            assert got == exp, f"seed {seed}"
+
+    def test_long_chain_converges(self, spark):
+        # path graph: worst-case diameter for label propagation
+        from vulnerablecode_spark.operators.components import (
+            connected_components)
+
+        n = 120
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "src long, dst long")
+        got = {r.node: r.component
+               for r in connected_components(df, max_iterations=200).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == n

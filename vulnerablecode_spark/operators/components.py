@@ -7,9 +7,14 @@ fixpoint, the standard DataFrame-only connected-components algorithm
 (what GraphFrames' ``connectedComponents`` does under the hood, without
 the dependency).
 
-Each iteration is one join + one aggregation, both hash-partitioned on the
-node id; convergence takes O(diameter) rounds and real identifier graphs
-are shallow (an advisory links to a handful of aliases).
+Each iteration is one neighbor-min join + one aggregation + one
+pointer-jumping self-join, all hash-partitioned on the node id. Plain
+min-label propagation converges in O(diameter) rounds — a silent
+correctness hazard on stringy graphs (a 100-node chain needs 100
+rounds); the pointer-jumping step (component ← label of component)
+halves label-tree depth each round, giving O(log n) convergence like the
+small-star/large-star formulations. Non-convergence raises instead of
+returning partial labels.
 """
 
 from __future__ import annotations
@@ -19,11 +24,15 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 30) -> DataFrame:
     """Undirected connected components: returns (node, component) where
     component is the MINIMUM node id reachable from ``node``.
 
     ``edges`` may be directed input; it is symmetrized internally.
+    Raises RuntimeError if ``max_iterations`` rounds don't reach the
+    fixpoint — with pointer jumping that bound is ~log2(n) + graph
+    constant, so 30 covers any realistic corpus; wrong-but-plausible
+    labels must never flow downstream silently.
     """
     spark = edges.sparkSession
     both = (
@@ -37,6 +46,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    converged = False
     for _ in range(max_iterations):
         # each node adopts the min label among itself and its neighbors
         neighbor_labels = (
@@ -48,16 +58,32 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        # pointer jumping: follow the label one more hop (component is
+        # itself a node id, so its row carries a possibly-smaller label) —
+        # label-tree depth halves per round
+        parents = new_labels.select(
+            F.col("node").alias("component"),
+            F.col("component").alias("_parent"))
+        jumped = (
+            new_labels.join(parents, "component", "left")
+            .select("node",
+                    F.coalesce("_parent", "component").alias("component"))
+        )
         # fixpoint check: any node whose label still shrinks?
         changed = (
-            new_labels.alias("n")
+            jumped.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") < F.col("o.component"))
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        labels = jumped.localCheckpoint(eager=True)  # truncate lineage
         if changed == 0:
+            converged = True
             break
     both.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations")
     return labels
