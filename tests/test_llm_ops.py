@@ -210,3 +210,53 @@ class TestConnectedComponentsProperty:
                for r in connected_components(df, max_iterations=200).collect()}
         assert set(got.values()) == {0}
         assert len(got) == n
+
+
+class TestMultimodalStages:
+    @pytest.fixture(scope="class")
+    def payloads(self, spark):
+        from vulnerablecode_spark.llm.multimodal import with_binary_payload
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+        return with_binary_payload(docs).cache()
+
+    def test_resize_contract(self, spark, payloads):
+        from vulnerablecode_spark.llm.multimodal import resize_images
+
+        out = resize_images(payloads, width=8, height=4)
+        rows = out.collect()
+        assert len(rows) == 50
+        assert all(r.width == 8 and r.height == 4 for r in rows)
+        # fake resample emits exactly width×height bytes — the binary
+        # column survives the Arrow round trip
+        assert all(len(r.payload) == 32 for r in rows)
+
+    def test_frame_sampling_fans_out(self, spark, payloads):
+        from vulnerablecode_spark.llm.multimodal import sample_frames
+
+        out = sample_frames(payloads, every_n=3, frame_bytes=64)
+        frames = out.collect()
+        assert len(frames) > 50                      # 1:N fan-out happened
+        by_doc = {}
+        for r in frames:
+            by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        for idxs in by_doc.values():
+            assert sorted(idxs) == idxs or sorted(idxs) == sorted(idxs)
+            assert all(i % 3 == 0 for i in idxs)     # every_n stride kept
+
+    def test_byte_histogram_is_valid_embedding(self, spark, payloads):
+        from vulnerablecode_spark.llm.multimodal import byte_histogram_features
+        from vulnerablecode_spark.llm.similarity import cosine_topk
+
+        feats = byte_histogram_features(payloads, bins=16)
+        rows = feats.collect()
+        assert len(rows) == 50
+        for r in rows:
+            assert len(r.features) == 16
+            assert abs(sum(r.features) - 1.0) < 1e-9     # normalized
+            assert all(v >= 0 for v in r.features)
+        # the features column plugs straight into the similarity operators
+        emb = feats.withColumnRenamed("doc_id", "vec_id") \
+                   .withColumnRenamed("features", "embedding")
+        top = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2)
+        assert top.count() > 0

@@ -20,7 +20,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (LongType, StringType, StructField,
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType,
+                               LongType, StringType, StructField,
                                StructType)
 
 MEDIA_META_SCHEMA = StructType([
@@ -89,3 +90,135 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
         .repartition(n)
         .mapInPandas(decode, MEDIA_META_SCHEMA)
     )
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame_payload", BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224,
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Resize stage: (id, payload) → (id, width, height, payload').
+
+    Real deployments swap the marked line for PIL
+    (``Image.open(io.BytesIO(b)).resize((w, h))``); here the pixel
+    resample is a deterministic fake (payload truncated/cycled to
+    width×height bytes) so the Spark-side contract — Arrow batches in,
+    binary column out, one Python worker per core — is fully exercised
+    without codecs. Closure is self-contained (pickled by value).
+    """
+    w, h = int(width), int(height)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        target = w * h
+
+        def fake_resample(b: bytes) -> bytes:
+            # REAL CODEC PLUG POINT: PIL.Image.open(...).resize((w, h))
+            if not b:
+                return bytes(target)
+            reps = target // len(b) + 1
+            return (b * reps)[:target]
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": _pd.Series([w] * len(pdf), dtype="int64"),
+                "height": _pd.Series([h] * len(pdf), dtype="int64"),
+                "payload": pdf[payload_col].map(fake_resample),
+            })
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .repartition(n).mapInPandas(resize, RESIZED_SCHEMA))
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
+                  id_col: str = "doc_id",
+                  payload_col: str = "payload") -> DataFrame:
+    """Frame-sampling stage: one video payload row → many frame rows.
+
+    The row fan-out (an input batch yields a LARGER output batch) is the
+    part that matters for the Spark contract — mapInPandas output is not
+    1:1 with input, and downstream operators see ordinary rows. The frame
+    split is a deterministic fake (fixed-size byte windows, every
+    ``every_n``-th kept); a real deployment decodes with av/ffmpeg at the
+    marked point. Closure is self-contained (pickled by value).
+    """
+    k, fb = int(every_n), int(frame_bytes)
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def frames(b: bytes):
+            # REAL CODEC PLUG POINT: av.open(io.BytesIO(b)).decode(video=0)
+            n_frames = max(len(b) // fb, 1)
+            for i in range(0, n_frames, k):
+                yield i, b[i * fb:(i + 1) * fb]
+
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                for i, fr in frames(b):
+                    ids.append(int(doc_id)); idxs.append(i)
+                    payloads.append(fr)
+            yield _pd.DataFrame({
+                "doc_id": _pd.Series(ids, dtype="int64"),
+                "frame_idx": _pd.Series(idxs, dtype="int64"),
+                "frame_payload": payloads,
+            })
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .repartition(n).mapInPandas(sample, FRAME_SCHEMA))
+
+
+def byte_histogram_features(df: DataFrame, bins: int = 16,
+                            id_col: str = "doc_id",
+                            payload_col: str = "payload") -> DataFrame:
+    """REAL (no stub) feature extraction: normalized ``bins``-bucket byte
+    histogram per payload as ``array<double>`` — a codec-free content
+    embedding usable by the cosine/ANN operators in llm.similarity.
+    Vectorized end-to-end: numpy ``frombuffer`` + ``bincount`` per Arrow
+    batch, no per-byte Python. Closure self-contained (pickled by value).
+    """
+    nb = int(bins)
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ])
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        shift = 8 - (nb - 1).bit_length()  # 256 values → nb buckets
+
+        def one(b: bytes):
+            if not b:
+                return [0.0] * nb
+            arr = _np.frombuffer(b, dtype=_np.uint8) >> shift
+            counts = _np.bincount(arr, minlength=nb).astype(_np.float64)
+            return list(counts / counts.sum())
+
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "features": pdf[payload_col].map(one),
+            })
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .repartition(n).mapInPandas(hist, out_schema))
