@@ -70,3 +70,32 @@ class TestPlanQuality:
         plan = plan_of(spark, "q08_latest_per_key")
         assert plan.count("Exchange") <= 2  # one hash partitioning (+AQE read)
         assert "Window" in plan
+
+
+class TestRound4PlanQuality:
+    def test_q31_uses_stored_bucket_not_inline_fold(self, spark):
+        """The graded ANN plan reads the precomputed bucket column from
+        the shared artifact — no hyperplane aggregate fold at query
+        time (the stored-column model for 100 TB)."""
+        plan = plan_of(spark, "q31_embedding_ann_lsh")
+        # corpus comes from the checkpointed artifact (Scan ExistingRDD),
+        # and the 8×64 hyperplane coefficient table never appears in the
+        # query plan — bucket is a stored column, not a per-query fold
+        assert "ExistingRDD" in plan
+        assert "-1000" not in plan and "hyperplane" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q46_centroid_joins_broadcast(self, spark):
+        """Every centroid-side join in the IVF plan broadcasts (the
+        centroid frame is n_cells rows — never shuffle the corpus
+        against it)."""
+        plan = plan_of(spark, "q46_ann_topk_ivf")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_q24_semi_join_gate_present(self, spark):
+        """The verify stage's inputs stay semi-joined to candidates —
+        non-candidates never enter the quadratic pair join."""
+        plan = plan_of(spark, "q24_ngram_jaccard")
+        assert "LeftSemi" in plan
+        assert "CartesianProduct" not in plan
