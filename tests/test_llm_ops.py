@@ -260,3 +260,58 @@ class TestMultimodalStages:
                    .withColumnRenamed("features", "embedding")
         top = cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=2)
         assert top.count() > 0
+
+
+class TestWinnowing:
+    def test_shared_run_shares_a_fingerprint(self, spark):
+        """Winnowing guarantee: two documents sharing a token run of
+        length ≥ w+n-1 (= 6 for n=3,w=4) share at least one fingerprint
+        hash."""
+        from vulnerablecode_spark.llm.dedup import winnowing_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [(1, "x1 y1 z1 " + shared + " tail one"),
+             (2, "completely different prefix words " + shared),
+             (3, "no overlap at all here whatsoever in this doc")],
+            "doc_id bigint, text string")
+        fp = winnowing_fingerprints(docs, n=3, w=4)
+        by_doc = {}
+        for r in fp.collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.h)
+        assert by_doc[1] & by_doc[2], "shared run produced no common fingerprint"
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_fingerprints_are_sparse(self, spark):
+        from vulnerablecode_spark.llm.dedup import (positional_shingle_hashes,
+                                                    winnowing_fingerprints)
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(100)
+        n_positions = positional_shingle_hashes(docs).count()
+        n_fp = winnowing_fingerprints(docs).count()
+        # winnowing keeps roughly 2/(w+1) of positions — assert well under half
+        assert 0 < n_fp < n_positions / 2
+
+
+class TestEmbeddingNearDup:
+    def test_subset_of_bruteforce_threshold_pairs(self, spark, embeddings):
+        from vulnerablecode_spark.llm.similarity import (
+            cosine, embedding_near_dup_pairs)
+
+        got = embedding_near_dup_pairs(embeddings, threshold=0.4)
+        rows = got.collect()
+        # every reported pair really is >= threshold, and bucket-equal
+        for r in rows:
+            assert r.cosine_sim >= 0.4
+        # brute-force all-pairs >= threshold is a superset
+        e = embeddings.select(F.col("vec_id").alias("id_a"),
+                              F.col("embedding").alias("va"))
+        f = embeddings.select(F.col("vec_id").alias("id_b"),
+                              F.col("embedding").alias("vb"))
+        brute = (e.join(f, F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b",
+                         F.round(cosine(F.col("va"), F.col("vb")), 4)
+                         .alias("c"))
+                 .filter(F.col("c") >= 0.4))
+        bset = {(r.id_a, r.id_b) for r in brute.collect()}
+        assert {(r.id_a, r.id_b) for r in rows} <= bset

@@ -315,3 +315,66 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                          F.lit(1 << b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         sig = bit_val if sig is None else sig + bit_val
     return per_doc.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def positional_shingle_hashes(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """POSITIONAL (id, pos, h) k-gram hashes — unlike
+    :func:`hashed_shingles` duplicates are kept and position is retained,
+    the input shape winnowing needs."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", *[F.element_at(toks, i + j + 1)
+                                   for j in range(n)]).alias("shingle")),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,shingle:string>>"))
+    return (
+        spread(df, id_col)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(F.col(id_col), F.col("g.pos").alias("pos"),
+                hash64(F.col("g.shingle")).alias("h"))
+    )
+
+
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS scheme): over every full window of ``w`` consecutive k-gram
+    hashes, select the RIGHTMOST minimal hash; the distinct selected
+    (position, hash) pairs are the document's fingerprints. Guarantees
+    at least one shared fingerprint for any match of length ≥ w+n-1.
+
+    Shape: one single-shuffle window (min over w rows) + a w-bounded
+    join back to resolve the argmin position with an explicit
+    rightmost-max tie-break — repeated shingles inside one window make
+    ties REAL, and leaving tie-break to an engine's arg_min would
+    diverge between engines.
+    """
+    ph = positional_shingle_hashes(df, text_col, id_col, n)
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
+    wm = (
+        ph.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") >= w - 1)
+        .select(F.col(id_col), F.col("pos").alias("wend"), "wmin")
+    )
+    cand = wm.join(
+        ph.select(F.col(id_col), F.col("pos").alias("p"),
+                  F.col("h").alias("ph_h")),
+        on=[id_col],
+    ).filter(
+        (F.col("p") >= F.col("wend") - (w - 1))
+        & (F.col("p") <= F.col("wend"))
+        & (F.col("ph_h") == F.col("wmin"))
+    )
+    return (
+        cand.groupBy(id_col, "wend")
+        .agg(F.max("p").alias("fp_pos"), F.min("wmin").alias("h"))
+        .select(F.col(id_col), F.col("fp_pos").alias("pos"), "h")
+        .distinct()
+    )

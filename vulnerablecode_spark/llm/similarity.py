@@ -297,3 +297,33 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 3,
         .filter(F.col("rk") <= k)
         .select("query_id", "bucket", "neighbor_id", "cosine_sim", "rk")
     )
+
+
+def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             bucket_col: str | None = None,
+                             bits: int = N_SIGN_BITS) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: same sign-LSH bucket and
+    cosine ≥ threshold — the dedup-shaped variant of :func:`ann_topk_lsh`
+    (pairs, not per-query top-k). The self-join is an equi-join on the
+    bucket id, so candidate enumeration is O(Σ bucket²), never corpus²;
+    at 100 TB the bucket is a stored column (``bucket_col``) and the
+    bucket space is sized by :func:`recommended_sign_bits`.
+    """
+    bucket = (F.col(bucket_col) if bucket_col
+              else sign_bucket(F.col(vec_col), bits=bits))
+    b = corpus.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("vec"),
+                      bucket.alias("bucket"))
+    left = b.select(F.col("vid").alias("id_a"),
+                    F.col("vec").alias("vec_a"), "bucket")
+    right = b.select(F.col("vid").alias("id_b"),
+                     F.col("vec").alias("vec_b"), "bucket")
+    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -510,3 +510,77 @@ def q46_ann_topk_ivf(spark, sf_dir):
     queries_df = emb.filter(F.col("vec_id") < 10)
     res = similarity.ann_topk_ivf(emb, queries_df, k=5, n_cells=16, nprobe=4)
     return res.withColumn("rk", F.col("rk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup — the dedup-shaped LSH variant (pairs over a
+# bucket self-join, not per-query top-k). llm/similarity.py
+# embedding_near_dup_pairs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q47_embedding_near_dup",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      CAST({_SQL_BUCKET} AS INT) AS bucket
+               FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b, bucket,
+               ROUND(list_dot_product(a.v, c.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(c.v, c.v))), 4) AS cosine_sim
+        FROM b a JOIN b c USING (bucket)
+        WHERE a.vec_id < c.vec_id)
+    SELECT id_a, id_b, bucket, cosine_sim
+    FROM pairs WHERE cosine_sim >= 0.4
+    """,
+)
+def q47_embedding_near_dup(spark, sf_dir):
+    emb = _embedding_artifacts(spark, sf_dir)["emb"]
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.4, bucket_col="bucket")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS scheme): rightmost-minimal hash per w-window
+# of positional k-gram hashes. llm/dedup.py winnowing_fingerprints; the
+# rightmost tie-break is explicit on both sides (repeated shingles inside a
+# window make ties real).
+# ---------------------------------------------------------------------------
+
+_SQL_POS_SHINGLES = rf"""
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           {_SQL_HASH64.format(
+               s="tokens[i+1] || ' ' || tokens[i+2] || ' ' || tokens[i+3]")}
+           AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         UNNEST(range(0, greatest(len(tokens) - 2, 0))) AS t(i)
+"""
+
+
+@query(
+    "q48_winnowing_fingerprints",
+    oracle=f"""
+    WITH ph AS ({_SQL_POS_SHINGLES}),
+    wm AS (
+        SELECT doc_id, pos AS wend,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM ph),
+    full_windows AS (SELECT * FROM wm WHERE wend >= 3),
+    cand AS (
+        SELECT w.doc_id, w.wend, p.pos, w.wmin
+        FROM full_windows w
+        JOIN ph p ON p.doc_id = w.doc_id
+                 AND p.pos BETWEEN w.wend - 3 AND w.wend
+                 AND p.h = w.wmin),
+    sel AS (
+        SELECT doc_id, wend, MAX(pos) AS fp_pos, MIN(wmin) AS h
+        FROM cand GROUP BY doc_id, wend)
+    SELECT DISTINCT doc_id, fp_pos AS pos, h FROM sel
+    """,
+)
+def q48_winnowing_fingerprints(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.winnowing_fingerprints(docs, n=3, w=4)
