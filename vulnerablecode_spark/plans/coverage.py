@@ -535,3 +535,75 @@ def q45_api_bulk_response(spark, sf_dir):
         )
     )
     return bulk_affected_response(affected)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 conflicting-package ToDos — the REAL operators/todos.py
+# conflicting_package_issues over an advisory frame synthesized from
+# orders: alias groups = customers, per-advisory affected/fixed package
+# sets derived from order keys, with every third advisory carrying a NULL
+# fixed_version — exercising the r3-ADVICE rule that packages without a
+# fixed version must NOT enter the fixed-set hash (concat_ws would
+# silently keep them as bare package names).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q49_conflicting_packages",
+    oracle="""
+    WITH adv AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS alias,
+               'pkg:gen/p' || CAST(o_orderkey % 3 AS VARCHAR)
+                   || '@vers:gen/>=1' AS aff1,
+               'pkg:gen/q' || CAST(o_orderkey % 2 AS VARCHAR)
+                   || '@vers:gen/>=2' AS aff2,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE 'pkg:gen/p' || CAST(o_orderkey % 3 AS VARCHAR)
+                         || '@1.' || CAST(o_orderkey % 5 AS VARCHAR) END
+                   AS fix1
+        FROM orders
+    ), canon AS (
+        SELECT alias,
+               LEAST(aff1, aff2) || '|' || GREATEST(aff1, aff2) AS aff_set,
+               COALESCE(fix1, '') AS fix_set
+        FROM adv
+    ), agg AS (
+        SELECT alias,
+               COUNT(DISTINCT aff_set) AS n_affected,
+               COUNT(DISTINCT fix_set) AS n_fixed,
+               COUNT(*) AS n_advisories
+        FROM canon GROUP BY alias
+    )
+    SELECT alias, n_advisories,
+           CASE WHEN n_affected > 1 AND n_fixed > 1
+                THEN 'CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES'
+                WHEN n_affected > 1 THEN 'CONFLICTING_AFFECTED_PACKAGES'
+                ELSE 'CONFLICTING_FIXED_BY_PACKAGES' END AS issue_type
+    FROM agg
+    WHERE n_advisories > 1 AND (n_affected > 1 OR n_fixed > 1)
+    """,
+)
+def q49_conflicting_packages(spark, sf_dir):
+    from vulnerablecode_spark.operators.todos import conflicting_package_issues
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    p1 = F.concat(F.lit("pkg:gen/p"), (k % 3).cast("string"))
+    p2 = F.concat(F.lit("pkg:gen/q"), (k % 2).cast("string"))
+    fix1 = F.when(k % 3 != 0,
+                  F.concat(F.lit("1."), (k % 5).cast("string")))
+    advisories = orders.select(
+        k.alias("advisory_pk"),
+        F.lit(True).alias("is_latest"),
+        F.array(F.col("o_custkey").cast("string")).alias("aliases"),
+        F.array(
+            F.struct(p1.alias("package"),
+                     F.lit("vers:gen/>=1").alias("affected_version_range"),
+                     fix1.alias("fixed_version")),
+            F.struct(p2.alias("package"),
+                     F.lit("vers:gen/>=2").alias("affected_version_range"),
+                     F.lit(None).cast("string").alias("fixed_version")),
+        ).alias("affected_packages"),
+        F.array().cast("array<int>").alias("weaknesses"),
+    )
+    return conflicting_package_issues(advisories)
