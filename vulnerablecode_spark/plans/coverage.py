@@ -607,3 +607,61 @@ def q49_conflicting_packages(spark, sf_dir):
         F.array().cast("array<int>").alias("weaknesses"),
     )
     return conflicting_package_issues(advisories)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 per-advisory completeness ToDos — the REAL operators/todos.py
+# per_advisory_issues (check_missing_summary + check_missing_affected_
+# and_fixed_by_packages, compute_advisory_todo.py:839-909) over a
+# synthesized advisory frame: summaries blank every 7th advisory,
+# affected ranges absent every 5th, fixed versions absent every 3rd —
+# including the reference rule that missing BOTH affected and fixed
+# collapses into ONE MISSING_AFFECTED_AND_FIXED_BY_PACKAGES issue.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_per_advisory_issues",
+    oracle="""
+    WITH adv AS (
+        SELECT o_orderkey AS advisory_pk,
+               'orders/' || CAST(o_orderkey AS VARCHAR) AS avid,
+               CASE WHEN o_orderkey % 7 = 0 THEN '  ' ELSE 'summary' END
+                   AS summary,
+               (o_orderkey % 5 <> 0) AS has_affected,
+               (o_orderkey % 3 <> 0) AS has_fixed
+        FROM orders
+    ), issues AS (
+        SELECT advisory_pk, avid, 'MISSING_SUMMARY' AS issue_type
+        FROM adv WHERE trim(summary) = ''
+        UNION ALL
+        SELECT advisory_pk, avid,
+               CASE WHEN NOT has_affected AND NOT has_fixed
+                    THEN 'MISSING_AFFECTED_AND_FIXED_BY_PACKAGES'
+                    WHEN NOT has_affected THEN 'MISSING_AFFECTED_PACKAGE'
+                    ELSE 'MISSING_FIXED_BY_PACKAGE' END
+        FROM adv WHERE NOT has_affected OR NOT has_fixed
+    )
+    SELECT advisory_pk, avid, issue_type FROM issues
+    """,
+)
+def q50_per_advisory_issues(spark, sf_dir):
+    from vulnerablecode_spark.operators.todos import per_advisory_issues
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    entry = F.struct(
+        F.lit("pkg:gen/p").alias("package"),
+        F.when(k % 5 != 0, F.lit("vers:gen/>=1"))
+         .alias("affected_version_range"),
+        F.when(k % 3 != 0, F.lit("1.0")).alias("fixed_version"),
+    )
+    advisories = orders.select(
+        k.alias("advisory_pk"),
+        F.concat(F.lit("orders/"), k.cast("string")).alias("avid"),
+        F.lit(True).alias("is_latest"),
+        F.when(k % 7 == 0, F.lit("  ")).otherwise(F.lit("summary"))
+         .alias("summary"),
+        F.array(entry).alias("affected_packages"),
+    )
+    return per_advisory_issues(advisories)
