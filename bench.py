@@ -71,12 +71,31 @@ def main() -> None:
     spark._jvm.System.gc()
     time.sleep(0.5)
 
+    # Median of 3 reps per query: single-shot numbers on this shared-tenant
+    # box swing several-fold with neighbor load (see load_avg_1m), and the
+    # median is the standard way to report a latency benchmark. Fairness
+    # rules: (a) the DuckDB baseline below gets the identical median-of-3
+    # treatment; (b) the artifact registries are CLEARED before every rep
+    # of each family's first query (q24 near-dup, q30 embeddings), so the
+    # shared-index build cost is inside those queries' every rep — reps
+    # never ride work done by a previous rep. Later family members
+    # (q25/q31) read the shared artifacts by design, exactly like the
+    # production shape where the index is materialized once.
+    REPS = 3
+    FAMILY_FIRST = {"q24_ngram_jaccard", "q30_embedding_topk"}
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 3)
-        print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        reps = []
+        for _ in range(REPS):
+            if name in FAMILY_FIRST:
+                _plans_llm._ARTIFACTS.clear()
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            reps.append(time.perf_counter() - start)
+        timings[name] = round(sorted(reps)[REPS // 2], 3)
+        print(f"# {name}: {timings[name]}s  (reps "
+              f"{[round(r, 3) for r in reps]})", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
 
@@ -104,9 +123,12 @@ def main() -> None:
         for name in HEADLINE:
             if name not in ORACLES:
                 continue
-            start = time.perf_counter()
-            con.execute(ORACLES[name]).fetchall()
-            duck_timings[name] = round(time.perf_counter() - start, 3)
+            reps = []
+            for _ in range(REPS):
+                start = time.perf_counter()
+                con.execute(ORACLES[name]).fetchall()
+                reps.append(time.perf_counter() - start)
+            duck_timings[name] = round(sorted(reps)[REPS // 2], 3)
     except Exception as exc:  # baseline is informational — never fail bench
         print(f"# duckdb baseline skipped: {exc}", file=sys.stderr)
 
