@@ -99,3 +99,17 @@ class TestRound4PlanQuality:
         plan = plan_of(spark, "q24_ngram_jaccard")
         assert "LeftSemi" in plan
         assert "CartesianProduct" not in plan
+
+    def test_new_graded_queries_no_cartesian(self, spark):
+        for name in ("q47_embedding_near_dup", "q48_winnowing_fingerprints",
+                     "q49_conflicting_packages", "q50_per_advisory_issues"):
+            plan = plan_of(spark, name)
+            assert "CartesianProduct" not in plan, name
+
+    def test_q48_single_window_shuffle(self, spark):
+        """Winnowing's window min is one shuffle on doc_id; the argmin
+        resolution join reuses the same key."""
+        plan = plan_of(spark, "q48_winnowing_fingerprints")
+        assert plan.count("Window") >= 1
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan
