@@ -48,16 +48,15 @@ def parse_ruby_yaml(files: DataFrame) -> DataFrame:
                 if part.startswith("~>"):
                     v = part[2:].strip()
                     nums = v.split(".")
-                    if len(nums) >= 2:
-                        try:
-                            bumped = nums[:-1]
-                            bumped[-1] = str(int(bumped[-1]) + 1)
-                            out.append((">=", v))
-                            out.append(("<", ".".join(bumped)))
-                            continue
-                        except ValueError:
-                            pass
-                    out.append((">=", v))
+                    try:
+                        # ~> X.Y.Z → >=X.Y.Z, <X.(Y+1); single-segment
+                        # ~> X → >=X, <X+1 (Gem pessimistic semantics)
+                        bumped = nums[:-1] if len(nums) >= 2 else list(nums)
+                        bumped[-1] = str(int(bumped[-1]) + 1)
+                        out.append((">=", v))
+                        out.append(("<", ".".join(bumped)))
+                    except ValueError:
+                        out.append((">=", v))
                     continue
                 for op in (">=", "<=", "!=", ">", "<", "="):
                     if part.startswith(op):
