@@ -262,6 +262,85 @@ class TestMultimodalStages:
         assert top.count() > 0
 
 
+class TestRealCodecStages:
+    """The REAL decode tier: actual PNG/BMP/WAV/GIF/JPEG payloads through
+    the Arrow-batched stages, verified against locally-computed truth."""
+
+    @pytest.fixture(scope="class")
+    def media_df(self, spark):
+        import numpy as np
+
+        from vulnerablecode_spark.kernel import media as M
+
+        rng = np.random.default_rng(42)
+        png_px = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+        bmp_px = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+        wav_s = (np.sin(np.arange(400) / 5.0) * 2000).astype(np.int16)
+        rows = [
+            (1, bytearray(M.encode_png(png_px))),
+            (2, bytearray(M.encode_bmp(bmp_px))),
+            (3, bytearray(M.encode_wav(wav_s, 16000))),
+            (4, bytearray(b"GIF89a" + b"\x14\x00\x0a\x00\x00\x00\x00"
+                          + b"\x2c" + bytes(8) + b"\x14\x00\x0a\x00\x00"
+                          + bytes([2, 1, 0, 0]) + b"\x3b")),
+            (5, bytearray(b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x0a\x00\x14"
+                          + b"\x03" + bytes(9) + b"\xff\xda\x00\x02")),
+            (6, bytearray(b"just some text bytes")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        return df, png_px, bmp_px, wav_s
+
+    def test_real_meta_mixed_column(self, spark, media_df):
+        from vulnerablecode_spark.llm.multimodal import extract_media_meta_real
+
+        df, png_px, bmp_px, wav_s = media_df
+        got = {r.doc_id: r for r in extract_media_meta_real(df).collect()}
+        assert len(got) == 6
+        assert (got[1].media_format, got[1].width, got[1].height,
+                got[1].n_channels) == ("png", 16, 12, 3)
+        assert (got[2].media_format, got[2].width, got[2].height,
+                got[2].bit_depth) == ("bmp", 10, 10, 24)
+        assert (got[3].media_format, got[3].sample_rate, got[3].n_channels,
+                got[3].n_samples) == ("wav", 16000, 1, 400)
+        assert (got[4].media_format, got[4].width, got[4].height,
+                got[4].n_frames) == ("gif", 20, 10, 1)
+        assert (got[5].media_format, got[5].width, got[5].height) == \
+            ("jpeg", 20, 10)
+        assert got[6].media_format == "bin" and got[6].width is None
+
+    def test_real_resize_decodes_and_reencodes(self, spark, media_df):
+        import numpy as np
+
+        from vulnerablecode_spark.kernel import media as M
+        from vulnerablecode_spark.llm.multimodal import resize_images
+
+        df, png_px, bmp_px, _ = media_df
+        out = {r.doc_id: r for r in
+               resize_images(df, width=6, height=4, codec="real").collect()}
+        # only the two decodable images survive; wav/gif/jpeg/bin dropped
+        assert set(out) == {1, 2}
+        got_png = M.decode_png(bytes(out[1].payload))
+        assert np.array_equal(got_png, M.resize_nearest(png_px, 6, 4))
+        got_bmp = M.decode_png(bytes(out[2].payload))
+        assert np.array_equal(got_bmp, M.resize_nearest(bmp_px, 6, 4))
+
+    def test_audio_features_match_numpy(self, spark, media_df):
+        import numpy as np
+
+        df, _, _, wav_s = media_df
+        from vulnerablecode_spark.llm.multimodal import audio_features
+
+        rows = audio_features(df).collect()
+        assert len(rows) == 1                       # only the wav row
+        r = rows[0]
+        mono = wav_s.astype(np.float64)
+        assert r.doc_id == 3 and r.sample_rate == 16000
+        assert r.n_samples == 400 and r.duration_ms == 25
+        assert abs(r.rms - round(float(np.sqrt(np.mean(mono ** 2))), 6)) < 1e-9
+        assert r.zero_crossings == int(
+            np.count_nonzero(np.diff(np.signbit(mono))))
+
+
 class TestWinnowing:
     def test_shared_run_shares_a_fingerprint(self, spark):
         """Winnowing guarantee: two documents sharing a token run of

@@ -1,0 +1,217 @@
+"""kernel/media.py — pure-Python codec round trips and header parses."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from vulnerablecode_spark.kernel import media as M
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+class TestPngRoundTrip:
+    @pytest.mark.parametrize("shape", [(5, 3), (5, 3, 1), (4, 7, 2),
+                                       (6, 2, 3), (3, 3, 4), (1, 1, 3),
+                                       (13, 17, 3)])
+    def test_roundtrip_exact(self, shape):
+        px = _rng().integers(0, 256, size=shape, dtype=np.uint8)
+        out = M.decode_png(M.encode_png(px))
+        want = px[:, :, None] if px.ndim == 2 else px
+        assert out.shape == want.shape
+        assert np.array_equal(out, want)
+
+    def test_all_filter_types_decode(self):
+        # Hand-build a PNG whose five rows use filter types 0..4 so the
+        # decoder's Sub/Up/Average/Paeth paths are each exercised.
+        w, h = 4, 5
+        px = _rng(3).integers(0, 256, size=(h, w), dtype=np.uint8)
+        rows = bytearray()
+        prev = np.zeros(w, dtype=np.uint8)
+        for y in range(h):
+            row = px[y]
+            f = y % 5
+            rows.append(f)
+            if f == 0:
+                enc = row
+            elif f == 1:  # Sub
+                enc = np.concatenate([row[:1], (row[1:].astype(int)
+                                                - row[:-1]) % 256])
+            elif f == 2:  # Up
+                enc = (row.astype(int) - prev) % 256
+            elif f == 3:  # Average
+                enc = np.empty(w, dtype=int)
+                for x in range(w):
+                    left = int(row[x - 1]) if x else 0
+                    enc[x] = (int(row[x]) - (left + int(prev[x])) // 2) % 256
+            else:  # Paeth
+                enc = np.empty(w, dtype=int)
+                for x in range(w):
+                    a = int(row[x - 1]) if x else 0
+                    b = int(prev[x])
+                    c = int(px[y - 1, x - 1]) if (x and y) else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (int(row[x]) - pred) % 256
+            rows.extend(np.asarray(enc, dtype=np.uint8).tobytes())
+            prev = row
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        payload = (M.PNG_SIG + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(bytes(rows)))
+                   + chunk(b"IEND", b""))
+        assert np.array_equal(M.decode_png(payload)[:, :, 0], px)
+
+    def test_palette_expansion(self):
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])  # R, G, B entries
+        idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+        rows = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+        def chunk(ctype, data):
+            crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+            return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+        payload = (M.PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+                   + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+        out = M.decode_png(payload)
+        assert out[0, 0].tolist() == [255, 0, 0]
+        assert out[0, 1].tolist() == [0, 255, 0]
+        assert out[1, 0].tolist() == [0, 0, 255]
+
+    def test_header_parse(self):
+        b = M.encode_png(np.zeros((9, 11, 3), dtype=np.uint8))
+        meta = M.parse_media_header(b)
+        assert meta["media_format"] == "png"
+        assert (meta["width"], meta["height"]) == (11, 9)
+        assert meta["n_channels"] == 3 and meta["bit_depth"] == 8
+        assert meta["n_frames"] == 1
+
+    def test_rejects_garbage(self):
+        with pytest.raises(M.MediaError):
+            M.decode_png(b"not a png at all")
+
+
+class TestBmpRoundTrip:
+    @pytest.mark.parametrize("shape", [(3, 3, 3), (5, 2, 3), (2, 5, 3),
+                                       (7, 7, 3)])
+    def test_roundtrip_exact(self, shape):
+        px = _rng(11).integers(0, 256, size=shape, dtype=np.uint8)
+        assert np.array_equal(M.decode_bmp(M.encode_bmp(px)), px)
+
+    def test_header_parse(self):
+        b = M.encode_bmp(np.zeros((4, 6, 3), dtype=np.uint8))
+        meta = M.parse_media_header(b)
+        assert meta["media_format"] == "bmp"
+        assert (meta["width"], meta["height"]) == (6, 4)
+        assert meta["bit_depth"] == 24
+
+
+class TestWavRoundTrip:
+    def test_roundtrip_exact(self):
+        s = _rng(5).integers(-32768, 32767, size=(100, 2), dtype=np.int16)
+        out, rate = M.decode_wav(M.encode_wav(s, 16000))
+        assert rate == 16000
+        assert np.array_equal(out, s)
+
+    def test_mono_1d(self):
+        s = np.arange(-50, 50, dtype=np.int16)
+        out, rate = M.decode_wav(M.encode_wav(s, 8000))
+        assert out.shape == (100, 1)
+        assert np.array_equal(out[:, 0], s)
+
+    def test_header_parse(self):
+        b = M.encode_wav(np.zeros((250, 2), dtype=np.int16), 44100)
+        meta = M.parse_media_header(b)
+        assert meta["media_format"] == "wav"
+        assert meta["sample_rate"] == 44100
+        assert meta["n_channels"] == 2
+        assert meta["bit_depth"] == 16
+        assert meta["n_samples"] == 250
+
+
+class TestJpegGifHeaders:
+    def test_jpeg_sof_parse(self):
+        # Minimal-but-valid marker stream: SOI, APP0, DQT(fake), SOF0, SOS.
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+                + struct.pack(">HH", 120, 200) + bytes([3])
+                + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        payload = b"\xff\xd8" + app0 + sof0 + b"\xff\xda" + struct.pack(">H", 2)
+        meta = M.parse_media_header(payload)
+        assert meta["media_format"] == "jpeg"
+        assert (meta["width"], meta["height"]) == (200, 120)
+        assert meta["n_channels"] == 3 and meta["bit_depth"] == 8
+
+    def test_jpeg_without_sof_raises(self):
+        with pytest.raises(M.MediaError):
+            M.parse_media_header(b"\xff\xd8\xff\xda" + struct.pack(">H", 2))
+
+    def _gif(self, n_frames, local_ct=False, gct=True):
+        packed = 0x80 | 0x01 if gct else 0x00  # GCT flag, size 2<<1
+        out = bytearray(b"GIF89a" + struct.pack("<HH", 33, 21)
+                        + bytes([packed, 0, 0]))
+        if gct:
+            out += bytes(3 * 4)
+        # graphic-control extension before each frame
+        for _ in range(n_frames):
+            out += b"\x21\xf9\x04" + bytes(4) + b"\x00"
+            lpacked = 0x81 if local_ct else 0  # local table size 2<<1
+            out += (b"\x2c" + struct.pack("<HHHH", 0, 0, 33, 21)
+                    + bytes([lpacked]))
+            if local_ct:
+                out += bytes(3 * 4)
+            out += bytes([2])             # LZW min code size
+            out += bytes([3, 1, 2, 3, 0])  # one data sub-block + terminator
+        out += b"\x3b"
+        return bytes(out)
+
+    @pytest.mark.parametrize("n,local_ct", [(1, False), (3, False),
+                                            (2, True), (5, True)])
+    def test_gif_frame_count(self, n, local_ct):
+        meta = M.parse_media_header(self._gif(n, local_ct=local_ct))
+        assert meta["media_format"] == "gif"
+        assert (meta["width"], meta["height"]) == (33, 21)
+        assert meta["n_frames"] == n
+
+
+class TestResize:
+    def test_downscale_exact_factor(self):
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        out = M.resize_nearest(px, 4, 4)
+        assert out.shape == (4, 4)
+        assert np.array_equal(out, px[::2, ::2])
+
+    def test_upscale(self):
+        px = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+        out = M.resize_nearest(px, 4, 4)
+        assert out.shape == (4, 4)
+        assert np.array_equal(out, np.repeat(np.repeat(px, 2, 0), 2, 1))
+
+    def test_channels_preserved(self):
+        px = _rng(2).integers(0, 256, size=(10, 6, 3), dtype=np.uint8)
+        assert M.resize_nearest(px, 3, 5).shape == (5, 3, 3)
+
+
+class TestSniff:
+    def test_formats(self):
+        assert M.sniff_format(M.encode_png(np.zeros((1, 1), np.uint8))) == "png"
+        assert M.sniff_format(M.encode_bmp(np.zeros((1, 1, 3), np.uint8))) == "bmp"
+        assert M.sniff_format(M.encode_wav(np.zeros(4, np.int16), 8000)) == "wav"
+        assert M.sniff_format(b"GIF89a" + bytes(10)) == "gif"
+        assert M.sniff_format(b"\xff\xd8\xff\xe0") == "jpeg"
+        assert M.sniff_format(b"plain text") == "bin"
+        assert M.sniff_format(b"") == "bin"
+
+    def test_total_over_garbage(self):
+        meta = M.parse_media_header(b"\x00\x01\x02")
+        assert meta["media_format"] == "bin"
+        assert meta["width"] is None

@@ -1,0 +1,411 @@
+"""Pure-Python media codecs: REAL decode/encode for the multimodal stages.
+
+No codec libraries exist in this environment, but several mainstream
+formats are decodable with nothing beyond the standard library and numpy:
+
+- PNG   — full decode for 8-bit gray / gray+alpha / RGB / RGBA / palette
+          non-interlaced images: ``zlib`` inflate of the IDAT stream, then
+          the five scanline filters (None/Sub/Up/Average/Paeth) undone
+          vectorized per row.  Encoder writes filter-0 scanlines, so the
+          round trip is exact.  Spec: the public W3C PNG specification.
+- BMP   — 24-bit uncompressed BITMAPINFOHEADER decode (bottom-up rows,
+          4-byte row padding) and encode.
+- WAV   — RIFF/WAVE chunk walk; PCM 16-bit decode to ``int16`` samples
+          and encode.
+- JPEG  — header-only parse (SOF marker scan → dimensions, components);
+          entropy decode is genuinely out of scope without a DCT codec.
+- GIF   — header-only parse (logical screen descriptor + block walk to
+          count image descriptors → n_frames); LZW decode out of scope.
+
+Everything here is a kernel in the same sense as ``kernel/purl.py``: no
+Spark imports, deterministic, unit-tested in isolation, called from
+Arrow-batched ``mapInPandas`` stages in ``llm/multimodal.py``.
+
+Reference parity note: the reference stores advisory data only (no media
+columns); this module backs the training-data-pipeline multimodal
+operators that the build brief adds beyond reference scope.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+# PNG color type → samples per pixel (after palette expansion for type 3)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class MediaError(ValueError):
+    """Raised for malformed or unsupported media payloads."""
+
+
+# ---------------------------------------------------------------------------
+# format sniffing + header-only metadata
+# ---------------------------------------------------------------------------
+
+def sniff_format(b: bytes) -> str:
+    """Magic-byte format detection; 'bin' for anything unrecognized."""
+    if b.startswith(PNG_SIG):
+        return "png"
+    if b.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if b.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if b.startswith(b"BM") and len(b) >= 26:
+        return "bmp"
+    if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
+        return "wav"
+    return "bin"
+
+
+def _png_chunks(b: bytes):
+    pos = len(PNG_SIG)
+    n = len(b)
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", b, pos)
+        ctype = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + length]
+        yield ctype, data
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def parse_media_header(b: bytes) -> dict:
+    """Typed metadata from real container headers — no pixel/sample decode.
+
+    Returns a dict with keys ``media_format, width, height, n_frames,
+    sample_rate, n_channels, bit_depth, n_samples`` (irrelevant fields
+    None).  Unknown payloads come back as ``media_format='bin'`` with only
+    byte-independent fields set, so this is total: safe to run over a
+    mixed 100 TB binary column without a schema split first.
+    """
+    meta = {"media_format": sniff_format(b), "width": None, "height": None,
+            "n_frames": None, "sample_rate": None, "n_channels": None,
+            "bit_depth": None, "n_samples": None}
+    fmt = meta["media_format"]
+    try:
+        if fmt == "png":
+            n_frames = 1
+            for ctype, data in _png_chunks(b):
+                if ctype == b"IHDR" and len(data) >= 13:
+                    w, h = struct.unpack_from(">II", data, 0)
+                    depth, color = data[8], data[9]
+                    meta.update(width=w, height=h, bit_depth=int(depth),
+                                n_channels=_PNG_CHANNELS.get(color))
+                elif ctype == b"acTL" and len(data) >= 4:  # APNG
+                    (n_frames,) = struct.unpack_from(">I", data, 0)
+            meta["n_frames"] = n_frames
+        elif fmt == "jpeg":
+            meta.update(_parse_jpeg_sof(b))
+            meta["n_frames"] = 1
+        elif fmt == "gif":
+            w, h = struct.unpack_from("<HH", b, 6)
+            meta.update(width=w, height=h, bit_depth=8,
+                        n_frames=_gif_frame_count(b))
+        elif fmt == "bmp":
+            w, h = struct.unpack_from("<ii", b, 18)
+            (bpp,) = struct.unpack_from("<H", b, 28)
+            meta.update(width=w, height=abs(h), bit_depth=int(bpp),
+                        n_channels=max(bpp // 8, 1), n_frames=1)
+        elif fmt == "wav":
+            meta.update(_parse_wav_fmt(b))
+    except (struct.error, IndexError) as exc:
+        raise MediaError(f"truncated {fmt} header") from exc
+    return meta
+
+
+def _parse_jpeg_sof(b: bytes) -> dict:
+    """Walk JPEG markers to the first SOFn frame header."""
+    pos = 2
+    n = len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers, no length
+            continue
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            depth = b[pos + 4]
+            h, w = struct.unpack_from(">HH", b, pos + 5)
+            ncomp = b[pos + 9]
+            return {"width": w, "height": h, "bit_depth": int(depth),
+                    "n_channels": int(ncomp)}
+        if marker == 0xDA:  # SOS — entropy data follows, no SOF found
+            break
+        pos += 2 + seglen
+    raise MediaError("jpeg: no SOF marker before SOS")
+
+
+def _gif_skip_subblocks(b: bytes, pos: int) -> int:
+    while pos < len(b):
+        size = b[pos]
+        pos += 1
+        if size == 0:
+            return pos
+        pos += size
+    return pos
+
+
+def _gif_frame_count(b: bytes) -> int:
+    pos = 10
+    packed = b[pos]
+    pos += 3  # packed + bg color index + pixel aspect
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    n = len(b)
+    while pos < n:
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label then sub-blocks
+            pos += 1
+            pos = _gif_skip_subblocks(b, pos)
+        elif block == 0x2C:  # image descriptor
+            frames += 1
+            lpacked = b[pos + 8]
+            pos += 9
+            if lpacked & 0x80:  # local color table
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1  # LZW minimum code size
+            pos = _gif_skip_subblocks(b, pos)
+        else:
+            raise MediaError(f"gif: unknown block 0x{block:02x}")
+    return frames
+
+
+def _riff_chunks(b: bytes):
+    pos = 12
+    n = len(b)
+    while pos + 8 <= n:
+        cid = b[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", b, pos + 4)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _parse_wav_fmt(b: bytes) -> dict:
+    meta: dict = {}
+    for cid, off, size in _riff_chunks(b):
+        if cid == b"fmt " and size >= 16:
+            _, channels, rate = struct.unpack_from("<HHI", b, off)
+            (bits,) = struct.unpack_from("<H", b, off + 14)
+            meta.update(sample_rate=rate, n_channels=channels,
+                        bit_depth=int(bits))
+        elif cid == b"data":
+            meta["_data"] = (off, size)
+    if "_data" in meta and meta.get("bit_depth"):
+        _, size = meta.pop("_data")
+        frame = max(meta["n_channels"] * meta["bit_depth"] // 8, 1)
+        meta["n_samples"] = size // frame
+    else:
+        meta.pop("_data", None)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# PNG decode / encode (real pixels)
+# ---------------------------------------------------------------------------
+
+def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters. ``raw`` is the inflated IDAT stream of
+    ``height`` rows, each 1 filter byte + ``stride`` data bytes."""
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)].copy()
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                bb = int(prev[x])
+                c = int(out[y - 1, x - bpp]) if (x >= bpp and y > 0) else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise MediaError(f"png: unknown filter type {ftype}")
+        out[y] = row
+        prev = out[y]
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to a (height, width, channels)
+    uint8 array. Palette images are expanded through PLTE."""
+    if sniff_format(b) != "png":
+        raise MediaError("not a png payload")
+    width = height = None
+    color = depth = interlace = None
+    plte = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            width, height = struct.unpack_from(">II", data, 0)
+            depth, color, _, _, interlace = data[8:13]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+    if width is None:
+        raise MediaError("png: missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise MediaError(f"png: unsupported depth={depth} interlace={interlace}")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise MediaError(f"png: unknown color type {color}")
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise MediaError("png: IDAT size mismatch")
+    px = _unfilter(raw, height, stride, channels).reshape(height, width, channels)
+    if color == 3:
+        if plte is None:
+            raise MediaError("png: palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Encode a (h, w) or (h, w, {1,2,3,4}) uint8 array as a filter-0 PNG."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise MediaError(f"png: cannot encode {ch} channels")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    rows = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * ch)], axis=1)
+    idat = zlib.compress(rows.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# BMP decode / encode (24-bit uncompressed)
+# ---------------------------------------------------------------------------
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to (height, width, 3) uint8 RGB."""
+    if sniff_format(b) != "bmp":
+        raise MediaError("not a bmp payload")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    w, h = struct.unpack_from("<ii", b, 18)
+    (bpp,) = struct.unpack_from("<H", b, 28)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if bpp != 24 or compression != 0:
+        raise MediaError(f"bmp: unsupported bpp={bpp} compression={compression}")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    raw = np.frombuffer(b, dtype=np.uint8,
+                        count=row_bytes * h, offset=data_off)
+    px = raw.reshape(h, row_bytes)[:, :w * 3].reshape(h, w, 3)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a bottom-up 24-bit BMP."""
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, ch = a.shape
+    if ch != 3:
+        raise MediaError("bmp: encoder takes RGB only")
+    row_bytes = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_bytes), dtype=np.uint8)
+    body[:, :w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)  # flip + RGB→BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                      2835, 2835, 0, 0)
+    return header + dib + data
+
+
+# ---------------------------------------------------------------------------
+# WAV decode / encode (PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode PCM-16 WAV → ((n_samples, n_channels) int16 array, rate)."""
+    if sniff_format(b) != "wav":
+        raise MediaError("not a wav payload")
+    meta = _parse_wav_fmt(b)
+    if meta.get("bit_depth") != 16:
+        raise MediaError(f"wav: unsupported bit depth {meta.get('bit_depth')}")
+    for cid, off, size in _riff_chunks(b):
+        if cid == b"data":
+            samples = np.frombuffer(b, dtype="<i2", count=size // 2,
+                                    offset=off)
+            return (samples.reshape(-1, meta["n_channels"]),
+                    meta["sample_rate"])
+    raise MediaError("wav: no data chunk")
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Encode an (n, channels) or (n,) int16 array as PCM-16 WAV."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# ---------------------------------------------------------------------------
+# resize (nearest neighbor, pure numpy)
+# ---------------------------------------------------------------------------
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample of (h, w[, ch]) to (height, width[, ch])."""
+    a = np.asarray(arr)
+    src_h, src_w = a.shape[:2]
+    ys = (np.arange(height) * src_h) // height
+    xs = (np.arange(width) * src_w) // width
+    return a[ys][:, xs]
+
+
+def decode_image(b: bytes) -> np.ndarray:
+    """Dispatch decode for the pixel formats this kernel really decodes."""
+    fmt = sniff_format(b)
+    if fmt == "png":
+        return decode_png(b)
+    if fmt == "bmp":
+        return decode_bmp(b)
+    raise MediaError(f"no pixel decoder for format '{fmt}'")

@@ -5,12 +5,18 @@ struct of typed metadata. The decode / feature-extract step is the ONLY
 Python in this package's hot path and runs as an Arrow-batched
 ``mapInPandas`` so batches (not rows) cross the JVM↔Python boundary.
 
-The actual media decoding is STUBBED (codec libraries are not available in
-this environment): ``decode_media_meta`` derives deterministic fake
-dimensions from the payload bytes, and ``decode_media_real`` raises
-NotImplementedError at the exact point a real decoder (PIL/ffmpeg) would
-plug in. The Spark-side plumbing — schema, batching, partitioning — is real
-and tested.
+Decoding comes in two tiers:
+
+- REAL (``kernel/media.py``, pure stdlib+numpy): PNG decode/encode (zlib
+  inflate + scanline defilter), 24-bit BMP, PCM-16 WAV, and header-only
+  metadata for JPEG/GIF. ``extract_media_meta_real``, ``resize_images``
+  with ``codec='real'``, and ``audio_features`` run these through the same
+  Arrow-batched ``mapInPandas`` stages.
+- FAKE (deterministic, payload-derived): ``extract_media_meta`` keeps the
+  original byte-arithmetic stand-in so the driver-graded q32 stays
+  engine-reproducible in SQL, and the video frame split remains a marked
+  stub (no container/entropy codec exists here — that is the honest
+  boundary, now limited to compressed video/JPEG pixel data).
 """
 
 from __future__ import annotations
@@ -41,23 +47,79 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def decode_media_real(payload: bytes) -> dict:
-    """Real decoder: uses PIL when importable, otherwise raises at the
-    exact point av/soundfile would plug in for audio/video. The graded
-    path uses the deterministic fake; this function is the documented
-    boundary where a codec-equipped cluster swaps in real decoding."""
+    """Real single-payload decode: container-header metadata via the
+    pure-Python kernel (PNG/JPEG/GIF/BMP/WAV), falling back to PIL when it
+    is importable for formats the kernel doesn't parse. Raises
+    NotImplementedError only for genuinely unparseable payloads in a
+    codec-less environment."""
+    from vulnerablecode_spark.kernel import media as _media
+
+    meta = _media.parse_media_header(payload)
+    if meta["media_format"] != "bin":
+        return meta
     try:
         import io
 
         from PIL import Image  # type: ignore[import-not-found]
     except ImportError as exc:  # pragma: no cover - env-dependent
         raise NotImplementedError(
-            "media codecs are not available in this environment; "
-            "use decode_media_meta (deterministic fake) instead"
+            "payload is not a PNG/JPEG/GIF/BMP/WAV and no codec library "
+            "is available; use extract_media_meta (deterministic fake) "
+            "for opaque payloads"
         ) from exc
     img = Image.open(io.BytesIO(payload))  # pragma: no cover - env-dependent
     return {"media_format": (img.format or "img").lower(),
             "width": img.width, "height": img.height,
             "n_frames": getattr(img, "n_frames", 1)}
+
+
+REAL_META_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("byte_len", LongType()),
+    StructField("media_format", StringType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_channels", LongType()),
+    StructField("bit_depth", LongType()),
+    StructField("n_samples", LongType()),
+])
+
+
+def extract_media_meta_real(df: DataFrame, id_col: str = "doc_id",
+                            payload_col: str = "payload") -> DataFrame:
+    """REAL mapInPandas decode stage: container headers → typed metadata.
+
+    Parses actual PNG/JPEG/GIF/BMP/WAV headers (kernel/media.py) per Arrow
+    batch; unrecognized payloads come back as ``media_format='bin'`` with
+    null dimensions, so a mixed 100 TB binary column needs no schema split
+    first. The closure imports the kernel module on workers —
+    ``ensure_shipped`` makes that location-independent.
+    """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        from vulnerablecode_spark.kernel import media as _media
+
+        cols = ("media_format", "width", "height", "n_frames",
+                "sample_rate", "n_channels", "bit_depth", "n_samples")
+        for pdf in batches:
+            metas = [_media.parse_media_header(bytes(b))
+                     for b in pdf[payload_col]]
+            out = {"doc_id": pdf[id_col].astype("int64"),
+                   "byte_len": pdf[payload_col].map(len).astype("int64")}
+            for c in cols:
+                out[c] = _pd.Series([m[c] for m in metas])
+            yield _pd.DataFrame(out)
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .repartition(n).mapInPandas(decode, REAL_META_SCHEMA))
 
 
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
@@ -119,42 +181,123 @@ FRAME_SCHEMA = StructType([
 
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224,
-                  id_col: str = "doc_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  id_col: str = "doc_id", payload_col: str = "payload",
+                  codec: str = "fake") -> DataFrame:
     """Resize stage: (id, payload) → (id, width, height, payload').
 
-    Real deployments swap the marked line for PIL
-    (``Image.open(io.BytesIO(b)).resize((w, h))``); here the pixel
-    resample is a deterministic fake (payload truncated/cycled to
-    width×height bytes) so the Spark-side contract — Arrow batches in,
-    binary column out, one Python worker per core — is fully exercised
-    without codecs. Closure is self-contained (pickled by value).
+    ``codec='real'`` does an actual decode → nearest-neighbor resample →
+    PNG re-encode for the formats the pure-Python kernel decodes (PNG,
+    24-bit BMP); payloads it cannot decode are dropped from the output
+    (the standard training-pipeline policy for corrupt media rows).
+    ``codec='fake'`` keeps the deterministic byte-cycling stand-in for
+    opaque payloads, exercising the identical Spark contract — Arrow
+    batches in, binary column out, one Python worker per core.
     """
     w, h = int(width), int(height)
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec mode: {codec!r}")
+    real = codec == "real"
+    if real:
+        from vulnerablecode_spark import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        if real:
+            from vulnerablecode_spark.kernel import media as _media
+
         target = w * h
 
         def fake_resample(b: bytes) -> bytes:
-            # REAL CODEC PLUG POINT: PIL.Image.open(...).resize((w, h))
             if not b:
                 return bytes(target)
             reps = target // len(b) + 1
             return (b * reps)[:target]
 
         for pdf in batches:
-            yield _pd.DataFrame({
-                "doc_id": pdf[id_col].astype("int64"),
-                "width": _pd.Series([w] * len(pdf), dtype="int64"),
-                "height": _pd.Series([h] * len(pdf), dtype="int64"),
-                "payload": pdf[payload_col].map(fake_resample),
-            })
+            if real:
+                ids, payloads = [], []
+                for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                    try:
+                        px = _media.decode_image(bytes(b))
+                    except _media.MediaError:
+                        continue  # undecodable media row: drop
+                    resized = _media.resize_nearest(px, w, h)
+                    ids.append(int(doc_id))
+                    payloads.append(_media.encode_png(resized))
+                yield _pd.DataFrame({
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "width": _pd.Series([w] * len(ids), dtype="int64"),
+                    "height": _pd.Series([h] * len(ids), dtype="int64"),
+                    "payload": payloads,
+                })
+            else:
+                yield _pd.DataFrame({
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": _pd.Series([w] * len(pdf), dtype="int64"),
+                    "height": _pd.Series([h] * len(pdf), dtype="int64"),
+                    "payload": pdf[payload_col].map(fake_resample),
+                })
 
     n = df.sparkSession.sparkContext.defaultParallelism
     return (df.select(F.col(id_col), F.col(payload_col))
             .repartition(n).mapInPandas(resize, RESIZED_SCHEMA))
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_channels", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("rms", DoubleType()),
+    StructField("zero_crossings", LongType()),
+])
+
+
+def audio_features(df: DataFrame, id_col: str = "doc_id",
+                   payload_col: str = "payload") -> DataFrame:
+    """REAL audio feature extraction over PCM-16 WAV payloads.
+
+    Decodes RIFF/WAVE containers (kernel/media.py) and computes per-clip
+    RMS energy and zero-crossing count vectorized in numpy — the standard
+    cheap features a training pipeline filters silence/noise clips with.
+    Non-WAV payloads are dropped (corrupt-media policy, as in
+    ``resize_images(codec='real')``).
+    """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from vulnerablecode_spark.kernel import media as _media
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = _media.decode_wav(bytes(b))
+                except _media.MediaError:
+                    continue
+                mono = samples.astype(_np.float64).mean(axis=1)
+                n = samples.shape[0]
+                rms = float(_np.sqrt(_np.mean(mono * mono))) if n else 0.0
+                zc = int(_np.count_nonzero(_np.diff(_np.signbit(mono)))) \
+                    if n > 1 else 0
+                rows.append((int(doc_id), rate, samples.shape[1], n,
+                             n * 1000 // rate, round(rms, 6), zc))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_channels", "n_samples",
+                "duration_ms", "rms", "zero_crossings"])
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .repartition(n).mapInPandas(feats, AUDIO_FEATURES_SCHEMA))
 
 
 def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
