@@ -47,8 +47,21 @@ def ensure_shipped(spark) -> None:
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # Content-address the zip name: a fixed name silently ships STALE code
+    # to workers after any source edit (and across driver rounds sharing
+    # /tmp). Hash every .py's (path, size, mtime) — cheap, no file reads.
+    import hashlib
+
+    stat = hashlib.sha256()
+    for root, _, files in sorted(os.walk(pkg_dir)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                st = os.stat(os.path.join(root, fn))
+                stat.update(f"{root}/{fn}:{st.st_size}:{st.st_mtime_ns};"
+                            .encode())
+    digest = stat.hexdigest()[:16]
     zpath = os.path.join(tempfile.gettempdir(),
-                         f"vulnerablecode_spark-{__version__}.zip")
+                         f"vulnerablecode_spark-{__version__}-{digest}.zip")
     if not os.path.exists(zpath):
         fd, tmp = tempfile.mkstemp(suffix=".zip")
         os.close(fd)

@@ -584,3 +584,149 @@ _SQL_POS_SHINGLES = rf"""
 def q48_winnowing_fingerprints(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return dedup.winnowing_fingerprints(docs, n=3, w=4)
+
+
+# ---------------------------------------------------------------------------
+# Real-codec round trips (kernel/media.py). The payloads are synthesized
+# deterministically from doc_id, pushed through the REAL encoder, then the
+# REAL container-header parser and pixel/sample decoder; the oracle computes
+# the expected dimensions and pixel/sample sums purely arithmetically. The
+# hash can only match if the PNG scanline/zlib and RIFF/PCM round trips are
+# byte-correct — a full correctness gate on the codec kernel with no codec
+# library on either side.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_png_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 8 + doc_id % 9 AS width, 8 + (doc_id * 3) % 9 AS height
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, width, height, UNNEST(range(0, width * height)) AS i
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(SUM((doc_id * 7 + i * 13) % 256) AS BIGINT) AS pixel_sum,
+           CAST((doc_id * 7 + (width * height - 1) * 13) % 256 AS BIGINT)
+               AS pixel_last
+    FROM px GROUP BY doc_id, width, height
+    """,
+)
+def q51_png_roundtrip(spark, sf_dir):
+    """Gray PNG encode→decode round trip, graded against arithmetic truth.
+
+    Pixels p_i = (doc_id*7 + i*13) % 256 at width 8+doc_id%9, height
+    8+(doc_id*3)%9; the output dims come from the real IHDR parse and the
+    sums from the real zlib+defilter decode (kernel/media.py).
+    """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from vulnerablecode_spark.kernel import media as _media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + (d * 3) % 9
+                px = ((d * 7 + _np.arange(w * h, dtype=_np.int64) * 13)
+                      % 256).astype(_np.uint8).reshape(h, w)
+                payload = _media.encode_png(px)
+                meta = _media.parse_media_header(payload)
+                out = _media.decode_png(payload)
+                rows.append((d, meta["width"], meta["height"],
+                             meta["n_channels"],
+                             int(out.astype(_np.int64).sum()),
+                             int(out[-1, -1, 0])))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_channels", "pixel_sum",
+                "pixel_last"])
+
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n).mapInPandas(
+        roundtrip,
+        "doc_id long, width long, height long, n_channels long, "
+        "pixel_sum long, pixel_last long")
+
+
+@query(
+    "q52_wav_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS sample_rate,
+               1 + doc_id % 2 AS n_channels, 50 + doc_id % 150 AS n_samples
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, sample_rate, n_channels, n_samples,
+               UNNEST(range(0, n_samples * n_channels)) AS i
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(n_channels AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bit_depth,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(SUM((doc_id * 31 + i * 17) % 4096 - 2048) AS BIGINT)
+               AS sample_sum,
+           CAST(SUM(ABS((doc_id * 31 + i * 17) % 4096 - 2048)) AS BIGINT)
+               AS abs_sum
+    FROM s GROUP BY doc_id, sample_rate, n_channels, n_samples
+    """,
+)
+def q52_wav_roundtrip(spark, sf_dir):
+    """PCM-16 WAV encode→decode round trip, graded against arithmetic truth.
+
+    Interleaved samples s_i = (doc_id*31 + i*17) % 4096 - 2048 at a
+    doc-derived rate/channel count; rate/channels/bit-depth/sample-count
+    come from the real RIFF fmt-chunk parse and the sums from the real PCM
+    decode (kernel/media.py).
+    """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from vulnerablecode_spark.kernel import media as _media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                rate = 8000 + (d % 4) * 4000
+                ch = 1 + d % 2
+                nf = 50 + d % 150
+                flat = ((d * 31 + _np.arange(nf * ch, dtype=_np.int64) * 17)
+                        % 4096 - 2048).astype(_np.int16)
+                payload = _media.encode_wav(flat.reshape(nf, ch), rate)
+                meta = _media.parse_media_header(payload)
+                out, got_rate = _media.decode_wav(payload)
+                s64 = out.astype(_np.int64)
+                rows.append((d, got_rate, meta["n_channels"],
+                             meta["bit_depth"], meta["n_samples"],
+                             int(s64.sum()), int(_np.abs(s64).sum())))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_channels", "bit_depth",
+                "n_samples", "sample_sum", "abs_sum"])
+
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n).mapInPandas(
+        roundtrip,
+        "doc_id long, sample_rate long, n_channels long, bit_depth long, "
+        "n_samples long, sample_sum long, abs_sum long")
