@@ -324,6 +324,31 @@ class TestRealCodecStages:
         got_bmp = M.decode_png(bytes(out[2].payload))
         assert np.array_equal(got_bmp, M.resize_nearest(bmp_px, 6, 4))
 
+    def test_real_gif_frame_sampling(self, spark):
+        import numpy as np
+
+        from vulnerablecode_spark.kernel import media as M
+        from vulnerablecode_spark.llm.multimodal import sample_frames
+
+        rng = np.random.default_rng(9)
+        f6 = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+        f2 = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(10, bytearray(M.encode_gif(f6))),
+             (11, bytearray(M.encode_gif(f2))),
+             (12, bytearray(b"not media"))],
+            "doc_id long, payload binary")
+        out = sample_frames(df, every_n=2, codec="real").collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, {})[r.frame_idx] = bytes(r.frame_payload)
+        assert set(by_doc) == {10, 11}              # non-gif row dropped
+        assert sorted(by_doc[10]) == [0, 2, 4]      # every 2nd of 6 frames
+        assert sorted(by_doc[11]) == [0]
+        # each emitted frame is a decodable PNG of the composed GIF frame
+        got = M.decode_png(by_doc[10][2])
+        assert np.array_equal(got[:, :, 0], f6[2])
+
     def test_audio_features_match_numpy(self, spark, media_df):
         import numpy as np
 

@@ -215,3 +215,71 @@ class TestSniff:
         meta = M.parse_media_header(b"\x00\x01\x02")
         assert meta["media_format"] == "bin"
         assert meta["width"] is None
+
+
+class TestGifDecode:
+    def test_roundtrip_multi_frame(self):
+        f = _rng(21).integers(0, 256, size=(4, 7, 11), dtype=np.uint8)
+        out = M.decode_gif(M.encode_gif(f))
+        assert out.shape == (4, 7, 11, 3)
+        for ch in range(3):  # gray palette: every channel equals the index
+            assert np.array_equal(out[..., ch], f)
+
+    def test_interlaced(self):
+        f = _rng(22).integers(0, 256, size=(1, 16, 5), dtype=np.uint8)
+        out = M.decode_gif(M.encode_gif(f, interlace=True))
+        assert np.array_equal(out[0, :, :, 0], f[0])
+
+    def test_known_minimal_lzw_stream(self):
+        # canonical "smallest GIF" LZW payload: mcs=2, bytes 4C 01 → [1]
+        assert M._lzw_decode(2, bytes([0x4C, 0x01]), 1) == [1]
+
+    def test_lzw_code_growth_and_reset(self):
+        pix = _rng(23).integers(0, 250, size=30000, dtype=np.uint8)
+        enc = M._lzw_encode(8, pix)
+        assert M._lzw_decode(8, enc, len(pix)) == pix.tolist()
+        rep = np.tile(np.arange(16, dtype=np.uint8), 2000)  # 32k pixels
+        enc_rep = M._lzw_encode(8, rep)
+        assert M._lzw_decode(8, enc_rep, len(rep)) == rep.tolist()
+        assert len(enc_rep) < len(rep) // 4  # actually compresses repeats
+
+    def test_subrect_frame_composes_on_canvas(self):
+        # frame 2 only covers a 1×2 region at (1,1); rest keeps frame 1
+        base = np.zeros((1, 3, 4), dtype=np.uint8) + 7
+        b = bytearray(M.encode_gif(base))
+        # append a second image descriptor: left=1, top=1 sub-rectangle
+        assert b.endswith(b"\x3b")
+        del b[-1:]
+        sub = np.array([[5, 6]], dtype=np.uint8)
+        body = M._lzw_encode(8, sub.ravel())
+        b += (b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 1) + bytes([0])
+              + bytes([8]) + bytes([len(body)]) + body + b"\x00\x3b")
+        out = M.decode_gif(bytes(b))
+        assert out.shape[0] == 2
+        assert np.array_equal(out[0, :, :, 0], np.full((3, 4), 7))
+        want = np.full((3, 4), 7)
+        want[1, 1:3] = [5, 6]
+        assert np.array_equal(out[1, :, :, 0], want)
+
+    def test_transparency_keeps_canvas(self):
+        base = np.full((1, 2, 2), 9, dtype=np.uint8)
+        b = bytearray(M.encode_gif(base))
+        del b[-1:]
+        # GCE with transparency flag, transparent index 3
+        b += b"\x21\xf9\x04\x01\x00\x00\x03\x00"
+        sub = np.array([[3, 4], [3, 4]], dtype=np.uint8)  # 3s transparent
+        body = M._lzw_encode(8, sub.ravel())
+        b += (b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2) + bytes([0])
+              + bytes([8]) + bytes([len(body)]) + body + b"\x00\x3b")
+        out = M.decode_gif(bytes(b))
+        assert out[1, :, :, 0].tolist() == [[9, 4], [9, 4]]
+
+    def test_frame_count_matches_decode(self):
+        f = _rng(24).integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+        payload = M.encode_gif(f)
+        assert M.parse_media_header(payload)["n_frames"] == 5
+        assert M.decode_gif(payload).shape[0] == 5
+
+    def test_rejects_garbage(self):
+        with pytest.raises(M.MediaError):
+            M.decode_gif(b"GIF89a" + bytes(20))

@@ -14,8 +14,11 @@ formats are decodable with nothing beyond the standard library and numpy:
           and encode.
 - JPEG  — header-only parse (SOF marker scan → dimensions, components);
           entropy decode is genuinely out of scope without a DCT codec.
-- GIF   — header-only parse (logical screen descriptor + block walk to
-          count image descriptors → n_frames); LZW decode out of scope.
+- GIF   — full frame decode: LZW implemented from the public GIF89a spec
+          (LSB-first bitstream, growing 12-bit-max code table), global and
+          local color tables, interlacing (4-pass row shuffle),
+          sub-rectangle frames composed onto the running canvas, and GCE
+          transparency. Plus a matching encoder for round-trip tests.
 
 Everything here is a kernel in the same sense as ``kernel/purl.py``: no
 Spark imports, deterministic, unit-tested in isolation, called from
@@ -409,3 +412,223 @@ def decode_image(b: bytes) -> np.ndarray:
     if fmt == "bmp":
         return decode_bmp(b)
     raise MediaError(f"no pixel decoder for format '{fmt}'")
+
+
+# ---------------------------------------------------------------------------
+# GIF decode / encode (real pixels — LZW implemented from the public spec)
+# ---------------------------------------------------------------------------
+
+def _lzw_decode(mcs: int, data: bytes, npix: int) -> list[int]:
+    """GIF-variant LZW decode (LSB-first bitstream, 12-bit max codes)."""
+    clear = 1 << mcs
+    end = clear + 1
+    code_size = mcs + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < npix:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = mcs + 1
+            table = [(i,) for i in range(clear)] + [(), ()]
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise MediaError("gif: first code after clear out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + (entry[0],))
+        elif code == len(table):
+            entry = prev + (prev[0],)
+            table.append(entry)
+        else:
+            raise MediaError("gif: LZW code out of range")
+        out.extend(entry)
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+    if len(out) < npix:
+        raise MediaError("gif: LZW stream ended early")
+    return out[:npix]
+
+
+def _lzw_encode(mcs: int, pixels) -> bytes:
+    """GIF-variant LZW encode, the exact inverse of ``_lzw_decode``."""
+    clear = 1 << mcs
+    end = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    code_size = mcs + 1
+    acc = 0
+    accbits = 0
+    out = bytearray()
+
+    def emit(code: int):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += code_size
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for p in pixels:
+        p = int(p)
+        wp = w + (p,)
+        if wp in table:
+            w = wp
+            continue
+        emit(table[w])
+        table[wp] = next_code
+        next_code += 1
+        # decoder grows its read size when ITS table (one entry behind)
+        # reaches 1<<code_size; mirror that exactly
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = mcs + 1
+        w = (p,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """Decode a GIF to an (n_frames, height, width, 3) uint8 RGB array.
+
+    Real LZW decode from the public GIF89a spec: global/local color
+    tables, interlaced images (4-pass row shuffle), sub-rectangle frames
+    composed onto the running canvas (disposal method 'do not dispose'),
+    and GCE transparency (transparent pixels keep the canvas value).
+    """
+    if sniff_format(b) != "gif":
+        raise MediaError("not a gif payload")
+    width, height = struct.unpack_from("<HH", b, 6)
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                            offset=pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((height, width, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = b[pos]
+            pos += 1
+            if label == 0xF9 and b[pos] >= 4:  # graphic control extension
+                flags = b[pos + 1]
+                transparent = b[pos + 4] if flags & 0x01 else None
+            pos = _gif_skip_subblocks(b, pos)
+        elif block == 0x2C:
+            left, top, w, h = struct.unpack_from("<HHHH", b, pos)
+            lpacked = b[pos + 8]
+            pos += 9
+            ct = gct
+            if lpacked & 0x80:
+                n = 2 << (lpacked & 0x07)
+                ct = np.frombuffer(b, dtype=np.uint8, count=3 * n,
+                                   offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise MediaError("gif: image with no color table")
+            mcs = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b):
+                size = b[pos]
+                pos += 1
+                if size == 0:
+                    break
+                data.extend(b[pos:pos + size])
+                pos += size
+            idx = np.array(_lzw_decode(mcs, bytes(data), w * h),
+                           dtype=np.int32).reshape(h, w)
+            if lpacked & 0x40:  # interlaced: undo the 4-pass row order
+                deinter = np.empty_like(idx)
+                src = 0
+                for start, step in _GIF_INTERLACE_PASSES:
+                    rows = range(start, h, step)
+                    deinter[list(rows)] = idx[src:src + len(rows)]
+                    src += len(rows)
+                idx = deinter
+            if idx.max() >= len(ct):
+                raise MediaError("gif: pixel index beyond color table")
+            region = canvas[top:top + h, left:left + w]
+            rgb = ct[idx]
+            if transparent is not None:
+                mask = (idx == transparent)[:, :, None]
+                rgb = np.where(mask, region, rgb)
+            canvas[top:top + h, left:left + w] = rgb
+            frames.append(canvas.copy())
+            transparent = None
+        else:
+            raise MediaError(f"gif: unknown block 0x{block:02x}")
+    if not frames:
+        raise MediaError("gif: no image data")
+    return np.stack(frames)
+
+
+def encode_gif(frames: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode (n, h, w) palette-index frames + implicit 256-gray palette,
+    or (n, h, w, 3) RGB quantized to the gray palette, as a GIF89a.
+
+    Index frames are written losslessly (palette i → (i, i, i)), which is
+    what the round-trip tests and the frame-sampling stage exercise.
+    """
+    f = np.asarray(frames)
+    if f.ndim == 4:  # RGB → gray indices
+        f = (f.astype(np.uint32).sum(axis=3) // 3).astype(np.uint8)
+    if f.ndim != 3:
+        raise MediaError("gif: encoder takes (n, h, w[, 3]) frames")
+    n, h, w = f.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x07, 0, 0])  # GCT present, 256 entries
+    out += bytes(v for i in range(256) for v in (i, i, i))
+    for frame in f:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        if interlace:
+            out += bytes([0x40])
+            rows = [r for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)]
+            pixels = frame[rows].ravel()
+        else:
+            out += bytes([0x00])
+            pixels = frame.ravel()
+        out += bytes([8])  # LZW minimum code size
+        data = _lzw_encode(8, pixels)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -301,24 +301,46 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
 
 
 def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
-                  id_col: str = "doc_id",
-                  payload_col: str = "payload") -> DataFrame:
+                  id_col: str = "doc_id", payload_col: str = "payload",
+                  codec: str = "fake") -> DataFrame:
     """Frame-sampling stage: one video payload row → many frame rows.
 
     The row fan-out (an input batch yields a LARGER output batch) is the
     part that matters for the Spark contract — mapInPandas output is not
-    1:1 with input, and downstream operators see ordinary rows. The frame
-    split is a deterministic fake (fixed-size byte windows, every
-    ``every_n``-th kept); a real deployment decodes with av/ffmpeg at the
-    marked point. Closure is self-contained (pickled by value).
+    1:1 with input, and downstream operators see ordinary rows.
+
+    ``codec='real'`` does an actual animated-GIF decode (kernel/media.py
+    LZW) and emits every ``every_n``-th composed frame re-encoded as PNG;
+    payloads that aren't decodable GIFs are dropped (corrupt-media
+    policy). ``codec='fake'`` keeps the deterministic byte-window split
+    for opaque payloads (a real video deployment swaps in av/ffmpeg at
+    that point — compressed-video entropy decode is the one genuinely
+    codec-bound boundary left).
     """
     k, fb = int(every_n), int(frame_bytes)
+    if codec not in ("fake", "real"):
+        raise ValueError(f"unknown codec mode: {codec!r}")
+    real = codec == "real"
+    if real:
+        from vulnerablecode_spark import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        if real:
+            from vulnerablecode_spark.kernel import media as _media
+
         def frames(b: bytes):
-            # REAL CODEC PLUG POINT: av.open(io.BytesIO(b)).decode(video=0)
+            if real:
+                try:
+                    decoded = _media.decode_gif(b)
+                except _media.MediaError:
+                    return  # not an animated gif: drop the row
+                for i in range(0, decoded.shape[0], k):
+                    yield i, _media.encode_png(decoded[i])
+                return
             n_frames = max(len(b) // fb, 1)
             for i in range(0, n_frames, k):
                 yield i, b[i * fb:(i + 1) * fb]
