@@ -283,3 +283,67 @@ class TestGifDecode:
     def test_rejects_garbage(self):
         with pytest.raises(M.MediaError):
             M.decode_gif(b"GIF89a" + bytes(20))
+
+
+class TestMediaProperties:
+    """Hypothesis properties: codec round trips over arbitrary shapes and
+    totality of the header parser over arbitrary bytes."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 24), st.integers(1, 24),
+           st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+    @settings(max_examples=60, deadline=None)
+    def test_png_roundtrip_any_shape(self, h, w, ch, seed):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, ch), dtype=np.uint8)
+        assert np.array_equal(M.decode_png(M.encode_png(px)), px)
+
+    @given(st.integers(1, 16), st.integers(1, 16), st.integers(1, 4),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_gif_roundtrip_any_shape(self, h, w, n, seed):
+        f = np.random.default_rng(seed).integers(
+            0, 256, size=(n, h, w), dtype=np.uint8)
+        out = M.decode_gif(M.encode_gif(f))
+        assert out.shape == (n, h, w, 3)
+        assert np.array_equal(out[..., 0], f)
+
+    @given(st.integers(1, 500), st.sampled_from([1, 2, 4]),
+           st.sampled_from([8000, 16000, 44100]), st.integers(0, 2**32 - 1))
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip_any_shape(self, n, ch, rate, seed):
+        s = np.random.default_rng(seed).integers(
+            -32768, 32768, size=(n, ch), dtype=np.int16)
+        out, got_rate = M.decode_wav(M.encode_wav(s, rate))
+        assert got_rate == rate and np.array_equal(out, s)
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=300, deadline=None)
+    def test_header_parse_total_over_garbage(self, b):
+        # over arbitrary bytes the parser either returns typed metadata or
+        # raises MediaError — never IndexError/struct.error/infinite loop
+        try:
+            meta = M.parse_media_header(b)
+        except M.MediaError:
+            return
+        assert meta["media_format"] in ("png", "jpeg", "gif", "bmp",
+                                        "wav", "bin")
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=200, deadline=None)
+    def test_png_decoder_total_over_garbage(self, b):
+        # arbitrary bytes behind a PNG signature: decode either succeeds
+        # or raises MediaError (zlib/struct/range errors all wrapped)
+        try:
+            M.decode_png(b"\x89PNG\r\n\x1a\n" + b)
+        except M.MediaError:
+            pass
+
+    @given(st.integers(2, 8), st.lists(st.integers(0, 3), min_size=1,
+                                       max_size=2000))
+    @settings(max_examples=60, deadline=None)
+    def test_lzw_roundtrip(self, mcs, pixels):
+        enc = M._lzw_encode(mcs, pixels)
+        assert M._lzw_decode(mcs, enc, len(pixels)) == pixels

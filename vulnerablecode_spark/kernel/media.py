@@ -283,7 +283,11 @@ def decode_png(b: bytes) -> np.ndarray:
     if channels is None:
         raise MediaError(f"png: unknown color type {color}")
     stride = width * channels
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise MediaError("png: corrupt IDAT stream") from exc
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if raw.size != height * (stride + 1):
         raise MediaError("png: IDAT size mismatch")
     px = _unfilter(raw, height, stride, channels).reshape(height, width, channels)
