@@ -36,6 +36,35 @@ class TestAnn:
         assert sum(r["count"] for r in sizes) == embeddings.count()
 
 
+class TestArrowScoringEquivalence:
+    """The Arrow-vectorized scoring kernels must produce the SAME values
+    as the JVM HOF folds — same IEEE accumulation order, not just close."""
+
+    def test_cosine_arrow_equals_hof(self, spark, embeddings):
+        from vulnerablecode_spark.llm.similarity import cosine_topk
+
+        q = embeddings.filter(F.col("vec_id") < 12)
+        hof = {(r.query_id, r.neighbor_id): (r.cosine_sim, r.rk)
+               for r in cosine_topk(embeddings, q, k=7, impl="hof").collect()}
+        arrow = {(r.query_id, r.neighbor_id): (r.cosine_sim, r.rk)
+                 for r in cosine_topk(embeddings, q, k=7,
+                                      impl="arrow").collect()}
+        assert hof == arrow
+
+    def test_sign_bucket_arrow_equals_hof(self, spark, embeddings):
+        from vulnerablecode_spark.llm.similarity import (sign_bucket,
+                                                         sign_bucket_arrow)
+
+        both = embeddings.select(
+            "vec_id",
+            sign_bucket(F.col("embedding")).alias("b_hof"),
+            sign_bucket_arrow(F.col("embedding")).alias("b_arrow"),
+        ).collect()
+        assert len(both) > 0
+        for r in both:
+            assert r.b_hof == r.b_arrow, r.vec_id
+
+
 class TestNearDupEngineered:
     def test_minhash_finds_planted_near_dup(self, spark):
         from vulnerablecode_spark.llm.dedup import (lsh_candidate_pairs,

@@ -108,7 +108,7 @@ def _embedding_artifacts(spark, sf_dir: str):
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double"))
              .alias("embedding"),
-            similarity.sign_bucket(F.col("embedding")).alias("bucket"),
+            similarity.sign_bucket_arrow(F.col("embedding")).alias("bucket"),
         ).localCheckpoint(eager=True)
         art = {"emb": emb}
         _ARTIFACTS[key] = art
@@ -364,7 +364,7 @@ _SQL_COSINE = """
 def q30_embedding_topk(spark, sf_dir):
     emb = _embedding_artifacts(spark, sf_dir)["emb"]
     queries_df = emb.filter(F.col("vec_id") < 10)
-    res = similarity.cosine_topk(emb, queries_df, k=5)
+    res = similarity.cosine_topk(emb, queries_df, k=5, impl="arrow")
     return res.withColumn("rk", F.col("rk").cast("int"))
 
 
