@@ -27,6 +27,13 @@ def get_spark(app_name: str = "vulnerablecode-spark", master: str | None = None,
         # conversion — the scale path for 100 TB shuffles.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory partition size when coalescing instead of
+        # refusing to go below default parallelism (Spark's own docs
+        # recommend false on busy clusters): a tiny shuffle collapses to
+        # one task instead of 32 idle ones, and a 100 TB shuffle is sized
+        # by bytes — which is the knob that actually matters there.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow batches for every pandas UDF in functions/ and llm/.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
