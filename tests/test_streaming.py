@@ -167,3 +167,49 @@ class TestRunLog:
         assert "collected 3" in rows["osv_importer"].log
         assert rows["broken_pipeline"].exit_code == EXIT_FAILURE
         assert "boom" in rows["broken_pipeline"].log
+
+
+class TestStreamingCodecStage:
+    """The real media-decode stage is an ordinary mapInPandas transform, so
+    it composes with Structured Streaming unchanged: file-stream source →
+    header parse → availableNow sink, exactly the 100 TB ingest shape
+    (decode-at-ingest, store typed metadata + bucket columns)."""
+
+    def test_media_meta_over_file_stream(self, spark, tmp_path):
+        import numpy as np
+
+        from vulnerablecode_spark.kernel import media as M
+        from vulnerablecode_spark.llm.multimodal import extract_media_meta_real
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(20):
+            if i % 2:
+                px = rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8)
+                rows.append((i, bytearray(M.encode_png(px))))
+            else:
+                s = rng.integers(-500, 500, size=(40 + i, 1), dtype=np.int16)
+                rows.append((i, bytearray(M.encode_wav(s, 8000))))
+        src = tmp_path / "media_src"
+        spark.createDataFrame(rows, "doc_id long, payload binary") \
+            .coalesce(1).write.mode("overwrite").parquet(str(src))
+
+        stream = (spark.readStream.schema("doc_id long, payload binary")
+                  .parquet(str(src)))
+        meta = extract_media_meta_real(stream)
+        q = (meta.writeStream.format("memory").queryName("media_meta")
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.awaitTermination(120)
+        got = {r.doc_id: r for r in spark.sql(
+            "select * from media_meta").collect()}
+        assert len(got) == 20
+        for i in range(20):
+            if i % 2:
+                assert got[i].media_format == "png"
+                assert (got[i].width, got[i].height) == (6, 4 + i)
+            else:
+                assert got[i].media_format == "wav"
+                assert got[i].n_samples == 40 + i
+                assert got[i].sample_rate == 8000
