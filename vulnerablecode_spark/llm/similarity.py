@@ -1,16 +1,24 @@
-"""Embedding similarity search: brute-force cosine top-k and LSH-bucketed ANN.
+"""Embedding similarity search: brute-force cosine top-k, sign-LSH ANN,
+and k-means-lite IVF.
 
-The embedding column is ``array<float>``; all arithmetic is done in DOUBLE
-with built-in higher-order functions (zip_with/aggregate) — JVM-side, no
-Python. Scale design:
+The embedding column is ``array<float>``; all arithmetic is done in DOUBLE.
+Two interchangeable scorer tiers produce bit-identical values (equality-
+tested): ``impl='hof'`` folds with built-in higher-order functions —
+pure-JVM, zero Python workers — and ``impl='arrow'`` runs the same
+left-to-right IEEE accumulation as vectorized numpy column sweeps per
+Arrow batch (~100× throughput on 64-dim vectors; the right tier for the
+Lloyd-iteration assignment scans of an IVF build). Scale design:
 
 - brute-force top-k broadcasts the (small) query set against the corpus —
   one scan, no shuffle of the corpus, per-partition partial top-k via the
   row_number window;
-- the ANN variant buckets vectors by deterministic sign-LSH (sign pattern of
-  leading dimensions; on a real deployment, random-hyperplane projections)
-  and joins only within buckets, bounding candidates per query — the same
-  bucketed-equi-join shape as the engine's version-range unfurl join.
+- the ANN variant buckets vectors by seeded random-hyperplane sign-LSH
+  (stored column at ingest; ``recommended_sign_bits`` sizes the bucket
+  space from the corpus) and joins only within buckets, bounding
+  candidates per query — the same bucketed-equi-join shape as the
+  engine's version-range unfurl join;
+- IVF probes the ``nprobe`` nearest cells per query
+  (``recommended_ivf_cells`` keeps the centroid frame broadcastable).
 """
 
 from __future__ import annotations
@@ -244,12 +252,25 @@ def sign_bucket_arrow(vec: Column, bits: int = N_SIGN_BITS, dim: int = 64,
     return bucket(vec)
 
 
+def _cos_impl(a: Column, b: Column, impl: str) -> Column:
+    """Select the cosine scorer: 'hof' = pure-JVM fold (zero Python),
+    'arrow' = numpy column sweeps with the identical left-to-right
+    accumulation order (bit-identical values, ~100x throughput on wide
+    vectors — see cosine_arrow)."""
+    if impl == "hof":
+        return cosine(a, b)
+    if impl == "arrow":
+        return cosine_arrow(a, b)
+    raise ValueError(f"unknown impl: {impl!r}")
+
+
 def _assign_cells(corpus: DataFrame, centroids: DataFrame,
-                  id_col: str, vec_col: str) -> DataFrame:
+                  id_col: str, vec_col: str, impl: str = "hof") -> DataFrame:
     """Nearest-centroid assignment: broadcast join + argmax window."""
     scored = corpus.join(F.broadcast(centroids)).select(
         id_col, vec_col, "cell",
-        F.round(cosine(F.col(vec_col), F.col("centroid")), 6).alias("_sim"),
+        F.round(_cos_impl(F.col(vec_col), F.col("centroid"), impl), 6)
+         .alias("_sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("_sim").desc(), F.col("cell").asc())
     return (
@@ -261,7 +282,7 @@ def _assign_cells(corpus: DataFrame, centroids: DataFrame,
 
 def ivf_index(corpus: DataFrame, n_cells: int | None = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
-              kmeans_iters: int = 2):
+              kmeans_iters: int = 2, impl: str = "hof"):
     """k-means-lite IVF: deterministic init (the ``n_cells`` lowest-id
     vectors), then ``kmeans_iters`` Lloyd iterations — assign each vector
     to its nearest centroid (broadcast join + argmax), recompute each
@@ -284,7 +305,7 @@ def ivf_index(corpus: DataFrame, n_cells: int | None = 16,
         _as_double(F.col(vec_col)).alias("centroid"),
     )
     for _ in range(kmeans_iters):
-        assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+        assigned = _assign_cells(corpus, centroids, id_col, vec_col, impl)
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos")
@@ -306,23 +327,26 @@ def ivf_index(corpus: DataFrame, n_cells: int | None = 16,
             .join(means, "cell", "left")
             .select("cell", F.coalesce("centroid", "prev").alias("centroid"))
         ).localCheckpoint(eager=True)
-    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col, impl)
     return centroids, assigned
 
 
 def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  n_cells: int | None = 16, nprobe: int = 4,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 impl: str = "hof") -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest cells per query and rank
     only those cells' members — candidates drop from |corpus| to
     ~|corpus|·nprobe/n_cells per query, the classic ANN scale path.
     """
-    centroids, assigned = ivf_index(corpus, n_cells, id_col, vec_col)
+    centroids, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
+                                    impl=impl)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"))
     q_cells = q.join(F.broadcast(centroids)).select(
         "query_id", "q_vec", "cell",
-        F.round(cosine(F.col("q_vec"), F.col("centroid")), 6).alias("_sim"),
+        F.round(_cos_impl(F.col("q_vec"), F.col("centroid"), impl), 6)
+         .alias("_sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("cell").asc())
@@ -336,7 +360,7 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         F.col(vec_col).alias("c_vec"), "cell"),
         "cell",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(_cos_impl(F.col("q_vec"), F.col("c_vec"), impl), 4)
     scored = cand.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
@@ -350,7 +374,7 @@ def ann_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 3,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  bucket_col: str | None = None,
-                 bits: int = N_SIGN_BITS) -> DataFrame:
+                 bits: int = N_SIGN_BITS, impl: str = "hof") -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     Bucket-equi-join bounds work to O(bucket size) per query — the scale
@@ -368,7 +392,7 @@ def ann_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 3,
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).alias("q_vec"),
                        bucket.alias("bucket"))
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4)
+    sim = F.round(_cos_impl(F.col("q_vec"), F.col("c_vec"), impl), 4)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -388,7 +412,8 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                              id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              bucket_col: str | None = None,
-                             bits: int = N_SIGN_BITS) -> DataFrame:
+                             bits: int = N_SIGN_BITS,
+                             impl: str = "hof") -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS: same sign-LSH bucket and
     cosine ≥ threshold — the dedup-shaped variant of :func:`ann_topk_lsh`
     (pairs, not per-query top-k). The self-join is an equi-join on the
@@ -405,7 +430,7 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
                     F.col("vec").alias("vec_a"), "bucket")
     right = b.select(F.col("vid").alias("id_b"),
                      F.col("vec").alias("vec_b"), "bucket")
-    sim = F.round(cosine(F.col("vec_a"), F.col("vec_b")), 4)
+    sim = F.round(_cos_impl(F.col("vec_a"), F.col("vec_b"), impl), 4)
     return (
         left.join(right, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -402,7 +402,8 @@ _SQL_BUCKET = " + ".join(
 def q31_embedding_ann_lsh(spark, sf_dir):
     emb = _embedding_artifacts(spark, sf_dir)["emb"]
     queries_df = emb.filter(F.col("vec_id") < 10)
-    res = similarity.ann_topk_lsh(emb, queries_df, k=3, bucket_col="bucket")
+    res = similarity.ann_topk_lsh(emb, queries_df, k=3, bucket_col="bucket",
+                                  impl="arrow")
     return res.withColumn("rk", F.col("rk").cast("int"))
 
 
@@ -508,7 +509,8 @@ _SQL_IVF = f"""
 def q46_ann_topk_ivf(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
-    res = similarity.ann_topk_ivf(emb, queries_df, k=5, n_cells=16, nprobe=4)
+    res = similarity.ann_topk_ivf(emb, queries_df, k=5, n_cells=16, nprobe=4,
+                                  impl="arrow")
     return res.withColumn("rk", F.col("rk").cast("int"))
 
 
@@ -539,7 +541,7 @@ def q46_ann_topk_ivf(spark, sf_dir):
 def q47_embedding_near_dup(spark, sf_dir):
     emb = _embedding_artifacts(spark, sf_dir)["emb"]
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.4, bucket_col="bucket")
+        emb, threshold=0.4, bucket_col="bucket", impl="arrow")
 
 
 # ---------------------------------------------------------------------------
