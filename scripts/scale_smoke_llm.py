@@ -72,15 +72,15 @@ def main() -> None:
     bucketed = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-        similarity.sign_bucket(F.col("embedding")).alias("bucket"),
+        similarity.sign_bucket_arrow(F.col("embedding")).alias("bucket"),
     ).localCheckpoint(eager=True)
     queries = bucketed.filter(F.col("vec_id") < 10)
     timed("ann_lsh_topk", lambda: "{} rows".format(
-        similarity.ann_topk_lsh(bucketed, queries, k=3,
-                                bucket_col="bucket").count()))
+        similarity.ann_topk_lsh(bucketed, queries, k=3, bucket_col="bucket",
+                                impl="arrow").count()))
     timed("ivf_topk", lambda: "{} rows".format(
         similarity.ann_topk_ivf(emb, emb.filter(F.col('vec_id') < 10),
-                                k=5).count()))
+                                k=5, impl="arrow").count()))
     spark.stop()
 
 

@@ -34,6 +34,14 @@ def get_spark(app_name: str = "vulnerablecode-spark", master: str | None = None,
         # by bytes — which is the knob that actually matters there.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
                 "false")
+        # Advisory size balances two regimes: IO-bound scans want big
+        # partitions, but compute-dense join stages (near-dup verify:
+        # small bigint rows, heavy per-row fan-out) are underestimated by
+        # bytes — 64m coalesced the adversarial verify stage to ONE task
+        # (5.1s) where 8m keeps enough width (3.4s). A 1000-executor
+        # deployment raises this to 64-256m via the same env knob.
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow batches for every pandas UDF in functions/ and llm/.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
