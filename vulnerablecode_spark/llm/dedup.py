@@ -76,10 +76,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # per-doc dedupe inside the gram array: no distinct shuffle (see
+    # hashed_shingles below for the reasoning)
     return (
         spread(df, id_col)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+        .select(F.col(id_col),
+                F.explode(F.array_distinct(grams)).alias("shingle"))
     )
 
 
@@ -103,14 +105,15 @@ def hashed_shingles(df: DataFrame, text_col: str = "text",
             lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # hash BEFORE the distinct: one shuffle, and it moves 8-byte ints, not
-    # shingle strings. (Equivalent to distinct-strings-then-hash because
-    # hash64 is a pure function of the string.)
+    # Distinctness is PER DOCUMENT, so dedupe inside the row's gram array
+    # (hash → array_distinct) BEFORE the explode: global distinct over
+    # (id, h) equals within-doc distinct, and doing it map-side removes
+    # the distinct's hash shuffle entirely — after the spread() round
+    # robin this whole operator is one narrow stage moving 8-byte ints.
+    hashes = F.array_distinct(F.transform(grams, hash64))
     return (
         spread(df, id_col)
-        .select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .select(F.col(id_col), hash64(F.col("shingle")).alias("h"))
-        .distinct()
+        .select(F.col(id_col), F.explode(hashes).alias("h"))
     )
 
 
@@ -193,15 +196,23 @@ def minhash_signatures(df: DataFrame | None = None, text_col: str = "text",
 def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         hashed: DataFrame | None = None,
-                        sig: DataFrame | None = None) -> DataFrame:
+                        sig: DataFrame | None = None,
+                        with_sizes: bool = False) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of MinHash signatures.
 
     Docs agreeing on ALL rows of at least one band become candidates —
     an equi-join on (band, band_signature), never O(n²). ``sig`` injects a
     precomputed (possibly checkpointed) :func:`minhash_signatures` frame.
+
+    ``with_sizes`` carries each side's distinct-shingle count (the
+    ``n_sh`` lane of ``minhash_signatures(with_sizes=True)``) through the
+    band join, yielding (doc_a, doc_b, na, nb) — the verify stage then
+    needs NO size joins of its own: sizes ride the (tiny) candidate frame
+    instead of costing two extra joins against a per-doc aggregate.
     """
     if sig is None:
-        sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed)
+        sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed,
+                                 with_sizes=with_sizes)
     # each band's signature string comes straight off the wide columns;
     # stack() unpivots to (id, band, band_sig) for the candidate join
     band_sigs = [
@@ -210,17 +221,21 @@ def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
         for b in range(N_HASHES // BAND_ROWS)
     ]
     n_bands = N_HASHES // BAND_ROWS
-    wide = sig.select(F.col(id_col), *band_sigs)
+    extra = ["n_sh"] if with_sizes else []
+    wide = sig.select(F.col(id_col), *band_sigs, *extra)
     stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
     bands = wide.selectExpr(
-        id_col, f"stack({n_bands}, {stack_expr}) AS (band, band_sig)"
+        id_col, *extra, f"stack({n_bands}, {stack_expr}) AS (band, band_sig)"
     )
-    left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig")
-    right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig")
+    left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig",
+                        *[F.col("n_sh").alias("na") for _ in extra])
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig",
+                         *[F.col("n_sh").alias("nb") for _ in extra])
+    out_cols = ["doc_a", "doc_b"] + (["na", "nb"] if with_sizes else [])
     return (
         left.join(right, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        .select(*out_cols)
         .distinct()
     )
 
@@ -245,10 +260,12 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
 
     ``hashed``/``candidates`` inject precomputed (cached) frames so a
     caller running both the candidate query and the verified query (or
-    several thresholds) pays for MinHash/LSH once. ``sizes`` injects a
-    precomputed (id, n_sh) distinct-shingle-count frame — e.g. the free
-    ``with_sizes`` lane of :func:`minhash_signatures` — removing the
-    verify stage's own size aggregation.
+    several thresholds) pays for MinHash/LSH once. A ``candidates`` frame
+    already carrying ``na``/``nb`` size columns (see
+    ``lsh_candidate_pairs(with_sizes=True)``) makes the verify stage a
+    two-shuffle plan: sizes and the exact pair gate ride ONE broadcast
+    join against the tiny candidate frame. ``sizes`` injects a separate
+    (id, n_sh) frame for plain (doc_a, doc_b) candidate inputs.
     """
     if hashed is None:
         # eager localCheckpoint (not .cache()): materialized once for the
@@ -257,7 +274,9 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
         hashed = hashed_shingles(df, text_col, id_col, n).localCheckpoint(eager=True)
     sh = hashed
     if candidates is None:
-        candidates = lsh_candidate_pairs(hashed=sh, id_col=id_col, n=n)
+        candidates = lsh_candidate_pairs(hashed=sh, id_col=id_col, n=n,
+                                         with_sizes=True)
+    sized_cand = "na" in candidates.columns and "nb" in candidates.columns
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
@@ -265,24 +284,36 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
     )
     # shrink the shingle frame to candidate docs BEFORE any pair join
     sh_c = sh.join(cand_ids, id_col, "left_semi")
+    a = sh_c.select(F.col(id_col).alias("doc_a"), "h")
+    b = sh_c.select(F.col(id_col).alias("doc_b"), "h")
+    pairs = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    jac = F.round(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+    )
+    if sized_cand:
+        # exact pair gate AND both size columns in one broadcast join;
+        # na/nb are functions of the pair key so they group through.
+        common = (
+            pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"])
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return (
+            common.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     if sizes is None:
         sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     else:
         sizes = sizes.select(F.col(id_col), F.col("n_sh"))
-    a = sh_c.select(F.col(id_col).alias("doc_a"), "h")
-    b = sh_c.select(F.col(id_col).alias("doc_b"), "h")
     common = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        pairs
         .join(candidates, ["doc_a", "doc_b"], "left_semi")  # exact pair gate
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.round(
-        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
-    )
     return (
         common.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))

