@@ -742,10 +742,15 @@ def q22_asof_join(spark, sf_dir):
 def q41_sessionization(spark, sf_dir):
     events = _load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # timestamp-domain comparison (ts <= prev + 30min ⇔ ts - prev <= 30min):
+    # works for TIMESTAMP and TIMESTAMP_NTZ alike — parquet timestamps
+    # without a zone annotation load as NTZ, which Spark refuses to cast to
+    # a numeric epoch directly.
+    prev_ts = F.lag("ts").over(w)
     marked = events.withColumn(
         "new_session",
-        F.when(gap <= 30 * 60, 0).otherwise(1),
+        F.when(F.col("ts") <= prev_ts + F.expr("INTERVAL 30 MINUTES"),
+               0).otherwise(1),
     )
     w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
