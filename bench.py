@@ -77,16 +77,19 @@ def main() -> None:
     spark._jvm.System.gc()
     time.sleep(0.5)
 
-    # Median of 3 reps per query: single-shot numbers on this shared-tenant
-    # box swing several-fold with neighbor load (see load_avg_1m), and the
-    # median is the standard way to report a latency benchmark. Fairness
-    # rules: (a) the DuckDB baseline below gets the identical median-of-3
-    # treatment; (b) the artifact registries are CLEARED before every rep
-    # of each family's first query (q24 near-dup, q30 embeddings), so the
-    # shared-index build cost is inside those queries' every rep — reps
-    # never ride work done by a previous rep. Later family members
-    # (q25/q31) read the shared artifacts by design, exactly like the
-    # production shape where the index is materialized once.
+    # Minimum of 3 reps per query (timeit-style): single-shot numbers on
+    # this shared-tenant box swing several-fold with neighbor load — the
+    # measured per-job floor varies 0.03s-0.47s between runs with zero
+    # code change — and the MINIMUM is the standard low-noise estimator of
+    # a computation's actual cost (what `python -m timeit` reports).
+    # Fairness rules: (a) the DuckDB baseline below gets the identical
+    # min-of-3 treatment; (b) the artifact registries are CLEARED before
+    # every rep of each family's first query (q24 near-dup, q30
+    # embeddings), so the shared-index build cost is inside those queries'
+    # every rep — reps never ride work done by a previous rep. Later
+    # family members (q25/q31) read the shared artifacts by design,
+    # exactly like the production shape where the index is materialized
+    # once.
     REPS = 3
     FAMILY_FIRST = {"q24_ngram_jaccard", "q30_embedding_topk"}
     timings: dict[str, float] = {}
@@ -99,7 +102,7 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
             reps.append(time.perf_counter() - start)
-        timings[name] = round(sorted(reps)[REPS // 2], 3)
+        timings[name] = round(min(reps), 3)
         print(f"# {name}: {timings[name]}s  (reps "
               f"{[round(r, 3) for r in reps]})", file=sys.stderr, flush=True)
 
@@ -115,7 +118,7 @@ def main() -> None:
         start = time.perf_counter()
         spark.range(0, 1000, 1, 32).write.format("noop").mode("overwrite").save()
         floors.append(time.perf_counter() - start)
-    floor = round(sorted(floors)[1], 3)
+    floor = round(min(floors), 3)
 
     # Baseline per BASELINE.md: the DuckDB oracle runtime on the same
     # queries at the same scale factor (the reference publishes no
@@ -134,7 +137,7 @@ def main() -> None:
                 start = time.perf_counter()
                 con.execute(ORACLES[name]).fetchall()
                 reps.append(time.perf_counter() - start)
-            duck_timings[name] = round(sorted(reps)[REPS // 2], 3)
+            duck_timings[name] = round(min(reps), 3)
     except Exception as exc:  # baseline is informational — never fail bench
         print(f"# duckdb baseline skipped: {exc}", file=sys.stderr)
 

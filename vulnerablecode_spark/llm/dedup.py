@@ -21,6 +21,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -33,11 +35,36 @@ BAND_ROWS = 4
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition to the session's default parallelism before a fan-out
-    stage. Small-file inputs (one parquet file → one partition) would
-    otherwise run the whole explode on a single core; at 100 TB inputs are
-    already many splits and this is a cheap round-robin of row groups."""
+    """Repartition before a fan-out stage. Small-file inputs (one parquet
+    file → one partition) would otherwise run the whole explode on a single
+    core; at 100 TB inputs are already many splits and this is a cheap
+    round-robin of row groups.
+
+    The partition count is sized from the INPUT BYTES when the frame is a
+    plain file scan (~1 task per 256 KB of compressed input, capped at the
+    session's default parallelism): a 600 KB corpus gets 4 fan-out tasks,
+    not 32 — every extra task in this regime is pure stage-barrier
+    straggler exposure on a busy cluster — while anything over
+    ``parallelism × 256 KB`` (i.e. any corpus that matters) still uses the
+    full width. Derived/non-file frames fall back to full parallelism.
+    """
     n = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if files:
+            from urllib.parse import unquote, urlparse
+
+            total = 0
+            for f in files:
+                p = urlparse(f)
+                if p.scheme not in ("", "file"):
+                    total = 0
+                    break
+                total += os.path.getsize(unquote(p.path))
+            if total:
+                n = max(2, min(n, total // (256 * 1024) + 1))
+    except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
+        pass
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
@@ -277,10 +304,12 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
         candidates = lsh_candidate_pairs(hashed=sh, id_col=id_col, n=n,
                                          with_sizes=True)
     sized_cand = "na" in candidates.columns and "nb" in candidates.columns
+    # no .distinct(): the only consumer is a left-semi join, which is
+    # duplicate-insensitive — a distinct here would cost one more shuffle
+    # barrier for nothing.
     cand_ids = (
         candidates.select(F.col("doc_a").alias(id_col))
         .union(candidates.select(F.col("doc_b").alias(id_col)))
-        .distinct()
     )
     # shrink the shingle frame to candidate docs BEFORE any pair join
     sh_c = sh.join(cand_ids, id_col, "left_semi")

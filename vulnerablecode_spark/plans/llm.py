@@ -87,9 +87,14 @@ def _near_dup_artifacts(spark, sf_dir: str) -> dict:
         # stage needs no size joins and the signature frame itself is
         # consumed exactly once (no third barrier).
         hashed = dedup.hashed_shingles(docs).localCheckpoint(eager=True)
+        # The band self-join consumes the signature frame TWICE (left and
+        # right side project different columns, so Catalyst cannot reuse
+        # one exchange across the sides) — without this barrier the whole
+        # MinHash aggregation would run twice inside the candidate build.
+        sig = dedup.minhash_signatures(
+            hashed=hashed, with_sizes=True).localCheckpoint(eager=True)
         candidates = dedup.lsh_candidate_pairs(
-            sig=dedup.minhash_signatures(hashed=hashed, with_sizes=True),
-            with_sizes=True).localCheckpoint(eager=True)
+            sig=sig, with_sizes=True).localCheckpoint(eager=True)
         art = {"hashed": hashed, "candidates": candidates}
         _ARTIFACTS[key] = art
     return art
@@ -104,7 +109,14 @@ def _embedding_artifacts(spark, sf_dir: str, bucketed: bool = False):
     is a STORED column written once at ingest — recomputing hyperplane
     projections per query is wasted work — so the bench path models
     exactly that, and the brute-force baseline (q30) never pays the
-    bucket build it doesn't read."""
+    bucket build it doesn't read.
+
+    The ``cast`` tier is deliberately NOT checkpointed: the double-cast is
+    a narrow map over the parquet scan, so re-evaluating it per consumer
+    costs microseconds while materializing it costs a whole Spark job —
+    at any scale the scan+cast belongs inside each query's own plan
+    (column pruning and filter pushdown still reach the parquet reader).
+    The ``bucketed`` tier IS checkpointed: it models the stored column."""
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, "emb")
     art = _ARTIFACTS.get(key)
@@ -115,7 +127,7 @@ def _embedding_artifacts(spark, sf_dir: str, bucketed: bool = False):
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double"))
              .alias("embedding"),
-        ).localCheckpoint(eager=True)}
+        )}
         _ARTIFACTS[key] = art
     if bucketed and "bucketed" not in art:
         art["bucketed"] = art["cast"].select(
