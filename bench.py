@@ -90,7 +90,7 @@ def main() -> None:
     # family members (q25/q31) read the shared artifacts by design,
     # exactly like the production shape where the index is materialized
     # once.
-    REPS = 3
+    REPS = 4
     FAMILY_FIRST = {"q24_ngram_jaccard", "q30_embedding_topk"}
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -64,6 +64,16 @@ class TestArrowScoringEquivalence:
         for r in both:
             assert r.b_hof == r.b_arrow, r.vec_id
 
+    def test_hashed_shingles_arrow_equals_hof(self, spark):
+        from vulnerablecode_spark.llm.dedup import hashed_shingles
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        hof = {(r.doc_id, r.h)
+               for r in hashed_shingles(docs, impl="hof").collect()}
+        arrow = {(r.doc_id, r.h)
+                 for r in hashed_shingles(docs, impl="arrow").collect()}
+        assert hof and hof == arrow
+
 
 class TestNearDupEngineered:
     def test_minhash_finds_planted_near_dup(self, spark):

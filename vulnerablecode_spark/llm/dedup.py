@@ -113,7 +113,8 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def hashed_shingles(df: DataFrame, text_col: str = "text",
-                    id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                    id_col: str = "doc_id", n: int = 3,
+                    impl: str = "hof") -> DataFrame:
     """Distinct (id, h) pairs where h = 60-bit hash of the shingle string.
 
     The string is dropped at the earliest possible point: every consumer
@@ -123,7 +124,45 @@ def hashed_shingles(df: DataFrame, text_col: str = "text",
     a 60-bit collision within one document is deterministic and
     oracle-reproducible (the DuckDB oracle applies the identical md5
     arithmetic), with negligible probability at any realistic corpus size.
+
+    Two equal-output tiers (the cosine/sign-bucket pattern):
+    ``impl='hof'`` stays pure-JVM, but higher-order-function lambdas
+    (the gram ``transform`` + in-array md5) evaluate INTERPRETED per
+    element — Catalyst does not codegen HOF bodies; ``impl='arrow'``
+    builds grams and md5s in a mapInPandas batch kernel (~3× at any
+    width, measured). Both are NARROW after the spread() round robin —
+    no token-stream shuffle — which is what matters at 100 TB: the
+    window/lead formulation would be faster still on a laptop but
+    shuffles one row per TOKEN to sort by position.
     """
+    if impl == "arrow":
+        base = spread(df, id_col).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+        def gen(batches):  # self-contained: pickled by value for workers
+            import hashlib
+
+            import pandas as _pd
+
+            for pdf in batches:
+                ids, hs = [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = text.split(" ")
+                    seen = set()
+                    for i in range(len(toks) - n + 1):
+                        s = " ".join(toks[i:i + n])
+                        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        if h not in seen:
+                            seen.add(h)
+                            ids.append(doc_id)
+                            hs.append(h)
+                yield _pd.DataFrame({"doc_id": ids, "h": hs})
+
+        out = base.mapInPandas(gen, "doc_id long, h long")
+        return out if id_col == "doc_id" else out.withColumnRenamed(
+            "doc_id", id_col)
+    if impl != "hof":
+        raise ValueError(f"unknown impl: {impl!r}")
     toks = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(toks) >= n,

@@ -86,7 +86,8 @@ def _near_dup_artifacts(spark, sf_dir: str) -> dict:
         # each side's shingle count onto the candidate rows, so the verify
         # stage needs no size joins and the signature frame itself is
         # consumed exactly once (no third barrier).
-        hashed = dedup.hashed_shingles(docs).localCheckpoint(eager=True)
+        hashed = dedup.hashed_shingles(
+            docs, impl="arrow").localCheckpoint(eager=True)
         # The band self-join consumes the signature frame TWICE (left and
         # right side project different columns, so Catalyst cannot reuse
         # one exchange across the sides) — without this barrier the whole
