@@ -687,6 +687,87 @@ def q51_png_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q53_gif_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS width, 4 + (doc_id * 3) % 5 AS height,
+               1 + doc_id % 3 AS n_frames
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, width, height, n_frames,
+               UNNEST(range(0, n_frames)) AS f
+        FROM dims
+    ),
+    fp AS (
+        SELECT doc_id, width, height, n_frames, f,
+               UNNEST(range(0, width * height)) AS i
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(width AS BIGINT) AS width,
+           CAST(height AS BIGINT) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(3 * SUM((doc_id * 7 + f * 11 + i * 13) % 256) AS BIGINT)
+               AS rgb_sum,
+           CAST((doc_id * 7 + (n_frames - 1) * 11 + (width * height - 1) * 13)
+                % 256 AS BIGINT) AS last_px
+    FROM fp GROUP BY doc_id, width, height, n_frames
+    """,
+)
+def q53_gif_roundtrip(spark, sf_dir):
+    """Animated-GIF encode→decode round trip vs arithmetic truth.
+
+    Frame f pixel i = (doc_id*7 + f*11 + i*13) % 256 as gray palette
+    indices; odd doc_ids encode INTERLACED so the 4-pass row shuffle is
+    under the driver gate too. Dims come from the real header parse
+    (width/height/frame count), sums from the real LZW decode + canvas
+    composition (kernel/media.py); the decoded RGB sum is 3× the index
+    sum because the gray palette maps i → (i,i,i). A single wrong pixel
+    anywhere in any frame breaks the value hash.
+    """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from vulnerablecode_spark.kernel import media as _media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                w, h = 4 + d % 5, 4 + (d * 3) % 5
+                nf = 1 + d % 3
+                frames = _np.stack([
+                    ((d * 7 + f * 11
+                      + _np.arange(w * h, dtype=_np.int64) * 13) % 256)
+                    .astype(_np.uint8).reshape(h, w)
+                    for f in range(nf)
+                ])
+                payload = _media.encode_gif(frames, interlace=bool(d % 2))
+                meta = _media.parse_media_header(payload)
+                out = _media.decode_gif(payload)
+                rows.append((d, meta["width"], meta["height"],
+                             meta["n_frames"],
+                             int(out.astype(_np.int64).sum()),
+                             int(out[-1, -1, -1, 0])))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "n_frames", "rgb_sum",
+                "last_px"])
+
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n).mapInPandas(
+        roundtrip,
+        "doc_id long, width long, height long, n_frames long, "
+        "rgb_sum long, last_px long")
+
+
+@query(
     "q52_wav_roundtrip",
     oracle="""
     WITH dims AS (
