@@ -39,6 +39,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    import vulnerablecode_spark.plans.coverage  # noqa: F401 — q40 extra
     import vulnerablecode_spark.plans.llm  # noqa: F401
     import vulnerablecode_spark.plans.relational  # noqa: F401
     from vulnerablecode_spark.plans import QUERIES
@@ -108,6 +109,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # Informational extras — tracked per-round but OUTSIDE the headline
+    # total/ratio (the headline list is the stable cross-round series).
+    # q40 runs the iterative label-propagation connected components at the
+    # bench SF so its round count / wall time is visible in every
+    # BENCH_r{N}.json (the VERDICT r3 ask).
+    extras: dict[str, float] = {}
+    try:
+        reps = []
+        for _ in range(REPS):
+            start = time.perf_counter()
+            QUERIES["q40_connected_components"](spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - start)
+        extras["q40_connected_components"] = round(min(reps), 3)
+    except Exception as exc:  # extras are informational — never fail bench
+        print(f"# extras skipped: {exc}", file=sys.stderr)
+
     # Per-query floor: the fixed cost of ONE trivial Spark action (plan +
     # job launch + 32-task stage) on this box right now. At sf0.1 many
     # headline queries are floor-dominated — this records how much of the
@@ -152,6 +170,7 @@ def main() -> None:
         "duckdb_baseline_queries": duck_timings,
         "spark_vs_duckdb_ratio": (
             round(total / duck_total, 3) if duck_total else None),
+        "extras": extras,
         "spark_job_floor_sec": floor,
         "spark_total_minus_floor": round(max(total - floor * len(HEADLINE), 0.0), 3),
         "spark_vs_duckdb_ratio_minus_floor": (
