@@ -69,15 +69,20 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("node",
                     F.coalesce("_parent", "component").alias("component"))
         )
-        # fixpoint check: any node whose label still shrinks?
+        # materialize FIRST, then fixpoint-check against the materialized
+        # frame: counting the lazy `jumped` subtree and then checkpointing
+        # it would evaluate the whole iteration's joins twice.
+        new_mat = jumped.localCheckpoint(eager=True)  # truncate lineage
+        # fixpoint check: any node whose label still shrinks? (one cheap
+        # scan of two checkpointed frames per round, O(diameter) rounds)
         changed = (
-            jumped.alias("n")
+            new_mat.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") < F.col("o.component"))
             .limit(1)
             .count()
         )
-        labels = jumped.localCheckpoint(eager=True)  # truncate lineage
+        labels = new_mat
         if changed == 0:
             converged = True
             break
