@@ -75,6 +75,29 @@ class TestArrowScoringEquivalence:
         assert hof and hof == arrow
 
 
+class TestSpreadSizing:
+    """spread() sizes its fan-out repartition from the input bytes: tiny
+    file scans must not pay 32-task stage barriers, while derived frames
+    (no file stats) fall back to full parallelism."""
+
+    def test_small_file_scan_gets_few_partitions(self, spark):
+        from vulnerablecode_spark.llm.dedup import spread
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        n = spread(docs, "doc_id").rdd.getNumPartitions()
+        assert 2 <= n <= 4, n  # sf0.001 documents.parquet is ~100 KB
+
+    def test_fileless_frame_uses_default_parallelism(self, spark):
+        # frames with no file lineage (inputFiles() is empty) have no byte
+        # statistic to size from — they get the full session parallelism
+        from vulnerablecode_spark.llm.dedup import spread
+
+        fileless = spark.range(0, 1000).selectExpr(
+            "id AS doc_id", "CAST(id AS STRING) AS text")
+        n = spread(fileless, "doc_id").rdd.getNumPartitions()
+        assert n == spark.sparkContext.defaultParallelism, n
+
+
 class TestNearDupEngineered:
     def test_minhash_finds_planted_near_dup(self, spark):
         from vulnerablecode_spark.llm.dedup import (lsh_candidate_pairs,
