@@ -74,6 +74,20 @@ class TestArrowScoringEquivalence:
                  for r in hashed_shingles(docs, impl="arrow").collect()}
         assert hof and hof == arrow
 
+    def test_positional_shingles_arrow_equals_hof(self, spark):
+        import collections
+
+        from vulnerablecode_spark.llm.dedup import positional_shingle_hashes
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        hof = collections.Counter(
+            (r.doc_id, r.pos, r.h)
+            for r in positional_shingle_hashes(docs, impl="hof").collect())
+        arrow = collections.Counter(
+            (r.doc_id, r.pos, r.h)
+            for r in positional_shingle_hashes(docs, impl="arrow").collect())
+        assert hof and hof == arrow
+
 
 class TestSpreadSizing:
     """spread() sizes its fan-out repartition from the input bytes: tiny

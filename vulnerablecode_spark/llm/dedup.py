@@ -417,10 +417,39 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def positional_shingle_hashes(df: DataFrame, text_col: str = "text",
-                              id_col: str = "doc_id", n: int = 3) -> DataFrame:
+                              id_col: str = "doc_id", n: int = 3,
+                              impl: str = "hof") -> DataFrame:
     """POSITIONAL (id, pos, h) k-gram hashes — unlike
     :func:`hashed_shingles` duplicates are kept and position is retained,
-    the input shape winnowing needs."""
+    the input shape winnowing needs. ``impl='arrow'`` is the batch-kernel
+    tier (same narrow shape, no interpreted HOF lambdas — see
+    :func:`hashed_shingles`)."""
+    if impl == "arrow":
+        base = spread(df, id_col).select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+        def gen(batches):  # self-contained: pickled by value for workers
+            import hashlib
+
+            import pandas as _pd
+
+            for pdf in batches:
+                ids, ps, hs = [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    toks = text.split(" ")
+                    for i in range(len(toks) - n + 1):
+                        s = " ".join(toks[i:i + n])
+                        ids.append(doc_id)
+                        ps.append(i)
+                        hs.append(int(
+                            hashlib.md5(s.encode()).hexdigest()[:15], 16))
+                yield _pd.DataFrame({"doc_id": ids, "pos": ps, "h": hs})
+
+        out = base.mapInPandas(gen, "doc_id long, pos int, h long")
+        return out if id_col == "doc_id" else out.withColumnRenamed(
+            "doc_id", id_col)
+    if impl != "hof":
+        raise ValueError(f"unknown impl: {impl!r}")
     toks = F.split(F.col(text_col), " ")
     grams = F.when(
         F.size(toks) >= n,
@@ -442,7 +471,7 @@ def positional_shingle_hashes(df: DataFrame, text_col: str = "text",
 
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", n: int = 3,
-                           w: int = 4) -> DataFrame:
+                           w: int = 4, impl: str = "hof") -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS scheme): over every full window of ``w`` consecutive k-gram
     hashes, select the RIGHTMOST minimal hash; the distinct selected
@@ -455,7 +484,7 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     ties REAL, and leaving tie-break to an engine's arg_min would
     diverge between engines.
     """
-    ph = positional_shingle_hashes(df, text_col, id_col, n)
+    ph = positional_shingle_hashes(df, text_col, id_col, n, impl=impl)
     win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(w - 1), 0)
     wm = (
         ph.withColumn("wmin", F.min("h").over(win))

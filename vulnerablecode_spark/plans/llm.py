@@ -608,7 +608,7 @@ _SQL_POS_SHINGLES = rf"""
 )
 def q48_winnowing_fingerprints(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
-    return dedup.winnowing_fingerprints(docs, n=3, w=4)
+    return dedup.winnowing_fingerprints(docs, n=3, w=4, impl="arrow")
 
 
 # ---------------------------------------------------------------------------
