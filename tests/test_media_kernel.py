@@ -285,6 +285,61 @@ class TestGifDecode:
             M.decode_gif(b"GIF89a" + bytes(20))
 
 
+class TestJpegCodec:
+    """Real baseline JPEG: exact on constant 8×8 blocks, bounded error in
+    general, spec-shaped failure modes."""
+
+    def test_constant_blocks_roundtrip_exact(self):
+        rng = np.random.default_rng(7)
+        for _ in range(10):
+            h8, w8 = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+            vals = rng.integers(0, 256, size=(h8, w8))
+            img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+            dec = M.decode_jpeg(M.encode_jpeg(img))
+            assert dec.shape == (h8 * 8, w8 * 8, 1)
+            assert np.array_equal(dec[:, :, 0], img)
+
+    def test_arbitrary_image_error_bounded(self):
+        # all-ones quant table: only FDCT rounding loss — ±0.5 per
+        # coefficient bounds the pixel error to a few counts
+        img = np.random.default_rng(11).integers(
+            0, 256, size=(37, 29), dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg(img))[:, :, 0]
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 4
+
+    def test_non_multiple_of_8_dims_crop(self):
+        img = np.full((9, 17), 200, dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg(img))
+        assert dec.shape == (9, 17, 1)
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_header_parse_of_own_output(self):
+        enc = M.encode_jpeg(np.zeros((16, 24), dtype=np.uint8))
+        meta = M.parse_media_header(enc)
+        assert (meta["media_format"], meta["width"], meta["height"],
+                meta["n_channels"], meta["bit_depth"]) == ("jpeg", 24, 16,
+                                                           1, 8)
+
+    def test_decode_image_dispatches_jpeg(self):
+        img = np.full((8, 8), 77, dtype=np.uint8)
+        assert np.array_equal(
+            M.decode_image(M.encode_jpeg(img))[:, :, 0], img)
+
+    def test_truncated_scan_raises(self):
+        enc = M.encode_jpeg(np.full((8, 8), 130, dtype=np.uint8))
+        with pytest.raises(M.MediaError):
+            M.decode_jpeg(enc[:len(enc) - 4] )
+
+    def test_color_jpeg_rejected(self):
+        # hand-build an SOF0 with 3 components: decoder must refuse, the
+        # documented scope boundary
+        enc = bytearray(M.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 9] = 3  # ncomp
+        with pytest.raises(M.MediaError):
+            M.decode_jpeg(bytes(enc))
+
+
 class TestMediaProperties:
     """Hypothesis properties: codec round trips over arbitrary shapes and
     totality of the header parser over arbitrary bytes."""
@@ -347,3 +402,13 @@ class TestMediaProperties:
     def test_lzw_roundtrip(self, mcs, pixels):
         enc = M._lzw_encode(mcs, pixels)
         assert M._lzw_decode(mcs, enc, len(pixels)) == pixels
+
+    @given(st.binary(max_size=2048))
+    @settings(max_examples=200, deadline=None)
+    def test_jpeg_decoder_total_over_garbage(self, b):
+        # arbitrary bytes behind a JPEG SOI: decode either succeeds or
+        # raises MediaError — never an unwrapped IndexError/struct.error
+        try:
+            M.decode_jpeg(b"\xff\xd8\xff" + b)
+        except M.MediaError:
+            pass

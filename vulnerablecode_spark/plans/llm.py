@@ -768,6 +768,75 @@ def q53_gif_roundtrip(spark, sf_dir):
 
 
 @query(
+    "q54_jpeg_roundtrip",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 1 + doc_id % 3 AS w8, 1 + (doc_id * 5) % 3 AS h8
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, w8, h8, UNNEST(range(0, w8 * h8)) AS k
+        FROM dims
+    )
+    SELECT doc_id,
+           CAST(w8 * 8 AS BIGINT) AS width,
+           CAST(h8 * 8 AS BIGINT) AS height,
+           CAST(64 * SUM((doc_id * 7 + k * 29) % 256) AS BIGINT)
+               AS pixel_sum,
+           CAST((doc_id * 7 + (w8 * h8 - 1) * 29) % 256 AS BIGINT)
+               AS last_px
+    FROM blocks GROUP BY doc_id, w8, h8
+    """,
+)
+def q54_jpeg_roundtrip(spark, sf_dir):
+    """Baseline-JPEG encode→decode round trip vs arithmetic truth.
+
+    Images are built from constant 8×8 blocks (block k value =
+    (doc_id*7 + k*29) % 256): constant blocks have a DC-only DCT whose
+    integer coefficient survives the all-ones quantization exactly, so
+    the REAL entropy decode (canonical Huffman, 0xFF00 destuffing, DC
+    prediction, dequantize, zig-zag, IDCT — kernel/media.py) must return
+    the source image bit-for-bit for the value hash to match. This
+    grades the full JPEG machinery; lossy behavior on non-constant
+    blocks is bounded-error and pytest-tested instead.
+    """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(spark)
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def roundtrip(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from vulnerablecode_spark.kernel import media as _media
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"].astype("int64"):
+                d = int(doc_id)
+                w8, h8 = 1 + d % 3, 1 + (d * 5) % 3
+                vals = ((d * 7 + _np.arange(w8 * h8, dtype=_np.int64) * 29)
+                        % 256).reshape(h8, w8)
+                img = _np.repeat(_np.repeat(vals, 8, 0), 8, 1).astype(
+                    _np.uint8)
+                payload = _media.encode_jpeg(img)
+                meta = _media.parse_media_header(payload)
+                out = _media.decode_image(payload)
+                rows.append((d, meta["width"], meta["height"],
+                             int(out.astype(_np.int64).sum()),
+                             int(out[-1, -1, 0])))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "pixel_sum", "last_px"])
+
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n).mapInPandas(
+        roundtrip,
+        "doc_id long, width long, height long, pixel_sum long, "
+        "last_px long")
+
+
+@query(
     "q52_wav_roundtrip",
     oracle="""
     WITH dims AS (
