@@ -55,7 +55,8 @@ def main() -> None:
 
     def build_index():
         nonlocal hashed
-        hashed = dedup.hashed_shingles(docs).localCheckpoint(eager=True)
+        hashed = dedup.hashed_shingles(
+            docs, impl="arrow").localCheckpoint(eager=True)
         return f"{hashed.count()} shingle rows"
 
     timed("shingle_index", build_index)
@@ -67,7 +68,8 @@ def main() -> None:
                              sizes=sig.select('doc_id', 'n_sh'),
                              threshold=0.8).count()))
     timed("simhash", lambda: f"{dedup.simhash(docs).count()} signatures")
-    timed("winnowing", lambda: f"{dedup.winnowing_fingerprints(docs).count()} fingerprints")
+    timed("winnowing", lambda: "{} fingerprints".format(
+        dedup.winnowing_fingerprints(docs, impl="arrow").count()))
 
     bucketed = emb.select(
         "vec_id",
