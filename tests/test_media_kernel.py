@@ -330,12 +330,33 @@ class TestJpegCodec:
         with pytest.raises(M.MediaError):
             M.decode_jpeg(enc[:len(enc) - 4] )
 
-    def test_color_jpeg_rejected(self):
-        # hand-build an SOF0 with 3 components: decoder must refuse, the
-        # documented scope boundary
+    def test_color_roundtrip_bounded(self):
+        # JFIF YCbCr 4:4:4: two rounded color transforms + FDCT rounding
+        rgb = np.random.default_rng(3).integers(
+            0, 256, size=(24, 16, 3), dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg(rgb))
+        assert dec.shape == (24, 16, 3)
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 3
+
+    def test_color_header_parse(self):
+        enc = M.encode_jpeg(np.zeros((32, 24, 3), dtype=np.uint8))
+        meta = M.parse_media_header(enc)
+        assert (meta["width"], meta["height"], meta["n_channels"]) == (
+            24, 32, 3)
+
+    def test_sof_sos_component_mismatch_rejected(self):
+        # SOF claiming 3 components over a 1-component scan must refuse
         enc = bytearray(M.encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
         sof = enc.find(b"\xff\xc0")
         enc[sof + 9] = 3  # ncomp
+        with pytest.raises(M.MediaError):
+            M.decode_jpeg(bytes(enc))
+
+    def test_subsampled_rejected(self):
+        # 4:2:0 sampling factors: documented scope boundary
+        enc = bytearray(M.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
+        sof = enc.find(b"\xff\xc0")
+        enc[sof + 11] = 0x22  # component 1 sampling → 2×2
         with pytest.raises(M.MediaError):
             M.decode_jpeg(bytes(enc))
 

@@ -12,13 +12,14 @@ formats are decodable with nothing beyond the standard library and numpy:
           4-byte row padding) and encode.
 - WAV   — RIFF/WAVE chunk walk; PCM 16-bit decode to ``int16`` samples
           and encode.
-- JPEG  — REAL baseline-sequential decode for single-component
-          (grayscale) images: DHT canonical Huffman, 0xFF00-stuffed
-          bitstream, DC prediction + EXTEND, run/size AC coding,
-          dequantize, zig-zag, orthonormal IDCT — plus a matching
-          encoder (all-ones quant table; exact on constant 8×8 blocks,
-          which makes the round trip arithmetically gradable).
-          Multi-component (color) scans raise MediaError.
+- JPEG  — REAL baseline-sequential decode for grayscale AND YCbCr
+          4:4:4 color: DHT canonical Huffman, 0xFF00-stuffed bitstream,
+          interleaved MCUs with per-component DC prediction + EXTEND,
+          run/size AC coding, dequantize, zig-zag, orthonormal IDCT,
+          JFIF color transform — plus a matching encoder (all-ones
+          quant table; grayscale is exact on constant 8×8 blocks, which
+          makes the round trip arithmetically gradable). Subsampled
+          (4:2:0/4:2:2) and progressive scans raise MediaError.
 - GIF   — full frame decode: LZW implemented from the public GIF89a spec
           (LSB-first bitstream, growing 12-bit-max code table), global and
           local color tables, interlacing (4-pass row shuffle),
@@ -656,13 +657,14 @@ def encode_gif(frames: np.ndarray, interlace: bool = False) -> bytes:
 # order (generated by the diagonal walk, not transcribed), DC prediction,
 # magnitude-category coding, and the orthonormal 8×8 DCT pair.
 #
-# Scope: single-component (grayscale) 8-bit baseline, one scan, no
-# restart markers. Encoding is lossy in general (FDCT rounding) but EXACT
+# Scope: 8-bit baseline, one interleaved scan, 1×1 sampling (gray or
+# YCbCr 4:4:4 with the JFIF color transform), no restart markers.
+# Encoding is lossy in general (FDCT rounding) but grayscale is EXACT
 # for images whose every 8×8 block is constant: such blocks have only a
 # DC coefficient (an integer, 8·(v−128)), the all-ones quantization table
 # preserves it, and the IDCT returns the constant exactly — which is what
 # lets an encode→decode round trip be graded against an arithmetic
-# oracle. Color (multi-component) JPEG decode remains out of scope.
+# oracle. Subsampled and progressive JPEG decode remain out of scope.
 # ---------------------------------------------------------------------------
 
 def _zigzag_order() -> list[int]:
@@ -789,63 +791,109 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v >= 0 else int(-v).bit_length()
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
-    """Encode an (h, w) uint8 grayscale image as baseline JPEG.
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB → YCbCr, rounded to uint8 planes."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    bch = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * bch
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bch
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bch
+    return np.clip(np.rint(np.stack([y, cb, cr], axis=-1)), 0, 255)
 
-    All-ones quantization table (minimal loss); edge-replicated padding to
-    8×8 blocks. Lossy in general; exact for constant 8×8 blocks (see the
-    section comment).
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    """JFIF full-range YCbCr → RGB, rounded and clipped to uint8."""
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bch = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, bch], axis=-1)), 0,
+                   255).astype(np.uint8)
+
+
+def _encode_block(wr: _JpegBitWriter, block: np.ndarray, pred: int,
+                  dc_codes, ac_codes, C: np.ndarray) -> int:
+    """FDCT + quantize(1) + DC-diff/AC run-size Huffman for one 8×8 block;
+    returns the new DC predictor."""
+    coef = np.rint(C @ (block - 128.0) @ C.T).astype(np.int64)
+    zz = coef.ravel()[_JPEG_ZIGZAG]
+    diff = int(zz[0]) - pred
+    size = _category(diff)
+    code, length = dc_codes[size]
+    wr.write(code, length)
+    if size:
+        wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
+            wr.write(zc, zl)
+            run -= 16
+        size = _category(v)
+        if size > 10:
+            raise MediaError("jpeg: AC coefficient out of range")
+        cc, cl = ac_codes[(run << 4) | size]
+        wr.write(cc, cl)
+        wr.write(v if v >= 0 else v + (1 << size) - 1, size)
+        run = 0
+    if run:
+        ec, el = ac_codes[0x00]  # EOB
+        wr.write(ec, el)
+    return int(zz[0])
+
+
+def _pad_to_blocks(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = padded[h - 1:h, :w]
+    padded[:, w:] = padded[:, w - 1:w]
+    return padded
+
+
+def encode_jpeg(arr: np.ndarray) -> bytes:
+    """Encode (h, w[, 1]) grayscale or (h, w, 3) RGB as baseline JPEG.
+
+    All-ones quantization table (minimal DCT loss); edge-replicated
+    padding to 8×8 blocks. RGB converts through JFIF YCbCr and encodes
+    three 4:4:4 interleaved components. Grayscale is lossy only through
+    FDCT rounding — and exact for constant 8×8 blocks (see the section
+    comment); color adds the two rounded color transforms (error ≤ ~2
+    per channel on constant blocks, pytest-bounded).
     """
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
-    if a.ndim != 2:
-        raise MediaError("jpeg: encoder takes (h, w[, 1]) grayscale")
-    h, w = a.shape
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(a)
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise MediaError("jpeg: encoder takes (h, w[, 1]) gray or (h, w, 3) RGB")
+    h, w = a.shape[:2]
     if not h or not w:
         raise MediaError("jpeg: empty image")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.empty((ph, pw), dtype=np.float64)
-    padded[:h, :w] = a
-    padded[h:, :w] = a[-1:, :]
-    padded[:, w:] = padded[:, w - 1:w]
+    padded = [_pad_to_blocks(p, h, w) for p in planes]
+    ph, pw = padded[0].shape
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
     C = _dct_matrix()
     wr = _JpegBitWriter()
-    pred = 0
+    preds = [0] * len(planes)
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            block = padded[by:by + 8, bx:bx + 8] - 128.0
-            coef = np.rint(C @ block @ C.T).astype(np.int64)
-            zz = coef.ravel()[_JPEG_ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = _category(diff)
-            code, length = dc_codes[size]
-            wr.write(code, length)
-            if size:
-                wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_codes[0xF0]  # ZRL: 16 zeros
-                    wr.write(zc, zl)
-                    run -= 16
-                size = _category(v)
-                if size > 10:
-                    raise MediaError("jpeg: AC coefficient out of range")
-                cc, cl = ac_codes[(run << 4) | size]
-                wr.write(cc, cl)
-                wr.write(v if v >= 0 else v + (1 << size) - 1, size)
-                run = 0
-            if run:
-                ec, el = ac_codes[0x00]  # EOB
-                wr.write(ec, el)
+            for ci, plane in enumerate(padded):  # interleaved 1×1 MCU
+                preds[ci] = _encode_block(
+                    wr, plane[by:by + 8, bx:bx + 8], preds[ci],
+                    dc_codes, ac_codes, C)
     wr.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -854,26 +902,32 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     def dht(tc: int, th: int, bits: list[int], syms: list[int]) -> bytes:
         return bytes([(tc << 4) | th] + bits + list(syms))
 
+    ncomp = len(planes)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])  # id, 1×1 sampling, quant table 0
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT: table 0, all 1s
-    out += seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
-               + bytes([1, 1, 0x11, 0]))  # SOF0: 1 component, 1×1 sampling
+    out += seg(0xC0, sof)
     out += seg(0xC4, dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_SYMS))
     out += seg(0xC4, dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_SYMS))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    out += seg(0xDA, sos + bytes([0, 63, 0]))  # SOS
     out += wr.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a single-component baseline JPEG to (h, w, 1) uint8.
+    """Decode a baseline JPEG: gray → (h, w, 1); YCbCr 4:4:4 → (h, w, 3)
+    RGB via the JFIF transform.
 
     Real entropy decode: DHT canonical-Huffman tables from the stream,
-    DC prediction + EXTEND, run/size AC coding with ZRL/EOB, dequantize,
-    zig-zag → raster, orthonormal IDCT, +128, clip. Multi-component
-    (color) scans raise MediaError — out of scope, stated in the module
-    docstring.
+    interleaved-MCU scan with per-component DC prediction + EXTEND,
+    run/size AC coding with ZRL/EOB, dequantize, zig-zag → raster,
+    orthonormal IDCT, +128, clip. Subsampled (non-4:4:4) and progressive
+    scans raise MediaError — the documented scope boundary.
     """
     if sniff_format(b) != "jpeg":
         raise MediaError("not a jpeg payload")
@@ -923,56 +977,79 @@ def _decode_jpeg_markers(b: bytes) -> np.ndarray:
         elif marker == 0xC0:
             hgt, wid = struct.unpack_from(">HH", data, 1)
             ncomp = data[5]
-            if ncomp != 1:
-                raise MediaError("jpeg: only single-component (grayscale) "
-                                 "baseline decode is implemented")
-            if data[7] != 0x11:
-                raise MediaError("jpeg: subsampling unsupported")
+            if ncomp not in (1, 3):
+                raise MediaError("jpeg: only 1-component (gray) or "
+                                 "3-component (YCbCr 4:4:4) decode")
+            comp = []
+            for ci in range(ncomp):
+                cid, sampling, tq = data[6 + 3 * ci:9 + 3 * ci]
+                if sampling != 0x11:
+                    raise MediaError("jpeg: subsampling unsupported "
+                                     "(4:4:4 only)")
+                comp.append({"id": cid, "tq": tq})
             dims = (hgt, wid)
-            comp = {"tq": data[8]}
         elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
             raise MediaError("jpeg: only baseline (SOF0) is implemented")
         elif marker == 0xDA:
             if dims is None or comp is None:
                 raise MediaError("jpeg: SOS before SOF")
-            td, ta = data[2] >> 4, data[2] & 0x0F
-            dc_tab = htables.get((0, td))
-            ac_tab = htables.get((1, ta))
-            q = qtables.get(comp["tq"])
-            if dc_tab is None or ac_tab is None or q is None:
-                raise MediaError("jpeg: missing huffman/quant table")
+            ns = data[0]
+            if ns != len(comp):
+                raise MediaError("jpeg: partial scans unsupported")
+            sel = {}
+            for si in range(ns):
+                cid, tables = data[1 + 2 * si], data[2 + 2 * si]
+                sel[cid] = (tables >> 4, tables & 0x0F)
+            planes = []
+            tabs = []
+            for c in comp:
+                if c["id"] not in sel:
+                    raise MediaError("jpeg: scan missing component")
+                td, ta = sel[c["id"]]
+                dc_tab = htables.get((0, td))
+                ac_tab = htables.get((1, ta))
+                q = qtables.get(c["tq"])
+                if dc_tab is None or ac_tab is None or q is None:
+                    raise MediaError("jpeg: missing huffman/quant table")
+                tabs.append((dc_tab, ac_tab, q))
             h, w = dims
             ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
             C = _dct_matrix()
-            img = np.zeros((ph, pw), dtype=np.float64)
+            planes = [np.zeros((ph, pw), dtype=np.float64)
+                      for _ in comp]
             rd = _JpegBitReader(b, pos + 2 + seglen)
-            pred = 0
+            preds = [0] * len(comp)
             for by in range(0, ph, 8):
                 for bx in range(0, pw, 8):
-                    zz = np.zeros(64, dtype=np.int64)
-                    size = _huff_decode(rd, dc_tab)
-                    if size:
-                        pred += _extend(rd.receive(size), size)
-                    zz[0] = pred
-                    k = 1
-                    while k < 64:
-                        sym = _huff_decode(rd, ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, size = sym >> 4, sym & 0x0F
-                        k += run
-                        if k > 63:
-                            raise MediaError("jpeg: AC run past block end")
-                        zz[k] = _extend(rd.receive(size), size)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.int64)
-                    coef[_JPEG_ZIGZAG] = zz
-                    block = C.T @ (coef.reshape(8, 8) * q) @ C
-                    img[by:by + 8, bx:bx + 8] = block
-            out = np.clip(np.rint(img + 128.0), 0, 255).astype(np.uint8)
-            return out[:h, :w, None]
+                    for ci, (dc_tab, ac_tab, q) in enumerate(tabs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_decode(rd, dc_tab)
+                        if size:
+                            preds[ci] += _extend(rd.receive(size), size)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(rd, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise MediaError("jpeg: AC run past block end")
+                            zz[k] = _extend(rd.receive(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.int64)
+                        coef[_JPEG_ZIGZAG] = zz
+                        block = C.T @ (coef.reshape(8, 8) * q) @ C
+                        planes[ci][by:by + 8, bx:bx + 8] = block
+            if len(planes) == 1:
+                out = np.clip(np.rint(planes[0] + 128.0), 0,
+                              255).astype(np.uint8)
+                return out[:h, :w, None]
+            ycc = np.stack([p + 128.0 for p in planes], axis=-1)
+            return _ycbcr_to_rgb(ycc)[:h, :w]
         pos += 2 + seglen
     raise MediaError("jpeg: no scan data")
