@@ -279,11 +279,13 @@ def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed,
                                  with_sizes=with_sizes)
-    # each band's signature string comes straight off the wide columns;
-    # stack() unpivots to (id, band, band_sig) for the candidate join
+    # each band's signature comes straight off the wide columns, reduced
+    # to a 60-bit hash of the joined lane values so the band self-join
+    # shuffles fixed-width bigints, not signature strings; stack()
+    # unpivots to (id, band, band_sig) for the candidate join
     band_sigs = [
-        F.concat_ws("-", *[F.col(f"mh_{b * BAND_ROWS + r}")
-                           for r in range(BAND_ROWS)]).alias(f"band_{b}")
+        hash64(F.concat_ws("-", *[F.col(f"mh_{b * BAND_ROWS + r}")
+                                  for r in range(BAND_ROWS)])).alias(f"band_{b}")
         for b in range(N_HASHES // BAND_ROWS)
     ]
     n_bands = N_HASHES // BAND_ROWS

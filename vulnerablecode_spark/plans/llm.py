@@ -41,11 +41,12 @@ _SQL_BANDS = f"""
           FROM e GROUP BY doc_id, j),
     bands AS (
         SELECT doc_id, CAST(j // {{band_rows}} AS INT) AS band,
-               CONCAT_WS('-',
+               (('0x' || substr(md5(CONCAT_WS('-',
                    MAX(CASE WHEN j % 4 = 0 THEN minhash END),
                    MAX(CASE WHEN j % 4 = 1 THEN minhash END),
                    MAX(CASE WHEN j % 4 = 2 THEN minhash END),
-                   MAX(CASE WHEN j % 4 = 3 THEN minhash END)) AS band_sig
+                   MAX(CASE WHEN j % 4 = 3 THEN minhash END))), 1, 15))::BIGINT)
+                   AS band_sig
         FROM m GROUP BY doc_id, band
     )
 """.format(n_hashes=dedup.N_HASHES, band_rows=dedup.BAND_ROWS)
