@@ -352,11 +352,34 @@ class TestJpegCodec:
         with pytest.raises(M.MediaError):
             M.decode_jpeg(bytes(enc))
 
-    def test_subsampled_rejected(self):
-        # 4:2:0 sampling factors: documented scope boundary
+    def test_420_constant_color(self):
+        # constant chroma → the 2×2 box average is lossless; only the two
+        # color transforms and FDCT rounding remain
+        rgb = np.full((20, 28, 3), (180, 40, 99), dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg(rgb, subsampling="420"))
+        assert dec.shape == (20, 28, 3)
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 2
+
+    def test_420_preserves_luma_detail(self):
+        # a gray gradient carried in a color container: chroma is flat 128,
+        # so 4:2:0 must reproduce the full-resolution luma exactly
+        g = np.fromfunction(lambda y, x: (x * 3 + y * 2) % 256,
+                            (24, 40)).astype(np.uint8)
+        rgb = np.stack([g, g, g], axis=-1)
+        dec = M.decode_jpeg(M.encode_jpeg(rgb, subsampling="420"))
+        assert np.array_equal(dec, rgb)
+
+    def test_420_odd_dims(self):
+        rgb = np.random.default_rng(9).integers(
+            0, 256, size=(13, 17, 3), dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg(rgb, subsampling="420"))
+        assert dec.shape == (13, 17, 3)
+
+    def test_unsupported_sampling_rejected(self):
+        # 4:2:2-style mixed factors: outside the two supported layouts
         enc = bytearray(M.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
         sof = enc.find(b"\xff\xc0")
-        enc[sof + 11] = 0x22  # component 1 sampling → 2×2
+        enc[sof + 11] = 0x21  # component 1 sampling → 2×1
         with pytest.raises(M.MediaError):
             M.decode_jpeg(bytes(enc))
 

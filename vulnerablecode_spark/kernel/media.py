@@ -12,14 +12,16 @@ formats are decodable with nothing beyond the standard library and numpy:
           4-byte row padding) and encode.
 - WAV   — RIFF/WAVE chunk walk; PCM 16-bit decode to ``int16`` samples
           and encode.
-- JPEG  — REAL baseline-sequential decode for grayscale AND YCbCr
-          4:4:4 color: DHT canonical Huffman, 0xFF00-stuffed bitstream,
-          interleaved MCUs with per-component DC prediction + EXTEND,
-          run/size AC coding, dequantize, zig-zag, orthonormal IDCT,
-          JFIF color transform — plus a matching encoder (all-ones
-          quant table; grayscale is exact on constant 8×8 blocks, which
-          makes the round trip arithmetically gradable). Subsampled
-          (4:2:0/4:2:2) and progressive scans raise MediaError.
+- JPEG  — REAL baseline-sequential decode for grayscale and YCbCr
+          color in the 4:4:4 and 4:2:0 layouts: DHT canonical Huffman,
+          0xFF00-stuffed bitstream, interleaved MCUs (4 Y + Cb + Cr at
+          4:2:0) with per-component DC prediction + EXTEND, run/size AC
+          coding, dequantize, zig-zag, orthonormal IDCT, chroma
+          replicate-upsampling, JFIF color transform — plus a matching
+          encoder (all-ones quant table; grayscale is exact on constant
+          8×8 blocks, which makes the round trip arithmetically
+          gradable). 4:2:2-style layouts and progressive scans raise
+          MediaError.
 - GIF   — full frame decode: LZW implemented from the public GIF89a spec
           (LSB-first bitstream, growing 12-bit-max code table), global and
           local color tables, interlacing (4-pass row shuffle),
@@ -858,42 +860,74 @@ def _pad_to_blocks(plane: np.ndarray, h: int, w: int) -> np.ndarray:
     return padded
 
 
-def encode_jpeg(arr: np.ndarray) -> bytes:
+def encode_jpeg(arr: np.ndarray, subsampling: str = "444") -> bytes:
     """Encode (h, w[, 1]) grayscale or (h, w, 3) RGB as baseline JPEG.
 
     All-ones quantization table (minimal DCT loss); edge-replicated
-    padding to 8×8 blocks. RGB converts through JFIF YCbCr and encodes
-    three 4:4:4 interleaved components. Grayscale is lossy only through
-    FDCT rounding — and exact for constant 8×8 blocks (see the section
-    comment); color adds the two rounded color transforms (error ≤ ~2
-    per channel on constant blocks, pytest-bounded).
+    padding to MCU multiples. RGB converts through JFIF YCbCr and
+    encodes three interleaved components — ``subsampling='444'`` keeps
+    chroma full-resolution, ``'420'`` 2×2-box-averages it (the layout
+    virtually every camera/web JPEG uses: MCU = 4 Y + Cb + Cr blocks).
+    Grayscale is lossy only through FDCT rounding — and exact for
+    constant 8×8 blocks (see the section comment); color adds the two
+    rounded transforms, and 4:2:0 the chroma average (lossless when
+    chroma is constant per 2×2).
     """
+    if subsampling not in ("444", "420"):
+        raise MediaError(f"jpeg: unknown subsampling {subsampling!r}")
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
     if a.ndim == 2:
         planes = [a.astype(np.float64)]
+        factors = [(1, 1)]
     elif a.ndim == 3 and a.shape[2] == 3:
         ycc = _rgb_to_ycbcr(a)
         planes = [ycc[..., i] for i in range(3)]
+        factors = ([(2, 2), (1, 1), (1, 1)] if subsampling == "420"
+                   else [(1, 1), (1, 1), (1, 1)])
     else:
         raise MediaError("jpeg: encoder takes (h, w[, 1]) gray or (h, w, 3) RGB")
     h, w = a.shape[:2]
     if not h or not w:
         raise MediaError("jpeg: empty image")
-    padded = [_pad_to_blocks(p, h, w) for p in planes]
-    ph, pw = padded[0].shape
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    # pad the full-res image to MCU multiples, then derive each
+    # component's plane at its own resolution
+    mcu_h, mcu_w = 8 * vmax, 8 * hmax
+    mh, mw = -(-h // mcu_h), -(-w // mcu_w)
+    comp_planes = []
+    for (fh, fv), plane in zip(factors, planes):
+        full = _pad_to_blocks(plane, h, w)
+        # extend to MCU multiple (edge replicate)
+        ph, pw = mh * mcu_h, mw * mcu_w
+        ext = np.empty((ph, pw), dtype=np.float64)
+        ch, cw = full.shape
+        ext[:ch, :cw] = full
+        ext[ch:, :cw] = ext[ch - 1:ch, :cw]
+        ext[:, cw:] = ext[:, cw - 1:cw]
+        if (fh, fv) != (hmax, vmax):
+            sy, sx = vmax // fv, hmax // fh
+            ext = np.rint(
+                ext.reshape(ph // sy, sy, pw // sx, sx).mean(axis=(1, 3)))
+        comp_planes.append(ext)
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
     C = _dct_matrix()
     wr = _JpegBitWriter()
     preds = [0] * len(planes)
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, plane in enumerate(padded):  # interleaved 1×1 MCU
-                preds[ci] = _encode_block(
-                    wr, plane[by:by + 8, bx:bx + 8], preds[ci],
-                    dc_codes, ac_codes, C)
+    for my in range(mh):
+        for mx in range(mw):
+            for ci, ((fh, fv), plane) in enumerate(
+                    zip(factors, comp_planes)):
+                for by in range(fv):  # blocks top-to-bottom, left-to-right
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
+                        preds[ci] = _encode_block(
+                            wr, plane[y0:y0 + 8, x0:x0 + 8], preds[ci],
+                            dc_codes, ac_codes, C)
     wr.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -905,8 +939,8 @@ def encode_jpeg(arr: np.ndarray) -> bytes:
     ncomp = len(planes)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0])  # id, 1×1 sampling, quant table 0
+    for ci, (fh, fv) in enumerate(factors):
+        sof += bytes([ci + 1, (fh << 4) | fv, 0])  # id, sampling, quant 0
         sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT: table 0, all 1s
@@ -926,8 +960,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     Real entropy decode: DHT canonical-Huffman tables from the stream,
     interleaved-MCU scan with per-component DC prediction + EXTEND,
     run/size AC coding with ZRL/EOB, dequantize, zig-zag → raster,
-    orthonormal IDCT, +128, clip. Subsampled (non-4:4:4) and progressive
-    scans raise MediaError — the documented scope boundary.
+    orthonormal IDCT, +128, clip. 4:2:0 chroma is replicate-upsampled
+    (JFIF simple upsampling) before the color transform. Layouts other
+    than 4:4:4 / 4:2:0, and progressive scans, raise MediaError — the
+    documented scope boundary.
     """
     if sniff_format(b) != "jpeg":
         raise MediaError("not a jpeg payload")
@@ -979,14 +1015,19 @@ def _decode_jpeg_markers(b: bytes) -> np.ndarray:
             ncomp = data[5]
             if ncomp not in (1, 3):
                 raise MediaError("jpeg: only 1-component (gray) or "
-                                 "3-component (YCbCr 4:4:4) decode")
+                                 "3-component (YCbCr) decode")
             comp = []
             for ci in range(ncomp):
                 cid, sampling, tq = data[6 + 3 * ci:9 + 3 * ci]
-                if sampling != 0x11:
-                    raise MediaError("jpeg: subsampling unsupported "
-                                     "(4:4:4 only)")
-                comp.append({"id": cid, "tq": tq})
+                fh, fv = sampling >> 4, sampling & 0x0F
+                if not (1 <= fh <= 2 and 1 <= fv <= 2):
+                    raise MediaError("jpeg: sampling factors beyond 2x2 "
+                                     "unsupported")
+                comp.append({"id": cid, "tq": tq, "fh": fh, "fv": fv})
+            if ncomp == 3:
+                fs = [(c["fh"], c["fv"]) for c in comp]
+                if fs not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
+                    raise MediaError("jpeg: only 4:4:4 and 4:2:0 layouts")
             dims = (hgt, wid)
         elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
             raise MediaError("jpeg: only baseline (SOF0) is implemented")
@@ -1013,43 +1054,60 @@ def _decode_jpeg_markers(b: bytes) -> np.ndarray:
                     raise MediaError("jpeg: missing huffman/quant table")
                 tabs.append((dc_tab, ac_tab, q))
             h, w = dims
-            ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+            hmax = max(c["fh"] for c in comp)
+            vmax = max(c["fv"] for c in comp)
+            mh, mw = -(-h // (8 * vmax)), -(-w // (8 * hmax))
             C = _dct_matrix()
-            planes = [np.zeros((ph, pw), dtype=np.float64)
-                      for _ in comp]
+            planes = [np.zeros((mh * c["fv"] * 8, mw * c["fh"] * 8),
+                               dtype=np.float64) for c in comp]
             rd = _JpegBitReader(b, pos + 2 + seglen)
             preds = [0] * len(comp)
-            for by in range(0, ph, 8):
-                for bx in range(0, pw, 8):
+            for my in range(mh):
+                for mx in range(mw):
                     for ci, (dc_tab, ac_tab, q) in enumerate(tabs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = _huff_decode(rd, dc_tab)
-                        if size:
-                            preds[ci] += _extend(rd.receive(size), size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(rd, ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k > 63:
-                                raise MediaError("jpeg: AC run past block end")
-                            zz[k] = _extend(rd.receive(size), size)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.int64)
-                        coef[_JPEG_ZIGZAG] = zz
-                        block = C.T @ (coef.reshape(8, 8) * q) @ C
-                        planes[ci][by:by + 8, bx:bx + 8] = block
+                        fh, fv = comp[ci]["fh"], comp[ci]["fv"]
+                        for by in range(fv):
+                            for bx in range(fh):
+                                zz = np.zeros(64, dtype=np.int64)
+                                size = _huff_decode(rd, dc_tab)
+                                if size:
+                                    preds[ci] += _extend(
+                                        rd.receive(size), size)
+                                zz[0] = preds[ci]
+                                k = 1
+                                while k < 64:
+                                    sym = _huff_decode(rd, ac_tab)
+                                    if sym == 0x00:  # EOB
+                                        break
+                                    if sym == 0xF0:  # ZRL
+                                        k += 16
+                                        continue
+                                    run, size = sym >> 4, sym & 0x0F
+                                    k += run
+                                    if k > 63:
+                                        raise MediaError(
+                                            "jpeg: AC run past block end")
+                                    zz[k] = _extend(rd.receive(size), size)
+                                    k += 1
+                                coef = np.zeros(64, dtype=np.int64)
+                                coef[_JPEG_ZIGZAG] = zz
+                                block = C.T @ (coef.reshape(8, 8) * q) @ C
+                                y0 = (my * fv + by) * 8
+                                x0 = (mx * fh + bx) * 8
+                                planes[ci][y0:y0 + 8, x0:x0 + 8] = block
             if len(planes) == 1:
                 out = np.clip(np.rint(planes[0] + 128.0), 0,
                               255).astype(np.uint8)
                 return out[:h, :w, None]
-            ycc = np.stack([p + 128.0 for p in planes], axis=-1)
+            # replicate-upsample subsampled chroma to full resolution
+            # (JFIF simple upsampling), then color-transform
+            full = []
+            for c, p in zip(comp, planes):
+                sy, sx = vmax // c["fv"], hmax // c["fh"]
+                if (sy, sx) != (1, 1):
+                    p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+                full.append(p + 128.0)
+            ycc = np.stack(full, axis=-1)
             return _ycbcr_to_rgb(ycc)[:h, :w]
         pos += 2 + seglen
     raise MediaError("jpeg: no scan data")

@@ -9,16 +9,16 @@ Decoding comes in two tiers:
 
 - REAL (``kernel/media.py``, pure stdlib+numpy): PNG decode/encode (zlib
   inflate + scanline defilter), 24-bit BMP, PCM-16 WAV, animated GIF
-  (LZW), and baseline JPEG (gray + YCbCr 4:4:4 color; canonical-Huffman
-  entropy decode + IDCT). ``extract_media_meta_real``, ``resize_images`` with
+  (LZW), and baseline JPEG (gray + YCbCr 4:4:4/4:2:0 color;
+  canonical-Huffman entropy decode + IDCT). ``extract_media_meta_real``, ``resize_images`` with
   ``codec='real'``, and ``audio_features`` run these through the same
   Arrow-batched ``mapInPandas`` stages.
 - FAKE (deterministic, payload-derived): ``extract_media_meta`` keeps the
   original byte-arithmetic stand-in so the driver-graded q32 stays
   engine-reproducible in SQL, and the video frame split remains a marked
   stub (no container/entropy codec exists here — that is the honest
-  boundary, now limited to compressed video and subsampled/progressive
-  JPEG pixel data).
+  boundary, now limited to compressed video and progressive-JPEG
+  pixel data).
 """
 
 from __future__ import annotations
