@@ -425,6 +425,32 @@ class TestRealCodecStages:
         got = M.decode_png(by_doc[10][2])
         assert np.array_equal(got[:, :, 0], f6[2])
 
+    def test_real_avi_frame_sampling(self, spark):
+        import numpy as np
+
+        from vulnerablecode_spark.kernel import media as M
+        from vulnerablecode_spark.llm.multimodal import sample_frames
+
+        frames = np.stack([
+            np.full((8, 8, 3), (50 * i + 20, 100, 200 - 40 * i),
+                    dtype=np.uint8)
+            for i in range(5)
+        ])
+        df = spark.createDataFrame(
+            [(20, bytearray(M.encode_avi_mjpeg(frames, fps=10))),
+             (21, bytearray(b"not media"))],
+            "doc_id long, payload binary")
+        out = sample_frames(df, every_n=2, codec="real").collect()
+        by_idx = {r.frame_idx: bytes(r.frame_payload) for r in out
+                  if r.doc_id == 20}
+        assert {r.doc_id for r in out} == {20}
+        assert sorted(by_idx) == [0, 2, 4]  # every 2nd of 5 MJPG frames
+        # each emitted frame is a PNG of the JPEG-decoded frame (4:2:0 on
+        # constant-color frames: error bounded by the rounded transforms)
+        got = M.decode_png(by_idx[4])
+        assert int(np.abs(got.astype(int)
+                          - frames[4].astype(int)).max()) <= 2
+
     def test_audio_features_match_numpy(self, spark, media_df):
         import numpy as np
 

@@ -384,6 +384,44 @@ class TestJpegCodec:
             M.decode_jpeg(bytes(enc))
 
 
+class TestAviMjpeg:
+    """Motion-JPEG AVI: real container walk + per-frame JPEG decode."""
+
+    def test_roundtrip_bounded(self):
+        frames = np.stack([
+            np.full((16, 24, 3), (40 * i + 10, 200 - 30 * i, 90),
+                    dtype=np.uint8)
+            for i in range(4)
+        ])
+        dec, fps = M.decode_avi_mjpeg(M.encode_avi_mjpeg(frames, fps=12))
+        assert dec.shape == (4, 16, 24, 3) and fps == 12
+        assert int(np.abs(dec.astype(int) - frames.astype(int)).max()) <= 2
+
+    def test_header_parse(self):
+        frames = np.zeros((3, 8, 16, 3), dtype=np.uint8)
+        meta = M.parse_media_header(M.encode_avi_mjpeg(frames, fps=25))
+        assert (meta["media_format"], meta["width"], meta["height"],
+                meta["n_frames"], meta["sample_rate"]) == ("avi", 16, 8,
+                                                           3, 25)
+
+    def test_gray_frames_as_video(self):
+        g = np.random.default_rng(13).integers(
+            0, 256, size=(3, 16, 16), dtype=np.uint8)
+        dec, _ = M.decode_avi_mjpeg(M.encode_avi_mjpeg(
+            g, subsampling="444"))
+        assert int(np.abs(dec[..., 0].astype(int) - g.astype(int)).max()) <= 3
+
+    def test_rejects_wav(self):
+        wav = M.encode_wav(np.zeros((10, 1), dtype=np.int16), 8000)
+        with pytest.raises(M.MediaError):
+            M.decode_avi_mjpeg(wav)
+
+    def test_truncated_raises(self):
+        enc = M.encode_avi_mjpeg(np.zeros((2, 8, 8, 3), dtype=np.uint8))
+        with pytest.raises(M.MediaError):
+            M.decode_avi_mjpeg(enc[:60] )
+
+
 class TestMediaProperties:
     """Hypothesis properties: codec round trips over arbitrary shapes and
     totality of the header parser over arbitrary bytes."""

@@ -27,6 +27,11 @@ formats are decodable with nothing beyond the standard library and numpy:
           local color tables, interlacing (4-pass row shuffle),
           sub-rectangle frames composed onto the running canvas, and GCE
           transparency. Plus a matching encoder for round-trip tests.
+- AVI   — Motion-JPEG video: RIFF 'AVI ' container walk (hdrl/avih for
+          dims/fps/frame-count, movi '00dc' chunks), each frame decoded
+          by this module's baseline-JPEG decoder. Plus a matching
+          encoder. Inter-frame codecs (H.26x etc.) raise MediaError —
+          the remaining honest video boundary.
 
 Everything here is a kernel in the same sense as ``kernel/purl.py``: no
 Spark imports, deterministic, unit-tested in isolation, called from
@@ -70,6 +75,8 @@ def sniff_format(b: bytes) -> str:
         return "bmp"
     if b.startswith(b"RIFF") and b[8:12] == b"WAVE":
         return "wav"
+    if b.startswith(b"RIFF") and b[8:12] == b"AVI ":
+        return "avi"
     return "bin"
 
 
@@ -125,9 +132,32 @@ def parse_media_header(b: bytes) -> dict:
                         n_channels=max(bpp // 8, 1), n_frames=1)
         elif fmt == "wav":
             meta.update(_parse_wav_fmt(b))
+        elif fmt == "avi":
+            meta.update(_parse_avi_header(b))
     except (struct.error, IndexError) as exc:
         raise MediaError(f"truncated {fmt} header") from exc
     return meta
+
+
+def _parse_avi_header(b: bytes) -> dict:
+    """AVI main header (avih inside LIST hdrl): dims, frame count, fps."""
+    for cid, off, size in _riff_chunks(b):
+        if cid != b"LIST" or b[off:off + 4] != b"hdrl":
+            continue
+        pos = off + 4
+        end = off + size
+        while pos + 8 <= end:
+            sid = b[pos:pos + 4]
+            (ssize,) = struct.unpack_from("<I", b, pos + 4)
+            if sid == b"avih" and ssize >= 40:
+                us_per_frame, = struct.unpack_from("<I", b, pos + 8)
+                total, = struct.unpack_from("<I", b, pos + 8 + 16)
+                w, h = struct.unpack_from("<II", b, pos + 8 + 32)
+                return {"width": w, "height": h, "n_frames": int(total),
+                        "sample_rate": (round(1e6 / us_per_frame)
+                                        if us_per_frame else None)}
+            pos += 8 + ssize + (ssize & 1)
+    raise MediaError("avi: missing avih header")
 
 
 def _parse_jpeg_sof(b: bytes) -> dict:
@@ -1111,3 +1141,78 @@ def _decode_jpeg_markers(b: bytes) -> np.ndarray:
             return _ycbcr_to_rgb(ycc)[:h, :w]
         pos += 2 + seglen
     raise MediaError("jpeg: no scan data")
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (real video frames): RIFF 'AVI ' container with one
+# 'vids'/'MJPG' stream whose '00dc' chunks are baseline JPEGs — decoded by
+# THIS module's decode_jpeg, so the whole video path is pure stdlib+numpy.
+# The parse_media_header 'sample_rate' field carries the frame rate (fps)
+# for AVI payloads. Non-MJPG streams raise MediaError (the remaining
+# honest video boundary: inter-frame codecs need entropy/motion decode).
+# ---------------------------------------------------------------------------
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10,
+                     subsampling: str = "420") -> bytes:
+    """Encode (n, h, w, 3) RGB or (n, h, w) gray frames as an MJPG AVI."""
+    f = np.asarray(frames)
+    if f.ndim == 3:
+        f = f[..., None].repeat(3, axis=3).astype(np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3 or not f.shape[0]:
+        raise MediaError("avi: encoder takes (n, h, w[, 3]) frames")
+    n, h, w = f.shape[:3]
+    payloads = [encode_jpeg(fr, subsampling=subsampling) for fr in f]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+            + struct.pack("<HHI", 0, 0, 0)
+            + struct.pack("<5I", 1, fps, 0, n, 0)
+            + struct.pack("<2I", 0, 0)
+            + struct.pack("<4H", 0, 0, 0, 0))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MJPG AVI to ((n, h, w, 3) uint8 RGB frames, fps)."""
+    if sniff_format(b) != "avi":
+        raise MediaError("not an avi payload")
+    try:
+        meta = _parse_avi_header(b)
+        frames = []
+        for cid, off, size in _riff_chunks(b):
+            if cid != b"LIST" or b[off:off + 4] != b"movi":
+                continue
+            pos = off + 4
+            end = off + size
+            while pos + 8 <= end:
+                sid = b[pos:pos + 4]
+                (ssize,) = struct.unpack_from("<I", b, pos + 4)
+                if sid[2:4] in (b"dc", b"db"):
+                    payload = b[pos + 8:pos + 8 + ssize]
+                    img = decode_jpeg(payload)
+                    if img.shape[2] == 1:
+                        img = img.repeat(3, axis=2)
+                    frames.append(img)
+                pos += 8 + ssize + (ssize & 1)
+        if not frames:
+            raise MediaError("avi: no video frames")
+        return np.stack(frames), int(meta["sample_rate"] or 0)
+    except (struct.error, IndexError, ValueError) as exc:
+        if isinstance(exc, MediaError):
+            raise
+        raise MediaError(f"avi: malformed stream ({exc})") from exc

@@ -311,13 +311,15 @@ def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     part that matters for the Spark contract — mapInPandas output is not
     1:1 with input, and downstream operators see ordinary rows.
 
-    ``codec='real'`` does an actual animated-GIF decode (kernel/media.py
-    LZW) and emits every ``every_n``-th composed frame re-encoded as PNG;
-    payloads that aren't decodable GIFs are dropped (corrupt-media
-    policy). ``codec='fake'`` keeps the deterministic byte-window split
-    for opaque payloads (a real video deployment swaps in av/ffmpeg at
-    that point — compressed-video entropy decode is the one genuinely
-    codec-bound boundary left).
+    ``codec='real'`` does an actual video/animation decode
+    (kernel/media.py): animated GIF via the LZW decoder, or Motion-JPEG
+    AVI via the RIFF walk + baseline-JPEG decoder — and emits every
+    ``every_n``-th frame re-encoded as PNG; payloads that decode as
+    neither are dropped (corrupt-media policy). ``codec='fake'`` keeps
+    the deterministic byte-window split for opaque payloads (a real
+    inter-frame-video deployment swaps in av/ffmpeg at that point —
+    H.26x-style entropy/motion decode is the one genuinely codec-bound
+    boundary left).
     """
     k, fb = int(every_n), int(frame_bytes)
     if codec not in ("fake", "real"):
@@ -337,9 +339,12 @@ def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
         def frames(b: bytes):
             if real:
                 try:
-                    decoded = _media.decode_gif(b)
+                    if _media.sniff_format(b) == "avi":
+                        decoded, _fps = _media.decode_avi_mjpeg(b)
+                    else:
+                        decoded = _media.decode_gif(b)
                 except _media.MediaError:
-                    return  # not an animated gif: drop the row
+                    return  # neither gif nor mjpg-avi: drop the row
                 for i in range(0, decoded.shape[0], k):
                     yield i, _media.encode_png(decoded[i])
                 return
