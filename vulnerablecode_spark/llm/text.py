@@ -107,3 +107,64 @@ def quality_metrics(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         "(CASE WHEN avg_token_len_x100 BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)"
         " AS BIGINT) AS quality_score_bp",
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021's
+    repetitious-text filters, the standard LLM training-data quality
+    rules): the fraction of the document covered by its most frequent
+    word n-gram, and by all n-grams occurring more than once.
+
+    Output: (id, n_grams, top_gram, top_count, top_fraction_bp,
+    dup_fraction_bp) where fractions are basis points of the document's
+    character length over ``top_count·len(top_gram)`` and
+    ``Σ_{count≥2} count·len(gram)`` — integer arithmetic throughout (see
+    quality_metrics for why), with the lexicographically-smallest gram
+    as the deterministic most-frequent tie-break.
+
+    Shape: one n-gram explode (NOT deduplicated — repetition needs
+    multiplicity), one (id, gram) count aggregation, one per-id window
+    for the arg-max and one per-id aggregation for the duplicate mass —
+    two shuffles on the doc key after the count. Pure Catalyst.
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    toks = F.split(text, " ")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    counts = g.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("cnt").desc(), F.col("gram").asc())
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("gram").alias("top_gram"),
+                F.col("cnt").alias("top_count"))
+    )
+    sums = counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_grams"),
+        F.sum(F.when(F.col("cnt") >= 2,
+                     F.col("cnt") * F.length("gram"))
+              .otherwise(F.lit(0))).cast("bigint").alias("dup_chars"),
+    )
+    lens = df.select(F.col(id_col),
+                     F.length(text).cast("bigint").alias("n_chars"))
+    return (
+        sums.join(top, id_col).join(lens, id_col)
+        .selectExpr(
+            id_col, "n_grams", "top_gram", "top_count",
+            "(top_count * length(top_gram) * 10000) div n_chars"
+            "   AS top_fraction_bp",
+            "(dup_chars * 10000) div n_chars AS dup_fraction_bp",
+        )
+    )

@@ -358,6 +358,51 @@ def q29_token_count(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Repetition signals — Gopher-style repetitious-text filters (top-n-gram
+# coverage + duplicate-n-gram mass). llm/text.py repetition_signals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q55_repetition_signals",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               tokens[i+1] || ' ' || tokens[i+2] AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS tokens
+              FROM documents),
+             UNNEST(range(0, greatest(len(tokens) - 1, 0))) AS t(i)
+    ),
+    counts AS (
+        SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM g GROUP BY doc_id, gram
+    ),
+    top AS (
+        SELECT doc_id, gram AS top_gram, cnt AS top_count FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY cnt DESC, gram) AS rn
+            FROM counts) WHERE rn = 1
+    ),
+    sums AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram)
+                             ELSE 0 END) AS BIGINT) AS dup_chars
+        FROM counts GROUP BY doc_id
+    )
+    SELECT d.doc_id, s.n_grams, t.top_gram, t.top_count,
+           CAST((t.top_count * length(t.top_gram) * 10000)
+                // length(d.text) AS BIGINT) AS top_fraction_bp,
+           CAST((s.dup_chars * 10000) // length(d.text) AS BIGINT)
+               AS dup_fraction_bp
+    FROM documents d JOIN sums s USING (doc_id) JOIN top t USING (doc_id)
+    """,
+)
+def q55_repetition_signals(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search — exact brute-force cosine top-k (baseline) and
 # LSH-bucketed ANN (scale path).
 # ---------------------------------------------------------------------------
