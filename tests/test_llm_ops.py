@@ -35,6 +35,52 @@ class TestAnn:
         assert len(sizes) <= 16
         assert sum(r["count"] for r in sizes) == embeddings.count()
 
+    def test_pq_codes_shape(self, spark, embeddings):
+        from vulnerablecode_spark.llm.similarity import pq_index
+
+        codebooks, codes = pq_index(embeddings)
+        n = embeddings.count()
+        # every vector gets exactly one code per subspace
+        assert codes.count() == n * 8
+        per = codes.groupBy("vec_id").count().collect()
+        assert all(r["count"] == 8 for r in per)
+        # codebooks: ≤16 cells per subspace, 8-dim centroids
+        cb = codebooks.collect()
+        assert len(cb) <= 16 * 8
+        assert all(len(r.centroid) == 8 for r in cb)
+
+    def test_pq_recall_beats_random(self, spark, embeddings):
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
+        from vulnerablecode_spark.llm.similarity import ann_topk_pq
+
+        q = embeddings.filter(F.col("vec_id") < 10)
+        # exact L2 top-5 (PQ approximates L2, not cosine)
+        c = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                              F.col("embedding").alias("cv"))
+        qq = q.select(F.col("vec_id").alias("query_id"),
+                      F.col("embedding").alias("qv"))
+        dd = F.aggregate(
+            F.zip_with(F.transform("qv", lambda x: x.cast("double")),
+                       F.transform("cv", lambda x: x.cast("double")),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda s, x: s + x)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d").asc(), F.col("neighbor_id").asc())
+        exact = {(r.query_id, r.neighbor_id) for r in
+                 c.join(F.broadcast(qq))
+                 .filter(F.col("query_id") != F.col("neighbor_id"))
+                 .select("query_id", "neighbor_id", dd.alias("d"))
+                 .withColumn("rk", F.row_number().over(w))
+                 .filter("rk <= 5").collect()}
+        approx = {(r.query_id, r.neighbor_id)
+                  for r in ann_topk_pq(embeddings, q, k=5).collect()}
+        recall = len(exact & approx) / len(exact)
+        # uniform-random embeddings are PQ's adversarial case (distances
+        # concentrate); the bar is "far above chance" (chance ≈ 5/n)
+        assert recall >= 0.1, recall
+
 
 class TestArrowScoringEquivalence:
     """The Arrow-vectorized scoring kernels must produce the SAME values

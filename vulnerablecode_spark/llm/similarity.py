@@ -437,3 +437,139 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
         .select("id_a", "id_b", "bucket", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the classic memory-compression ANN path
+# (Jégou/Douze/Schmid 2011): split each vector into M subvectors, learn a
+# tiny per-subspace codebook, store each vector as M small codes, and
+# score queries against codes via an asymmetric distance table (ADC).
+# At 100 TB this is what makes an embedding corpus scannable: 64 doubles
+# (512 B) become 8 single-byte codes, and the scan reads codes, not
+# vectors. All distances are integer micro-units (round(L2²·1e6) as
+# BIGINT) so every aggregation is order-independent and the whole index
+# build + search is engine-reproducible — the same determinism discipline
+# as the IVF build (q46).
+# ---------------------------------------------------------------------------
+
+def _sub_l2_ui(a: Column, b: Column) -> Column:
+    """Integer micro-unit squared L2 between two equal-length arrays:
+    floor(1e6 · Σ(aᵢ−bᵢ)² + 0.5) AS BIGINT — deterministic under any
+    summation order downstream, and the floor(+0.5) form rounds
+    identically in every engine (Spark's rint is half-even, DuckDB's
+    round is half-away; squares are non-negative so both reduce to this).
+    """
+    sq = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda s, x: s + x,
+    )
+    return F.floor(sq * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint")
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str,
+                n_sub: int, sub_dim: int) -> DataFrame:
+    """(id, m, sub): the m-th ``sub_dim``-wide slice of each vector."""
+    vec_d = _as_double(F.col(vec_col))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda i: F.slice(vec_d, i * sub_dim + 1, sub_dim),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("m", "sub"))
+
+
+def pq_index(corpus: DataFrame, n_sub: int = 8, n_codes: int = 16,
+             sub_dim: int = 8, kmeans_iters: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Deterministic PQ codebooks + code assignments.
+
+    Init: the ``n_codes`` lowest-id vectors' subvectors seed every
+    subspace's codebook (cells keyed by seed vec_id, the IVF convention);
+    then ``kmeans_iters`` Lloyd iterations with 6-decimal-rounded
+    component means; assignment = argmin integer micro-unit L2² with the
+    cell id as tie-break. Returns (codebooks, codes): codebooks =
+    (m, cell, centroid array), codes = (id, m, cell) — one small-int
+    code per (vector, subspace).
+
+    Every iteration is one corpus-subvector scan against a BROADCAST
+    codebook frame (n_sub·n_codes rows) + one tiny mean aggregation —
+    nothing data-proportional ever sits on the driver.
+    """
+    subs = _subvectors(corpus, id_col, vec_col, n_sub, sub_dim)
+    seeds = corpus.orderBy(id_col).limit(n_codes).select(
+        F.col(id_col).alias("_seed"))
+    codebooks = (
+        subs.join(seeds, subs[id_col] == seeds["_seed"])
+        .select("m", F.col(id_col).alias("cell"),
+                F.col("sub").alias("centroid"))
+    )
+
+    def assign(cb: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cb), "m").select(
+            id_col, "m", "sub", "cell",
+            _sub_l2_ui(F.col("sub"), F.col("centroid")).alias("_d"),
+        )
+        w = Window.partitionBy(id_col, "m").orderBy(
+            F.col("_d").asc(), F.col("cell").asc())
+        return (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(id_col, "m", "sub", "cell")
+        )
+
+    for _ in range(kmeans_iters):
+        assigned = assign(codebooks)
+        means = (
+            assigned.select("m", "cell", F.posexplode("sub").alias("pos", "x"))
+            .groupBy("m", "cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .groupBy("m", "cell")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mu"))),
+                lambda s: s["mu"],
+            ).alias("centroid"))
+        )
+        codebooks = (
+            codebooks.select("m", "cell", F.col("centroid").alias("prev"))
+            .join(means, ["m", "cell"], "left")
+            .select("m", "cell",
+                    F.coalesce("centroid", "prev").alias("centroid"))
+        ).localCheckpoint(eager=True)
+    codes = assign(codebooks).select(id_col, "m", "cell")
+    return codebooks, codes
+
+
+def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                n_sub: int = 8, n_codes: int = 16, sub_dim: int = 8,
+                kmeans_iters: int = 1,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ/ADC approximate top-k: smallest summed codebook distance.
+
+    Per query the distance TABLE (n_sub·n_codes integer entries) is built
+    against the broadcast codebooks; the scan then joins the corpus CODES
+    (never the vectors) to the broadcast table and sums micro-unit
+    subdistances — the read path touches M bytes per corpus vector, the
+    PQ scale property. Ascending distance, neighbor id as tie-break.
+    """
+    codebooks, codes = pq_index(corpus, n_sub, n_codes, sub_dim,
+                                kmeans_iters, id_col, vec_col)
+    q_subs = _subvectors(queries, id_col, vec_col, n_sub, sub_dim).select(
+        F.col(id_col).alias("query_id"), "m", F.col("sub").alias("q_sub"))
+    q_table = q_subs.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", "cell",
+        _sub_l2_ui(F.col("q_sub"), F.col("centroid")).alias("d_ui"),
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "m", "cell")
+        .join(F.broadcast(q_table), ["m", "cell"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_ui").alias("adc_dist_ui"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_ui").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist_ui", "rk")
+    )

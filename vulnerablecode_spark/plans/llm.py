@@ -584,6 +584,81 @@ def q46_ann_topk_ivf(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization ANN (llm/similarity.py pq_index / ann_topk_pq):
+# 8 subspaces × 16 codes, one Lloyd iteration, integer micro-unit L2 —
+# the oracle unrolls the identical codebook build and ADC scan, so the
+# PQ index is hash-verified end-to-end like the IVF build (q46).
+# ---------------------------------------------------------------------------
+
+def _pq_sub_l2(a: str, b: str) -> str:
+    terms = " + ".join(
+        f"(({a}[{i + 1}] - {b}[{i + 1}]) * ({a}[{i + 1}] - {b}[{i + 1}]))"
+        for i in range(8))
+    return f"CAST(floor(1e6 * ({terms}) + 0.5) AS BIGINT)"
+
+
+_SQL_PQ = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    subs AS (
+        SELECT vec_id, CAST(m AS INT) AS m,
+               v[m * 8 + 1 : m * 8 + 8] AS sub
+        FROM emb, UNNEST(range(8)) AS t(m)),
+    seeds AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16),
+    c0 AS (
+        SELECT m, vec_id AS cell, sub AS centroid
+        FROM subs WHERE vec_id IN (SELECT vec_id FROM seeds)),
+    a1 AS (
+        SELECT vec_id, m, sub, cell FROM (
+            SELECT s.vec_id, s.m, s.sub, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_sub_l2('s.sub', 'c.centroid')}, c.cell)
+                       AS rk
+            FROM subs s JOIN c0 c USING (m))
+        WHERE rk = 1),
+    m1 AS (
+        SELECT m, cell, list(mu ORDER BY i) AS centroid FROM (
+            SELECT m, cell, i, ROUND(AVG(sub[i + 1]), 6) AS mu
+            FROM a1, UNNEST(range(8)) AS t(i) GROUP BY m, cell, i)
+        GROUP BY m, cell),
+    c1 AS (
+        SELECT p.m, p.cell, COALESCE(n.centroid, p.centroid) AS centroid
+        FROM c0 p LEFT JOIN m1 n USING (m, cell)),
+    codes AS (
+        SELECT vec_id, m, cell FROM (
+            SELECT s.vec_id, s.m, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                       ORDER BY {_pq_sub_l2('s.sub', 'c.centroid')}, c.cell)
+                       AS rk
+            FROM subs s JOIN c1 c USING (m))
+        WHERE rk = 1),
+    qt AS (
+        SELECT s.vec_id AS query_id, s.m, c.cell,
+               {_pq_sub_l2('s.sub', 'c.centroid')} AS d_ui
+        FROM subs s JOIN c1 c USING (m)
+        WHERE s.vec_id < 10),
+    adc AS (
+        SELECT q.query_id, k.vec_id AS neighbor_id,
+               CAST(SUM(q.d_ui) AS BIGINT) AS adc_dist_ui
+        FROM codes k JOIN qt q USING (m, cell)
+        WHERE q.query_id <> k.vec_id
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist_ui, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_ui, neighbor_id) AS rk
+        FROM adc
+    ) WHERE rk <= 5
+"""
+
+
+@query("q56_ann_topk_pq", oracle=_SQL_PQ)
+def q56_ann_topk_pq(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    res = similarity.ann_topk_pq(emb, queries_df, k=5)
+    return res.withColumn("rk", F.col("rk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup — the dedup-shaped LSH variant (pairs over a
 # bucket self-join, not per-query top-k). llm/similarity.py
 # embedding_near_dup_pairs.
