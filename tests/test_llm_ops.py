@@ -158,6 +158,26 @@ class TestSpreadSizing:
         assert n == spark.sparkContext.defaultParallelism, n
 
 
+class TestDecontamination:
+    def test_planted_overlap(self, spark):
+        from vulnerablecode_spark.llm.dedup import decontamination_overlap
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string")
+        corpus = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),  # full leak
+             (2, "completely unrelated words about spark plans here"),
+             (3, "the quick brown fox went somewhere else entirely")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               decontamination_overlap(corpus, bench).collect()}
+        assert out[1].overlap_bp == 10000          # verbatim benchmark doc
+        assert out[2].overlap_bp == 0              # disjoint
+        assert 0 < out[3].overlap_bp < 10000       # shared prefix only
+        assert out[1].n_shingles == out[1].n_overlap
+
+
 class TestNearDupEngineered:
     def test_minhash_finds_planted_near_dup(self, spark):
         from vulnerablecode_spark.llm.dedup import (lsh_candidate_pairs,

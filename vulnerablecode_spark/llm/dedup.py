@@ -508,3 +508,35 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col), F.col("fp_pos").alias("pos"), "h")
         .distinct()
     )
+
+
+def decontamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            n: int = 3, impl: str = "hof") -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct n-gram shingles that also appear ANYWHERE in the benchmark
+    set — the standard test-set-overlap filter a training-data pipeline
+    runs before training (high overlap ⇒ the document leaks evaluation
+    data and is dropped/flagged).
+
+    Output: (id, n_shingles, n_overlap, overlap_bp) with the fraction in
+    integer basis points. Shape: both sides reduce to 60-bit shingle-hash
+    sets (:func:`hashed_shingles` — bigint shuffles only); the benchmark
+    side collapses to DISTINCT hashes (typically small — benchmarks are
+    thousands of documents, not billions) and the overlap count is a
+    left-semi-style aggregation join on the hash, never a pair join:
+    corpus rows never multiply, so the plan scales to a 100 TB corpus
+    against a broadcast-sized benchmark.
+    """
+    c = hashed_shingles(corpus, text_col, id_col, n, impl=impl)
+    b = (hashed_shingles(benchmark, text_col, id_col, n, impl=impl)
+         .select("h").distinct())
+    flagged = c.join(b.withColumn("_hit", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+             F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint")
+             .alias("n_overlap"))
+        .selectExpr(id_col, "n_shingles", "n_overlap",
+                    "(n_overlap * 10000) div n_shingles AS overlap_bp")
+    )

@@ -220,6 +220,34 @@ def q25_minhash_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination — per-document n-gram overlap with a benchmark
+# set (llm/dedup.py decontamination_overlap). The graded benchmark is the
+# doc_id < 20 slice of the same table; production passes any frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q57_decontamination",
+    oracle=f"""
+    WITH hs AS ({_SQL_HASHED_SHINGLES}),
+    bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 20)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap,
+           CAST((SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+                // COUNT(*) AS BIGINT) AS overlap_bp
+    FROM hs LEFT JOIN bench b USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q57_decontamination(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    benchmark = docs.filter(F.col("doc_id") < 20)
+    return dedup.decontamination_overlap(docs, benchmark, impl="arrow")
+
+
+# ---------------------------------------------------------------------------
 # SimHash signatures — bit-majority fingerprints for hamming near-dup.
 # ---------------------------------------------------------------------------
 
