@@ -68,6 +68,9 @@ def main() -> None:
                              sizes=sig.select('doc_id', 'n_sh'),
                              threshold=0.8).count()))
     timed("simhash", lambda: f"{dedup.simhash(docs).count()} signatures")
+    timed("decontamination", lambda: "{} docs scored".format(
+        dedup.decontamination_overlap(
+            docs, docs0.filter(F.col("doc_id") < 20), impl="arrow").count()))
     timed("winnowing", lambda: "{} fingerprints".format(
         dedup.winnowing_fingerprints(docs, impl="arrow").count()))
 
@@ -83,6 +86,9 @@ def main() -> None:
     timed("ivf_topk", lambda: "{} rows".format(
         similarity.ann_topk_ivf(emb, emb.filter(F.col('vec_id') < 10),
                                 k=5, impl="arrow").count()))
+    timed("pq_adc_topk", lambda: "{} rows".format(
+        similarity.ann_topk_pq(emb, emb.filter(F.col('vec_id') < 10),
+                               k=5).count()))
     spark.stop()
 
 
