@@ -213,3 +213,28 @@ class TestStreamingCodecStage:
                 assert got[i].media_format == "wav"
                 assert got[i].n_samples == 40 + i
                 assert got[i].sample_rate == 8000
+
+
+class TestStreamDedup:
+    def test_dedup_state_survives_triggers(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.incremental import stream_dedup
+
+        src = tmp_path / "docs"; src.mkdir()
+        out = str(tmp_path / "deduped")
+        ckpt = str(tmp_path / "ckpt_dedup")
+
+        _write_record(src, "d1.json", {"doc_id": 1, "text": "alpha beta gamma"})
+        _write_record(src, "d2.json", {"doc_id": 2, "text": "alpha beta gamma"})
+        _write_record(src, "d3.json", {"doc_id": 3, "text": "other text here"})
+        stream_dedup(spark, str(src), out, ckpt)
+        t1 = spark.read.parquet(out)
+        assert t1.count() == 2  # one row per distinct fingerprint
+
+        # later trigger: a re-arrival of an already-seen fingerprint is
+        # suppressed by checkpointed state; a new one passes
+        _write_record(src, "d4.json", {"doc_id": 4, "text": "alpha beta gamma"})
+        _write_record(src, "d5.json", {"doc_id": 5, "text": "brand new words"})
+        stream_dedup(spark, str(src), out, ckpt)
+        t2 = spark.read.parquet(out)
+        assert t2.count() == 3
+        assert {r.doc_id for r in t2.collect()} & {4} == set()

@@ -94,3 +94,39 @@ def stream_ingest(spark: SparkSession, source_dir: str, table_path: str,
         .start()
         .awaitTermination()
     )
+
+
+def stream_dedup(spark: SparkSession, source_dir: str, out_dir: str,
+                 checkpoint_dir: str) -> None:
+    """Streaming exact dedup over a document file stream: emit each
+    distinct content fingerprint ONCE across ALL triggers.
+
+    ``dropDuplicates`` on a streaming frame keeps the seen-key set in the
+    state store, so a document whose fingerprint arrived in an earlier
+    micro-batch (or an earlier AvailableNow run, via the checkpoint) is
+    suppressed — the streaming twin of ``llm.dedup.exact_dedup``'s
+    keep-first rule, with the state store playing the role of the
+    fingerprint window. At scale the state is hash-partitioned by
+    fingerprint across executors; a production deployment bounds it with
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` once payloads
+    carry event time.
+    """
+    from pyspark.sql import functions as F
+
+    from vulnerablecode_spark.llm.text import fingerprint
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("multiLine", "true")
+        .json(source_dir)
+        .withColumn("fp", fingerprint(F.col("text")))
+        .dropDuplicates(["fp"])
+    )
+    (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
