@@ -113,3 +113,26 @@ class TestRound4PlanQuality:
         assert plan.count("Window") >= 1
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
             or "BroadcastHashJoin" in plan
+
+
+class TestRound4bPlanQuality:
+    def test_q55_q56_q57_no_cartesian(self, spark):
+        for name in ("q55_repetition_signals", "q56_ann_topk_pq",
+                     "q57_decontamination"):
+            plan = plan_of(spark, name)
+            assert "CartesianProduct" not in plan, name
+
+    def test_q56_codebooks_and_tables_broadcast(self, spark):
+        """The PQ codebook and per-query ADC table frames are tiny and
+        must broadcast — the corpus code scan never shuffles on them."""
+        plan = plan_of(spark, "q56_ann_topk_pq")
+        assert "BroadcastHashJoin" in plan
+
+    def test_q57_benchmark_side_joins_without_corpus_multiplication(
+            self, spark):
+        """Decontamination joins the distinct benchmark hash set to the
+        corpus shingles (left outer on the hash) — corpus rows must not
+        multiply, so no cartesian and an aggregate directly above."""
+        plan = plan_of(spark, "q57_decontamination")
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
