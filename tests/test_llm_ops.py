@@ -517,6 +517,33 @@ class TestRealCodecStages:
         assert int(np.abs(got.astype(int)
                           - frames[4].astype(int)).max()) <= 2
 
+    def test_spectral_features_tone_vs_noise(self, spark):
+        import numpy as np
+
+        from vulnerablecode_spark.kernel import media as M
+        from vulnerablecode_spark.llm.multimodal import \
+            audio_spectral_features
+
+        rate = 8000
+        t = np.arange(2048) / rate
+        tone = (10000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16)
+        noise = np.random.default_rng(17).integers(
+            -8000, 8000, size=2048).astype(np.int16)
+        df = spark.createDataFrame(
+            [(1, bytearray(M.encode_wav(tone.reshape(-1, 1), rate))),
+             (2, bytearray(M.encode_wav(noise.reshape(-1, 1), rate))),
+             (3, bytearray(b"not audio"))],
+            "doc_id long, payload binary")
+        out = {r.doc_id: r for r in audio_spectral_features(df).collect()}
+        assert set(out) == {1, 2}                   # non-wav dropped
+        # the 1 kHz tone: centroid pinned near 1000 Hz, near-zero flatness
+        assert abs(out[1].spectral_centroid_hz - 1000) < 50
+        assert out[1].spectral_flatness < 0.01
+        # white noise: centroid near band middle, much flatter spectrum
+        assert out[2].spectral_centroid_hz > 1500
+        assert out[2].spectral_flatness > out[1].spectral_flatness * 10
+        assert out[2].spectral_rolloff_hz > out[1].spectral_rolloff_hz
+
     def test_audio_features_match_numpy(self, spark, media_df):
         import numpy as np
 

@@ -406,3 +406,81 @@ def byte_histogram_features(df: DataFrame, bins: int = 16,
     n = df.sparkSession.sparkContext.defaultParallelism
     return (df.select(F.col(id_col), F.col(payload_col))
             .repartition(n).mapInPandas(hist, out_schema))
+
+
+SPECTRAL_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("spectral_centroid_hz", DoubleType()),
+    StructField("spectral_rolloff_hz", DoubleType()),
+    StructField("spectral_bandwidth_hz", DoubleType()),
+    StructField("spectral_flatness", DoubleType()),
+])
+
+
+def audio_spectral_features(df: DataFrame, id_col: str = "doc_id",
+                            payload_col: str = "payload",
+                            rolloff: float = 0.85) -> DataFrame:
+    """Frequency-domain audio features over PCM-16 WAV payloads.
+
+    Per clip: rFFT magnitude spectrum of the mono mix, then the standard
+    spectral descriptors a training pipeline filters tones/noise/speech
+    with — centroid (magnitude-weighted mean frequency), ``rolloff``-
+    quantile frequency, bandwidth (magnitude-weighted std around the
+    centroid), and flatness (geometric/arithmetic mean ratio, ~1 for
+    noise, ~0 for pure tones). Arrow-batched mapInPandas like every
+    decode stage; non-WAV payloads are dropped (corrupt-media policy).
+    Results are rounded to 3 decimals — FFT floats are not bit-portable
+    across BLAS builds, so these are pytest-bounded operators, not
+    oracle-hashed ones (the boundary SCALE.md documents).
+    """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    q = float(rolloff)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        from vulnerablecode_spark.kernel import media as _media
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    samples, rate = _media.decode_wav(bytes(b))
+                except _media.MediaError:
+                    continue
+                mono = samples.astype(_np.float64).mean(axis=1)
+                n = mono.shape[0]
+                if n < 2:
+                    continue
+                mag = _np.abs(_np.fft.rfft(mono))
+                freqs = _np.fft.rfftfreq(n, d=1.0 / rate)
+                total = float(mag.sum())
+                if total <= 0.0:
+                    centroid = roll = bw = 0.0
+                    flat = 1.0
+                else:
+                    centroid = float((freqs * mag).sum() / total)
+                    cum = _np.cumsum(mag)
+                    roll = float(freqs[_np.searchsorted(
+                        cum, q * total, side="left")])
+                    bw = float(_np.sqrt(
+                        ((freqs - centroid) ** 2 * mag).sum() / total))
+                    power = mag * mag
+                    gm = float(_np.exp(_np.mean(_np.log(power + 1e-12))))
+                    am = float(_np.mean(power) + 1e-12)
+                    flat = min(gm / am, 1.0)
+                rows.append((int(doc_id), rate, n, round(centroid, 3),
+                             round(roll, 3), round(bw, 3), round(flat, 6)))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "n_samples", "spectral_centroid_hz",
+                "spectral_rolloff_hz", "spectral_bandwidth_hz",
+                "spectral_flatness"])
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return (df.select(F.col(id_col), F.col(payload_col))
+            .repartition(n).mapInPandas(feats, SPECTRAL_FEATURES_SCHEMA))
