@@ -49,6 +49,30 @@ class TestAnn:
         assert len(cb) <= 16 * 8
         assert all(len(r.centroid) == 8 for r in cb)
 
+    def test_ivf_pq_agrees_with_pq_on_probed_cells(self, spark, embeddings):
+        import pyspark.sql.functions as F
+
+        from vulnerablecode_spark.llm.similarity import (ann_topk_ivf_pq,
+                                                         ann_topk_pq)
+
+        q = embeddings.filter(F.col("vec_id") < 10)
+        pq = {(r.query_id, r.neighbor_id): r.adc_dist_ui
+              for r in ann_topk_pq(embeddings, q, k=5).collect()}
+        both = {(r.query_id, r.neighbor_id): r.adc_dist_ui
+                for r in ann_topk_ivf_pq(embeddings, q, k=5,
+                                         nprobe=8).collect()}
+        # same ADC distances wherever both rank a pair (identical codes),
+        # and probing half the cells keeps most of the PQ-only top-k
+        for pair in set(pq) & set(both):
+            assert pq[pair] == both[pair]
+        overlap = len(set(pq) & set(both)) / len(pq)
+        assert overlap >= 0.5, overlap
+        # probing ALL cells must recover the PQ-only ranking exactly
+        all_cells = {(r.query_id, r.neighbor_id)
+                     for r in ann_topk_ivf_pq(embeddings, q, k=5,
+                                              nprobe=16).collect()}
+        assert all_cells == set(pq)
+
     def test_pq_recall_beats_random(self, spark, embeddings):
         import pyspark.sql.functions as F
         from pyspark.sql import Window

@@ -573,3 +573,63 @@ def ann_topk_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist_ui", "rk")
     )
+
+
+def ann_topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    n_cells: int | None = 16, nprobe: int = 4,
+                    n_sub: int = 8, n_codes: int = 16, sub_dim: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    impl: str = "hof") -> DataFrame:
+    """IVF+PQ — the canonical billion-scale ANN composition (the FAISS
+    ``IVFx,PQy`` layout): the IVF coarse quantizer gates candidates to
+    the ``nprobe`` nearest cells, and the PQ/ADC table scores ONLY those
+    candidates from their codes. Per query the scan touches
+    ~|corpus|·nprobe/n_cells code rows of M small ints each — both the
+    candidate count and the bytes-per-candidate are bounded, which is
+    what survives a 10^9-vector corpus.
+
+    Ranking is ascending integer ADC distance (micro-unit L2², see
+    :func:`pq_index`) with neighbor id tie-break.
+    """
+    centroids, assigned = ivf_index(corpus, n_cells, id_col, vec_col,
+                                    impl=impl)
+    codebooks, codes = pq_index(corpus, n_sub, n_codes, sub_dim,
+                                id_col=id_col, vec_col=vec_col)
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"))
+    q_cells = q.join(F.broadcast(centroids)).select(
+        "query_id", "q_vec", "cell",
+        F.round(_cos_impl(F.col("q_vec"), F.col("centroid"), impl), 6)
+         .alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("cell").asc())
+    probes = (
+        q_cells.withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= nprobe)
+        .select("query_id", "cell")
+    )
+    cand = probes.join(
+        assigned.select(F.col(id_col).alias("neighbor_id"), "cell"), "cell"
+    ).select("query_id", "neighbor_id").filter(
+        F.col("query_id") != F.col("neighbor_id"))
+    q_subs = _subvectors(queries, id_col, vec_col, n_sub, sub_dim).select(
+        F.col(id_col).alias("query_id"), "m", F.col("sub").alias("q_sub"))
+    q_table = q_subs.join(F.broadcast(codebooks), "m").select(
+        "query_id", "m", F.col("cell").alias("code"),
+        _sub_l2_ui(F.col("q_sub"), F.col("centroid")).alias("d_ui"),
+    )
+    scored = (
+        cand.join(codes.select(F.col(id_col).alias("neighbor_id"), "m",
+                               F.col("cell").alias("code")), "neighbor_id")
+        .join(F.broadcast(q_table), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d_ui").alias("adc_dist_ui"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist_ui").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist_ui", "rk")
+    )
