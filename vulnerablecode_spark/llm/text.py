@@ -168,3 +168,33 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
             "(dup_chars * 10000) div n_chars AS dup_fraction_bp",
         )
     )
+
+
+def char_trigram_diversity(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Character-trigram type-token ratio per document — the cheap
+    lexical-diversity signal (low TTR ⇒ repetitive/templated text,
+    the character-level complement of :func:`repetition_signals`).
+
+    Output: (id, n_trigrams, n_distinct, ttr_bp) with the ratio in
+    integer basis points. Entirely map-side: the trigram array and its
+    distinct count are computed per row inside one projection — no
+    explode, no shuffle — so at 100 TB this is a pure scan.
+    """
+    text = F.col(text_col)
+    # substr with a DYNAMIC start position only exists in expression form
+    # (the Column.substr API takes literals), hence the expr() transform
+    grams = F.when(
+        F.length(text) >= 3,
+        F.expr(f"transform(sequence(1, length({text_col}) - 2), "
+               f"i -> substr({text_col}, i, 3))"),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col),
+        F.size(grams).cast("bigint").alias("n_trigrams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    ).selectExpr(
+        id_col, "n_trigrams", "n_distinct",
+        "CASE WHEN n_trigrams > 0 THEN (n_distinct * 10000) div n_trigrams "
+        "     ELSE 0 END AS ttr_bp",
+    )

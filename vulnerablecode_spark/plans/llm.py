@@ -431,6 +431,37 @@ def q55_repetition_signals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Character-trigram diversity — type-token ratio, the map-side lexical
+# signal (llm/text.py char_trigram_diversity). Pure scan, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q58_char_trigram_diversity",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 3
+                    THEN [substr(text, CAST(i AS INT), 3)
+                          FOR i IN range(1, length(text) - 1)]
+                    ELSE [] END AS grams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN len(grams) > 0
+                     THEN (len(list_distinct(grams)) * 10000) // len(grams)
+                     ELSE 0 END AS BIGINT) AS ttr_bp
+    FROM g
+    """,
+)
+def q58_char_trigram_diversity(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.char_trigram_diversity(docs)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search — exact brute-force cosine top-k (baseline) and
 # LSH-bucketed ANN (scale path).
 # ---------------------------------------------------------------------------
