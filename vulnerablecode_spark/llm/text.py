@@ -198,3 +198,29 @@ def char_trigram_diversity(df: DataFrame, text_col: str = "text",
         "CASE WHEN n_trigrams > 0 THEN (n_distinct * 10000) div n_trigrams "
         "     ELSE 0 END AS ttr_bp",
     )
+
+
+def feature_hash_counts(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n_dims: int = 64) -> DataFrame:
+    """Hashing-trick document vectors in sparse integer form: token t
+    contributes 1 to dimension ``hash64(t) mod n_dims`` — the classic
+    feature-hashing representation (Weinberger et al. 2009) a pipeline
+    uses to manufacture fixed-width features from raw text without a
+    vocabulary (and the integer precursor of a dense embedding column:
+    normalize downstream when floats are acceptable).
+
+    Output: (id, dim, count) sparse rows, integer-exact. Shape: token
+    explode → map-side modulo → one (id, dim) count aggregation; the
+    shuffle moves (bigint, int) pairs only.
+    """
+    from vulnerablecode_spark.llm.dedup import hash64, spread
+
+    toks = F.split(F.col(text_col), " ")
+    t = spread(df, id_col).select(
+        F.col(id_col), F.explode(toks).alias("tok"))
+    return (
+        t.select(F.col(id_col),
+                 (hash64(F.col("tok")) % n_dims).cast("int").alias("dim"))
+        .groupBy(id_col, "dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
+    )

@@ -431,6 +431,28 @@ def q55_repetition_signals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Feature hashing — vocabulary-free sparse count vectors (llm/text.py
+# feature_hash_counts). Integer-exact, the md5-derived token hash.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q59_feature_hashing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+               FROM documents)
+    SELECT doc_id,
+           CAST({_SQL_HASH64.format(s='tok')} % 64 AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM t GROUP BY doc_id, dim
+    """,
+)
+def q59_feature_hashing(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.feature_hash_counts(docs, n_dims=64)
+
+
+# ---------------------------------------------------------------------------
 # Character-trigram diversity — type-token ratio, the map-side lexical
 # signal (llm/text.py char_trigram_diversity). Pure scan, no shuffle.
 # ---------------------------------------------------------------------------
