@@ -494,3 +494,61 @@ class TestMediaProperties:
             M.decode_jpeg(b"\xff\xd8\xff" + b)
         except M.MediaError:
             pass
+
+
+class TestJpegProgressive:
+    """Spectral-selection progressive JPEG (SOF2, Ah=Al=0)."""
+
+    def test_gray_constant_blocks_exact(self):
+        rng = np.random.default_rng(21)
+        vals = rng.integers(0, 256, size=(2, 3))
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg_progressive(img))
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_matches_sequential_decode(self):
+        # same source, same tables: the two scan scripts must reconstruct
+        # the identical image
+        g = np.random.default_rng(22).integers(
+            0, 256, size=(19, 27), dtype=np.uint8)
+        seq = M.decode_jpeg(M.encode_jpeg(g))
+        prog = M.decode_jpeg(M.encode_jpeg_progressive(g))
+        assert np.array_equal(seq, prog)
+
+    def test_color_roundtrip_bounded(self):
+        rgb = np.random.default_rng(23).integers(
+            0, 256, size=(24, 16, 3), dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg_progressive(rgb))
+        assert dec.shape == (24, 16, 3)
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 3
+
+    def test_eob_run_spans_blocks(self):
+        # Hand-craft an AC scan that covers BOTH all-zero-AC blocks with a
+        # single EOB2 symbol (r=1 + one 0 extension bit) — the EOBn path a
+        # foreign progressive encoder emits but ours does not.
+        img = np.full((8, 16), 77, dtype=np.uint8)  # 2 constant blocks
+        enc = bytearray(M.encode_jpeg_progressive(img))
+        # locate the AC scan: second SOS marker
+        first = enc.find(b"\xff\xda")
+        second = enc.find(b"\xff\xda", first + 2)
+        assert second > 0
+        (seglen,) = __import__("struct").unpack_from(">H", enc, second + 2)
+        ac_codes = M._huff_codes(M._JPEG_AC_BITS, M._JPEG_AC_SYMS)
+        code, length = ac_codes[0x10]  # EOB2
+        assert length == 8
+        bits = f"{code:08b}" + "0"       # + 1 extension bit (value 0)
+        bits += "1" * (16 - len(bits))   # pad to 2 bytes with 1s
+        payload = bytes(int(bits[i:i + 8], 2) for i in (0, 8))
+        crafted = (bytes(enc[:second + 2 + seglen]) + payload
+                   + b"\xff\xd9")
+        dec = M.decode_jpeg(crafted)
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_successive_approximation_rejected(self):
+        img = np.full((8, 8), 10, dtype=np.uint8)
+        enc = bytearray(M.encode_jpeg_progressive(img))
+        sos = enc.find(b"\xff\xda")
+        (seglen,) = __import__("struct").unpack_from(">H", enc, sos + 2)
+        enc[sos + 2 + seglen - 1] = 0x01  # Ah/Al byte of the DC scan
+        with pytest.raises(M.MediaError):
+            M.decode_jpeg(bytes(enc))

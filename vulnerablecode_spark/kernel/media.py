@@ -20,7 +20,9 @@ formats are decodable with nothing beyond the standard library and numpy:
           replicate-upsampling, JFIF color transform — plus a matching
           encoder (all-ones quant table; grayscale is exact on constant
           8×8 blocks, which makes the round trip arithmetically
-          gradable). 4:2:2-style layouts and progressive scans raise
+          gradable). Progressive (SOF2) spectral-selection scans with
+          EOB-run coding decode too (1×1 sampling, Ah=Al=0);
+          4:2:2-style layouts and successive approximation raise
           MediaError.
 - GIF   — full frame decode: LZW implemented from the public GIF89a spec
           (LSB-first bitstream, growing 12-bit-max code table), global and
@@ -715,14 +717,16 @@ _JPEG_ZIGZAG = _zigzag_order()
 
 # Canonical Huffman specs (BITS counts per code length 1..16, then the
 # symbol list in code order). DC: 12 categories as 5-bit codes; AC: EOB,
-# ZRL and every (run, size) pair as 8-bit codes. Kraft-valid and the
-# all-ones code stays unused (12 < 32, 162 < 256) as T.81 requires.
+# ZRL, every (run, size) pair, AND the progressive EOBn run symbols
+# (r<15, s=0) as 8-bit codes. Kraft-valid and the all-ones code stays
+# unused (12 < 32, 176 < 256) as T.81 requires.
 _JPEG_DC_SYMS = list(range(12))
 _JPEG_DC_BITS = [0, 0, 0, 0, 12] + [0] * 11
 _JPEG_AC_SYMS = ([0x00, 0xF0]
                  + [(run << 4) | size
-                    for run in range(16) for size in range(1, 11)])
-_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162] + [0] * 8
+                    for run in range(16) for size in range(1, 11)]
+                 + [r << 4 for r in range(1, 15)])  # EOBn (progressive)
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 176] + [0] * 8
 
 
 def _huff_codes(bits: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
@@ -991,9 +995,10 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     interleaved-MCU scan with per-component DC prediction + EXTEND,
     run/size AC coding with ZRL/EOB, dequantize, zig-zag → raster,
     orthonormal IDCT, +128, clip. 4:2:0 chroma is replicate-upsampled
-    (JFIF simple upsampling) before the color transform. Layouts other
-    than 4:4:4 / 4:2:0, and progressive scans, raise MediaError — the
-    documented scope boundary.
+    (JFIF simple upsampling) before the color transform. Progressive
+    (SOF2) streams route to the spectral-selection decoder. Layouts
+    other than 4:4:4 / 4:2:0, and successive-approximation scans, raise
+    MediaError — the documented scope boundary.
     """
     if sniff_format(b) != "jpeg":
         raise MediaError("not a jpeg payload")
@@ -1059,8 +1064,11 @@ def _decode_jpeg_markers(b: bytes) -> np.ndarray:
                 if fs not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
                     raise MediaError("jpeg: only 4:4:4 and 4:2:0 layouts")
             dims = (hgt, wid)
+        elif marker == 0xC2:
+            return _decode_jpeg_progressive(b)
         elif 0xC1 <= marker <= 0xCF and marker != 0xC4:
-            raise MediaError("jpeg: only baseline (SOF0) is implemented")
+            raise MediaError("jpeg: only baseline (SOF0) and progressive "
+                             "(SOF2) are implemented")
         elif marker == 0xDA:
             if dims is None or comp is None:
                 raise MediaError("jpeg: SOS before SOF")
@@ -1216,3 +1224,274 @@ def decode_avi_mjpeg(b: bytes) -> tuple[np.ndarray, int]:
         if isinstance(exc, MediaError):
             raise
         raise MediaError(f"avi: malformed stream ({exc})") from exc
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2), spectral-selection mode: coefficients arrive
+# over MULTIPLE scans — a DC scan first, then per-component AC band scans
+# with EOB-run coding — and the image assembles only after all scans.
+# Scope: Ah=Al=0 (no successive approximation) and 1×1 sampling; the
+# encoder emits the same shape, so round trips cover the whole path.
+# ---------------------------------------------------------------------------
+
+def _scan_entropy_end(b: bytes, start: int) -> int:
+    """End offset of an entropy-coded span: the next 0xFF followed by a
+    real marker (not a stuffed 0x00, not a fill 0xFF)."""
+    pos = start
+    n = len(b)
+    while pos + 1 < n:
+        if b[pos] == 0xFF and b[pos + 1] not in (0x00, 0xFF):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dims = comp = None
+    coefs: dict[int, np.ndarray] = {}  # comp index → (n_blocks, 64) zig-zag
+    grids: dict[int, tuple[int, int]] = {}
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise MediaError("jpeg: marker expected")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        data = b[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0x0F
+                if pq != 0:
+                    raise MediaError("jpeg: 16-bit quant table unsupported")
+                q = np.zeros(64, dtype=np.int64)
+                q[_JPEG_ZIGZAG] = np.frombuffer(
+                    data, dtype=np.uint8, count=64, offset=p + 1)
+                qtables[tq] = q.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 0x0F
+                bits = list(data[p + 1:p + 17])
+                nsym = sum(bits)
+                syms = list(data[p + 17:p + 17 + nsym])
+                codes = _huff_codes(bits, syms)
+                htables[(tc, th)] = {(ln, code): sym
+                                    for sym, (code, ln) in codes.items()}
+                p += 17 + nsym
+        elif marker == 0xC2:
+            hgt, wid = struct.unpack_from(">HH", data, 1)
+            ncomp = data[5]
+            if ncomp not in (1, 3):
+                raise MediaError("jpeg: only 1 or 3 components")
+            comp = []
+            for ci in range(ncomp):
+                cid, sampling, tq = data[6 + 3 * ci:9 + 3 * ci]
+                if sampling != 0x11:
+                    raise MediaError("jpeg: progressive decode is 1x1 "
+                                     "sampling only")
+                comp.append({"id": cid, "tq": tq})
+            dims = (hgt, wid)
+            bh, bw = -(-hgt // 8), -(-wid // 8)
+            for ci in range(ncomp):
+                grids[ci] = (bh, bw)
+                coefs[ci] = np.zeros((bh * bw, 64), dtype=np.int64)
+        elif marker == 0xDA:
+            if dims is None or comp is None:
+                raise MediaError("jpeg: SOS before SOF")
+            ns = data[0]
+            sel = []
+            for si in range(ns):
+                cid, tables = data[1 + 2 * si], data[2 + 2 * si]
+                idx = next((i for i, c in enumerate(comp)
+                            if c["id"] == cid), None)
+                if idx is None:
+                    raise MediaError("jpeg: scan names unknown component")
+                sel.append((idx, tables >> 4, tables & 0x0F))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            if ahal != 0:
+                raise MediaError("jpeg: successive approximation "
+                                 "unsupported (spectral selection only)")
+            ent_start = pos + 2 + seglen
+            ent_end = _scan_entropy_end(b, ent_start)
+            rd = _JpegBitReader(b[:ent_end], ent_start)
+            if ss == 0:  # DC scan (interleaved over all named components)
+                if se != 0:
+                    raise MediaError("jpeg: DC scan must have Se=0")
+                preds = {ci: 0 for ci, _, _ in sel}
+                bh, bw = grids[sel[0][0]]
+                for blk in range(bh * bw):
+                    for ci, td, _ta in sel:
+                        dc_tab = htables.get((0, td))
+                        if dc_tab is None:
+                            raise MediaError("jpeg: missing DC table")
+                        size = _huff_decode(rd, dc_tab)
+                        if size:
+                            preds[ci] += _extend(rd.receive(size), size)
+                        coefs[ci][blk, 0] = preds[ci]
+            else:  # AC band scan: exactly one component, EOB-run coded
+                if ns != 1:
+                    raise MediaError("jpeg: progressive AC scans are "
+                                     "single-component")
+                ci, _td, ta = sel[0]
+                ac_tab = htables.get((1, ta))
+                if ac_tab is None:
+                    raise MediaError("jpeg: missing AC table")
+                bh, bw = grids[ci]
+                eobrun = 0
+                for blk in range(bh * bw):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        sym = _huff_decode(rd, ac_tab)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1  # EOBn: this block done,
+                            if r:                  # plus 2^r-1+bits more
+                                eobrun += rd.receive(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise MediaError("jpeg: AC run past band end")
+                        coefs[ci][blk, k] = _extend(rd.receive(s), s)
+                        k += 1
+            pos = ent_end
+            continue
+        pos += 2 + seglen
+    if dims is None or not coefs:
+        raise MediaError("jpeg: no frame decoded")
+    h, w = dims
+    C = _dct_matrix()
+    planes = []
+    for ci, c in enumerate(comp):
+        q = qtables.get(c["tq"])
+        if q is None:
+            raise MediaError("jpeg: missing quant table")
+        bh, bw = grids[ci]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for blk in range(bh * bw):
+            coef = np.zeros(64, dtype=np.int64)
+            coef[_JPEG_ZIGZAG] = coefs[ci][blk]
+            block = C.T @ (coef.reshape(8, 8) * q) @ C
+            by, bx = (blk // bw) * 8, (blk % bw) * 8
+            plane[by:by + 8, bx:bx + 8] = block
+        planes.append(plane)
+    if len(planes) == 1:
+        out = np.clip(np.rint(planes[0] + 128.0), 0, 255).astype(np.uint8)
+        return out[:h, :w, None]
+    ycc = np.stack([p + 128.0 for p in planes], axis=-1)
+    return _ycbcr_to_rgb(ycc)[:h, :w]
+
+
+def encode_jpeg_progressive(arr: np.ndarray) -> bytes:
+    """Encode gray or RGB (4:4:4) as a spectral-selection progressive
+    JPEG: one interleaved DC scan, then one full-band (1-63) AC scan per
+    component — the minimal valid SOF2 scan script (Ah=Al=0). Shares the
+    quantization, Huffman tables and exactness properties of
+    :func:`encode_jpeg`.
+    """
+    a = np.asarray(arr)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(a)
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        raise MediaError("jpeg: encoder takes (h, w[, 1]) gray or (h, w, 3) RGB")
+    h, w = a.shape[:2]
+    if not h or not w:
+        raise MediaError("jpeg: empty image")
+    padded = [_pad_to_blocks(p, h, w) for p in planes]
+    ph, pw = padded[0].shape
+    bh, bw = ph // 8, pw // 8
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_SYMS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_SYMS)
+    C = _dct_matrix()
+    # per component: zig-zag coefficient grid
+    all_zz = []
+    for plane in padded:
+        zz = np.empty((bh * bw, 64), dtype=np.int64)
+        for blk in range(bh * bw):
+            by, bx = (blk // bw) * 8, (blk % bw) * 8
+            coef = np.rint(
+                C @ (plane[by:by + 8, bx:bx + 8] - 128.0) @ C.T
+            ).astype(np.int64)
+            zz[blk] = coef.ravel()[_JPEG_ZIGZAG]
+        all_zz.append(zz)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dht(tc: int, th: int, bits: list[int], syms: list[int]) -> bytes:
+        return bytes([(tc << 4) | th] + bits + list(syms))
+
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_SYMS))
+    out += seg(0xC4, dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_SYMS))
+    # scan 1: interleaved DC (Ss=Se=0)
+    wr = _JpegBitWriter()
+    preds = [0] * ncomp
+    for blk in range(bh * bw):
+        for ci in range(ncomp):
+            dc = int(all_zz[ci][blk, 0])
+            diff = dc - preds[ci]
+            preds[ci] = dc
+            size = _category(diff)
+            code, length = dc_codes[size]
+            wr.write(code, length)
+            if size:
+                wr.write(diff if diff >= 0 else diff + (1 << size) - 1, size)
+    wr.flush()
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    out += seg(0xDA, sos + bytes([0, 0, 0]))
+    out += wr.out
+    # scans 2..: one full-band AC scan per component (Ss=1, Se=63)
+    for ci in range(ncomp):
+        wr = _JpegBitWriter()
+        for blk in range(bh * bw):
+            zz = all_zz[ci][blk]
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_codes[0xF0]
+                    wr.write(zc, zl)
+                    run -= 16
+                size = _category(v)
+                if size > 10:
+                    raise MediaError("jpeg: AC coefficient out of range")
+                cc, cl = ac_codes[(run << 4) | size]
+                wr.write(cc, cl)
+                wr.write(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if run:  # EOB = EOBRUN of exactly one block (r=0)
+                ec, el = ac_codes[0x00]
+                wr.write(ec, el)
+        wr.flush()
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0]))
+        out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
