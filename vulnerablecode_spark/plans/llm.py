@@ -201,6 +201,73 @@ def q24_ngram_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# End-to-end near-dup DEDUPLICATION: LSH-verified pairs → connected
+# components → canonical keep-list (cluster = min reachable doc id; the
+# min doc of each cluster survives, singletons keep themselves). This is
+# the last-mile composition a training pipeline actually consumes — the
+# "which documents do I drop" answer — built from the shared near-dup
+# artifacts and the label-propagation components operator (q40's).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_near_dup_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BANDS},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, band_sig)
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN hs a ON a.doc_id = c.doc_a
+        JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.8
+    ),
+    sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, root) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q60_near_dup_dedup(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import \
+        connected_components
+
+    art = _near_dup_artifacts(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(
+        hashed=art["hashed"], candidates=art["candidates"], threshold=0.8)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce("component", "doc_id")
+    return (
+        docs.join(comps, docs["doc_id"] == comps["node"], "left")
+        .select("doc_id", cluster.alias("cluster_id"),
+                (cluster == F.col("doc_id")).alias("keep"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding — near-dup candidates without O(n²).
 # ---------------------------------------------------------------------------
 
