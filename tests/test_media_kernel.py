@@ -375,11 +375,23 @@ class TestJpegCodec:
         dec = M.decode_jpeg(M.encode_jpeg(rgb, subsampling="420"))
         assert dec.shape == (13, 17, 3)
 
+    def test_422_roundtrip(self):
+        # 4:2:2: horizontal-only chroma halving (the broadcast-video layout)
+        rgb = np.full((20, 28, 3), (180, 40, 99), dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg(rgb, subsampling="422"))
+        assert dec.shape == (20, 28, 3)
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 2
+        g = np.fromfunction(lambda y, x: (x * 3 + y * 2) % 256,
+                            (24, 40)).astype(np.uint8)
+        gray_rgb = np.stack([g, g, g], axis=-1)
+        dec = M.decode_jpeg(M.encode_jpeg(gray_rgb, subsampling="422"))
+        assert np.array_equal(dec, gray_rgb)  # luma detail fully preserved
+
     def test_unsupported_sampling_rejected(self):
-        # 4:2:2-style mixed factors: outside the two supported layouts
+        # vertical-only 1×2 chroma halving: outside the supported layouts
         enc = bytearray(M.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8)))
         sof = enc.find(b"\xff\xc0")
-        enc[sof + 11] = 0x21  # component 1 sampling → 2×1
+        enc[sof + 11] = 0x12  # component 1 sampling → 1×2
         with pytest.raises(M.MediaError):
             M.decode_jpeg(bytes(enc))
 

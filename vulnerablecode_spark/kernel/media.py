@@ -13,7 +13,7 @@ formats are decodable with nothing beyond the standard library and numpy:
 - WAV   — RIFF/WAVE chunk walk; PCM 16-bit decode to ``int16`` samples
           and encode.
 - JPEG  — REAL baseline-sequential decode for grayscale and YCbCr
-          color in the 4:4:4 and 4:2:0 layouts: DHT canonical Huffman,
+          color in the 4:4:4, 4:2:2 and 4:2:0 layouts: DHT canonical Huffman,
           0xFF00-stuffed bitstream, interleaved MCUs (4 Y + Cb + Cr at
           4:2:0) with per-component DC prediction + EXTEND, run/size AC
           coding, dequantize, zig-zag, orthonormal IDCT, chroma
@@ -907,7 +907,7 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444") -> bytes:
     rounded transforms, and 4:2:0 the chroma average (lossless when
     chroma is constant per 2×2).
     """
-    if subsampling not in ("444", "420"):
+    if subsampling not in ("444", "422", "420"):
         raise MediaError(f"jpeg: unknown subsampling {subsampling!r}")
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[2] == 1:
@@ -918,8 +918,9 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444") -> bytes:
     elif a.ndim == 3 and a.shape[2] == 3:
         ycc = _rgb_to_ycbcr(a)
         planes = [ycc[..., i] for i in range(3)]
-        factors = ([(2, 2), (1, 1), (1, 1)] if subsampling == "420"
-                   else [(1, 1), (1, 1), (1, 1)])
+        factors = {"420": [(2, 2), (1, 1), (1, 1)],
+                   "422": [(2, 1), (1, 1), (1, 1)],
+                   "444": [(1, 1), (1, 1), (1, 1)]}[subsampling]
     else:
         raise MediaError("jpeg: encoder takes (h, w[, 1]) gray or (h, w, 3) RGB")
     h, w = a.shape[:2]
@@ -1061,8 +1062,10 @@ def _decode_jpeg_markers(b: bytes) -> np.ndarray:
                 comp.append({"id": cid, "tq": tq, "fh": fh, "fv": fv})
             if ncomp == 3:
                 fs = [(c["fh"], c["fv"]) for c in comp]
-                if fs not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)]):
-                    raise MediaError("jpeg: only 4:4:4 and 4:2:0 layouts")
+                if fs not in ([(1, 1)] * 3, [(2, 2), (1, 1), (1, 1)],
+                              [(2, 1), (1, 1), (1, 1)]):
+                    raise MediaError(
+                        "jpeg: only 4:4:4, 4:2:2 and 4:2:0 layouts")
             dims = (hgt, wid)
         elif marker == 0xC2:
             return _decode_jpeg_progressive(b)
