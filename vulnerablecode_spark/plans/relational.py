@@ -384,18 +384,26 @@ def _weights_dim(spark):
 
 @query(
     "q13_weighted_severity",
+    # Fixed-point arithmetic: prices have 2 decimals, so work in integer
+    # cents and round half-up with (x+5) div 10 — ROUND over a computed
+    # double diverges between engines exactly at decimal half-boundaries
+    # (Spark rounds the shortest-decimal repr HALF_UP, DuckDB rounds the
+    # binary value; first observed at sf0.1: 161890.675 → .68 vs .67).
     oracle="""
     SELECT o_custkey,
-           ROUND(MAX(o_totalprice * CASE o_orderpriority
-                 WHEN '1-URGENT' THEN 10 WHEN '2-HIGH' THEN 8
-                 WHEN '3-MEDIUM' THEN 6 WHEN '4-NOT SPECIFIED' THEN 5
-                 WHEN '5-LOW' THEN 2 ELSE 5 END / 10.0), 2) AS weighted_severity
+           CAST(((MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                      * CASE o_orderpriority
+                        WHEN '1-URGENT' THEN 10 WHEN '2-HIGH' THEN 8
+                        WHEN '3-MEDIUM' THEN 6 WHEN '4-NOT SPECIFIED' THEN 5
+                        WHEN '5-LOW' THEN 2 ELSE 5 END) + 5) // 10
+                ) / 100.0 AS DOUBLE) AS weighted_severity
     FROM orders GROUP BY o_custkey
     """,
 )
 def q13_weighted_severity(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders")
     weights = _weights_dim(spark)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     return (
         orders.join(
             F.broadcast(weights),
@@ -404,10 +412,10 @@ def q13_weighted_severity(spark, sf_dir):
         )
         .withColumn("w", F.coalesce(F.col("weight"), F.lit(5)))
         .groupBy("o_custkey")
-        .agg(
-            F.round(F.max(F.col("o_totalprice") * F.col("w") / 10.0), 2).alias(
-                "weighted_severity"
-            )
+        .agg(F.max(cents * F.col("w")).alias("_m"))
+        .selectExpr(
+            "o_custkey",
+            "CAST(((_m + 5) div 10) / 100.0 AS DOUBLE) AS weighted_severity",
         )
     )
 
@@ -420,26 +428,32 @@ def q13_weighted_severity(spark, sf_dir):
 
 @query(
     "q14_risk_score",
+    # Fixed-point like q13: price cents × doubled exploitability factor
+    # (so 0.5 stays integer), half-up rounding to 1dp via (x+5e5) div 1e6
+    # — no ROUND over computed doubles (decimal-half-boundary hazard).
     oracle="""
     SELECT o_orderkey,
-           LEAST(10.0, ROUND(o_totalprice / 50000.0 *
-                 CASE o_orderpriority WHEN '1-URGENT' THEN 2.0
-                      WHEN '2-HIGH' THEN 1.0 ELSE 0.5 END, 1)) AS risk_score
+           LEAST(10.0, CAST(
+               ((CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) *
+                 CASE o_orderpriority WHEN '1-URGENT' THEN 4
+                      WHEN '2-HIGH' THEN 2 ELSE 1 END + 500000) // 1000000
+               ) / 10.0 AS DOUBLE)) AS risk_score
     FROM orders
     """,
 )
 def q14_risk_score(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders")
-    exploitability = (
-        F.when(F.col("o_orderpriority") == "1-URGENT", 2.0)
-        .when(F.col("o_orderpriority") == "2-HIGH", 1.0)
-        .otherwise(0.5)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    f2 = (  # exploitability × 2, kept integer
+        F.when(F.col("o_orderpriority") == "1-URGENT", 4)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .otherwise(1)
     )
+    tenths = F.floor((cents * f2 + F.lit(500000)) / F.lit(1000000))
     return orders.select(
         "o_orderkey",
-        F.least(
-            F.lit(10.0), F.round(F.col("o_totalprice") / 50000.0 * exploitability, 1)
-        ).alias("risk_score"),
+        F.least(F.lit(10.0),
+                (tenths / F.lit(10.0)).cast("double")).alias("risk_score"),
     )
 
 
