@@ -564,3 +564,32 @@ class TestJpegProgressive:
         enc[sos + 2 + seglen - 1] = 0x01  # Ah/Al byte of the DC scan
         with pytest.raises(M.MediaError):
             M.decode_jpeg(bytes(enc))
+
+
+class TestJpegProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1),
+           st.booleans())
+    @settings(max_examples=40, deadline=None)
+    def test_gray_roundtrip_bounded_any_shape(self, h, w, seed, progressive):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w), dtype=np.uint8)
+        enc = (M.encode_jpeg_progressive(px) if progressive
+               else M.encode_jpeg(px))
+        dec = M.decode_jpeg(enc)
+        assert dec.shape == (h, w, 1)
+        assert int(np.abs(dec[:, :, 0].astype(int) - px.astype(int)).max()) <= 4
+
+    @given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**32 - 1),
+           st.sampled_from(["444", "422", "420"]))
+    @settings(max_examples=30, deadline=None)
+    def test_color_roundtrip_bounded_any_shape(self, h, w, seed, sub):
+        # constant-color images: subsampling is lossless on flat chroma, so
+        # every layout must stay within transform+DCT rounding error
+        rgb = np.full((h, w, 3), np.random.default_rng(seed).integers(
+            0, 256, size=3), dtype=np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg(rgb, subsampling=sub))
+        assert dec.shape == (h, w, 3)
+        assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 2
