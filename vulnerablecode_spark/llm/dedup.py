@@ -540,3 +540,38 @@ def decontamination_overlap(corpus: DataFrame, benchmark: DataFrame,
         .selectExpr(id_col, "n_shingles", "n_overlap",
                     "(n_overlap * 10000) div n_shingles AS overlap_bp")
     )
+
+
+def shared_span_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3, w: int = 4,
+                      min_shared: int = 2, max_df: int = 50,
+                      impl: str = "hof") -> DataFrame:
+    """Cross-document shared-span detection (the MOSS similarity report):
+    document pairs sharing ≥ ``min_shared`` distinct winnowing
+    fingerprints — each shared fingerprint is evidence of a common
+    substring of length ≥ w+n-1 tokens, which catches copied SPANS that
+    whole-document Jaccard dilutes away.
+
+    ``max_df`` drops fingerprints appearing in more than that many
+    documents before the pair join — the standard document-frequency cap:
+    ubiquitous idioms would otherwise create quadratic hot keys (the same
+    skew story as LSH bands, solved the same way). Shape: distinct
+    (id, h) → df-capped equi-join on the 60-bit hash → pair count; no
+    cross join anywhere.
+    """
+    fp = winnowing_fingerprints(df, text_col, id_col, n, w, impl=impl)
+    dh = fp.select(F.col(id_col), "h").distinct()
+    rare = (dh.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("h"))
+    dh = dh.join(rare, "h", "left_semi")
+    a = dh.select(F.col(id_col).alias("doc_a"), "h")
+    b = dh.select(F.col(id_col).alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

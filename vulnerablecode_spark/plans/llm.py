@@ -881,6 +881,46 @@ def q48_winnowing_fingerprints(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cross-document shared spans — winnowing-fingerprint pair report (the
+# MOSS use-case; llm/dedup.py shared_span_pairs). DF-capped equi-join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q61_shared_spans",
+    oracle=f"""
+    WITH ph AS ({_SQL_POS_SHINGLES}),
+    wm AS (
+        SELECT doc_id, pos AS wend,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM ph),
+    full_windows AS (SELECT * FROM wm WHERE wend >= 3),
+    cand AS (
+        SELECT w.doc_id, w.wend, p.pos, w.wmin
+        FROM full_windows w
+        JOIN ph p ON p.doc_id = w.doc_id
+                 AND p.pos BETWEEN w.wend - 3 AND w.wend
+                 AND p.h = w.wmin),
+    sel AS (
+        SELECT doc_id, wend, MAX(pos) AS fp_pos, MIN(wmin) AS h
+        FROM cand GROUP BY doc_id, wend),
+    dh AS (SELECT DISTINCT doc_id, h FROM sel),
+    rare AS (SELECT h FROM dh GROUP BY h HAVING COUNT(*) <= 50),
+    capped AS (SELECT dh.doc_id, dh.h FROM dh JOIN rare USING (h))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q61_shared_spans(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.shared_span_pairs(docs, min_shared=2, max_df=50,
+                                   impl="arrow")
+
+
+# ---------------------------------------------------------------------------
 # Real-codec round trips (kernel/media.py). The payloads are synthesized
 # deterministically from doc_id, pushed through the REAL encoder, then the
 # REAL container-header parser and pixel/sample decoder; the oracle computes
