@@ -498,6 +498,88 @@ def q55_repetition_signals(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Corpus data card — the per-(source, language) summary report a training
+# pipeline publishes: document counts, quality, diversity, and exact-dup
+# rate in one composition of the graded text signals. Integer/fixed-point
+# only (the q28 discipline), one aggregation over a joined signal frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q62_corpus_datacard",
+    oracle=rf"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               CASE WHEN length(text) >= 3
+                    THEN CAST((len(list_distinct(
+                             [substr(text, CAST(i AS INT), 3)
+                              FOR i IN range(1, length(text) - 1)])) * 10000)
+                         // (length(text) - 2) AS BIGINT)
+                    ELSE 0 END AS ttr_bp
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id,
+               (ROW_NUMBER() OVER (PARTITION BY md5({_SQL_NORM})
+                                   ORDER BY doc_id) > 1) AS is_dup
+        FROM documents
+    ),
+    lang AS (
+        SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(lower(text),
+                        '\b(the|a|of|and)\b')) > 0 THEN 'en'
+                    ELSE 'other' END AS lang_bucket
+        FROM documents
+    )
+    SELECT doc.source, lang.lang_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(q.n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
+           CAST(SUM(t.ttr_bp) // COUNT(*) AS BIGINT) AS avg_ttr_bp,
+           CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dups
+    FROM documents doc
+    JOIN q USING (doc_id) JOIN t USING (doc_id)
+    JOIN d USING (doc_id) JOIN lang USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q62_corpus_datacard(spark, sf_dir):
+    """Per-(source, crude-language-bucket) corpus summary: doc/token
+    volumes, average length, average char-trigram diversity, exact-dup
+    count — the composition consumers actually read. All integer
+    arithmetic; the dup flag is the q23 keep-first rule inverted."""
+    docs = _load(spark, sf_dir, "documents")
+    q = text.quality_metrics(docs).select("doc_id", "n_tokens", "n_chars")
+    t = text.char_trigram_diversity(docs).select("doc_id", "ttr_bp")
+    d = dedup.exact_dedup(docs).select(
+        "doc_id", (~F.col("keep")).alias("is_dup"))
+    lang = docs.select(
+        "doc_id",
+        F.when(text.marker_hits(F.col("text"),
+                                text.LANG_MARKERS["en"]) > 0,
+               F.lit("en")).otherwise(F.lit("other")).alias("lang_bucket"))
+    joined = (docs.select("doc_id", "source")
+              .join(q, "doc_id").join(t, "doc_id")
+              .join(d, "doc_id").join(lang, "doc_id"))
+    return (
+        joined.groupBy("source", "lang_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+             F.expr("sum(n_chars) div count(1)").alias("avg_chars"),
+             F.expr("sum(ttr_bp) div count(1)").alias("avg_ttr_bp"),
+             F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+             .cast("bigint").alias("n_exact_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Feature hashing — vocabulary-free sparse count vectors (llm/text.py
 # feature_hash_counts). Integer-exact, the md5-derived token hash.
 # ---------------------------------------------------------------------------
