@@ -182,6 +182,34 @@ class TestSpreadSizing:
         assert n == spark.sparkContext.defaultParallelism, n
 
 
+class TestIncrementalNearDup:
+    def test_matches_full_recompute_on_new_pairs(self, spark):
+        import pyspark.sql.functions as F
+
+        from vulnerablecode_spark.llm.dedup import (band_frame,
+                                                    hashed_shingles,
+                                                    minhash_signatures,
+                                                    near_dup_pairs,
+                                                    near_dup_pairs_incremental)
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        old = docs.filter(F.col("doc_id") % 5 != 0)
+        new = docs.filter(F.col("doc_id") % 5 == 0)
+        # the "stored index": the old corpus's shingle hashes + band rows
+        idx_hashed = hashed_shingles(old).localCheckpoint(eager=True)
+        idx_bands = band_frame(
+            minhash_signatures(hashed=idx_hashed, with_sizes=True),
+            with_sizes=True).localCheckpoint(eager=True)
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in
+               near_dup_pairs_incremental(new, idx_hashed, idx_bands,
+                                          threshold=0.5).collect()}
+        full = near_dup_pairs(docs, threshold=0.5).collect()
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        want = {(r.doc_a, r.doc_b, r.jaccard) for r in full
+                if r.doc_a in new_ids or r.doc_b in new_ids}
+        assert got == want and want  # identical, and non-trivially so
+
+
 class TestDecontamination:
     def test_planted_overlap(self, spark):
         from vulnerablecode_spark.llm.dedup import decontamination_overlap

@@ -279,22 +279,8 @@ def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
     if sig is None:
         sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed,
                                  with_sizes=with_sizes)
-    # each band's signature comes straight off the wide columns, reduced
-    # to a 60-bit hash of the joined lane values so the band self-join
-    # shuffles fixed-width bigints, not signature strings; stack()
-    # unpivots to (id, band, band_sig) for the candidate join
-    band_sigs = [
-        hash64(F.concat_ws("-", *[F.col(f"mh_{b * BAND_ROWS + r}")
-                                  for r in range(BAND_ROWS)])).alias(f"band_{b}")
-        for b in range(N_HASHES // BAND_ROWS)
-    ]
-    n_bands = N_HASHES // BAND_ROWS
+    bands = band_frame(sig, id_col, with_sizes=with_sizes)
     extra = ["n_sh"] if with_sizes else []
-    wide = sig.select(F.col(id_col), *band_sigs, *extra)
-    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
-    bands = wide.selectExpr(
-        id_col, *extra, f"stack({n_bands}, {stack_expr}) AS (band, band_sig)"
-    )
     left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig",
                         *[F.col("n_sh").alias("na") for _ in extra])
     right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig",
@@ -305,6 +291,29 @@ def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select(*out_cols)
         .distinct()
+    )
+
+
+def band_frame(sig: DataFrame, id_col: str = "doc_id",
+               with_sizes: bool = False) -> DataFrame:
+    """(id, band, band_sig[, n_sh]) rows from a wide MinHash signature
+    frame — the frame a STORED LSH index persists at scale.
+
+    Each band's signature comes straight off the wide columns, reduced to
+    a 60-bit hash of the joined lane values so every band join shuffles
+    fixed-width bigints, not signature strings; stack() unpivots to one
+    row per (document, band)."""
+    band_sigs = [
+        hash64(F.concat_ws("-", *[F.col(f"mh_{b * BAND_ROWS + r}")
+                                  for r in range(BAND_ROWS)])).alias(f"band_{b}")
+        for b in range(N_HASHES // BAND_ROWS)
+    ]
+    n_bands = N_HASHES // BAND_ROWS
+    extra = ["n_sh"] if with_sizes else []
+    wide = sig.select(F.col(id_col), *band_sigs, *extra)
+    stack_expr = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
+    return wide.selectExpr(
+        id_col, *extra, f"stack({n_bands}, {stack_expr}) AS (band, band_sig)"
     )
 
 
@@ -575,3 +584,54 @@ def shared_span_pairs(df: DataFrame, text_col: str = "text",
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def near_dup_pairs_incremental(new_docs: DataFrame,
+                               index_hashed: DataFrame,
+                               index_bands: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id", n: int = 3,
+                               threshold: float = 0.8,
+                               impl: str = "hof") -> DataFrame:
+    """Incremental near-dup: score ONLY the pairs that involve a NEW
+    document, against a stored LSH index — the production shape at 100 TB,
+    where the corpus is never re-deduplicated; each increment joins the
+    persisted index (``index_hashed`` = (id, h) shingle hashes,
+    ``index_bands`` = :func:`band_frame` rows with ``n_sh``) and appends
+    its own rows to both afterwards.
+
+    Candidates = new-side bands × (index ∪ new) bands on (band,
+    band_sig) — old×old pairs never enter the join. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b, exact-verified at
+    ``threshold``, identical to what the full :func:`near_dup_pairs`
+    would report for pairs touching a new document (equality-tested).
+    """
+    new_hashed = hashed_shingles(new_docs, text_col, id_col, n,
+                                 impl=impl).localCheckpoint(eager=True)
+    new_sig = minhash_signatures(hashed=new_hashed, id_col=id_col, n=n,
+                                 with_sizes=True)
+    new_bands = band_frame(new_sig, id_col, with_sizes=True)
+    all_bands = index_bands.unionByName(new_bands)
+    raw = (
+        new_bands.select(F.col(id_col).alias("_new_id"), "band", "band_sig",
+                         F.col("n_sh").alias("_new_sh"))
+        .join(all_bands.select(F.col(id_col).alias("_any_id"), "band",
+                               "band_sig", F.col("n_sh").alias("_any_sh")),
+              ["band", "band_sig"])
+        .filter(F.col("_new_id") != F.col("_any_id"))
+    )
+    # normalize pair order (new×new pairs appear from both sides, and
+    # new×old pairs must come out as (min, max) like the batch operator)
+    candidates = raw.select(
+        F.least("_new_id", "_any_id").alias("doc_a"),
+        F.greatest("_new_id", "_any_id").alias("doc_b"),
+        F.when(F.col("_new_id") < F.col("_any_id"), F.col("_new_sh"))
+         .otherwise(F.col("_any_sh")).alias("na"),
+        F.when(F.col("_new_id") < F.col("_any_id"), F.col("_any_sh"))
+         .otherwise(F.col("_new_sh")).alias("nb"),
+    ).distinct()
+    hashed_all = index_hashed.unionByName(
+        new_hashed if id_col == "doc_id"
+        else new_hashed.withColumnRenamed("doc_id", id_col))
+    return near_dup_pairs(hashed=hashed_all, candidates=candidates,
+                          id_col=id_col, n=n, threshold=threshold)
