@@ -71,6 +71,17 @@ def main() -> None:
     timed("decontamination", lambda: "{} docs scored".format(
         dedup.decontamination_overlap(
             docs, docs0.filter(F.col("doc_id") < 20), impl="arrow").count()))
+    # incremental dedup: the ORIGINAL corpus as the new batch, the K×
+    # replicated corpus as the stored index — increment cost must track the
+    # increment, not the index
+    idx_bands = dedup.band_frame(
+        dedup.minhash_signatures(hashed=hashed, with_sizes=True),
+        with_sizes=True).localCheckpoint(eager=True)
+    new_batch = docs0.withColumn("doc_id", F.col("doc_id") + 900_000_000)
+    timed("incremental_near_dup", lambda: "{} new-touching pairs".format(
+        dedup.near_dup_pairs_incremental(
+            new_batch, hashed, idx_bands, threshold=0.8,
+            impl="arrow").count()))
     timed("winnowing", lambda: "{} fingerprints".format(
         dedup.winnowing_fingerprints(docs, impl="arrow").count()))
 
