@@ -78,13 +78,13 @@ def main() -> None:
     spark._jvm.System.gc()
     time.sleep(0.5)
 
-    # Minimum of 3 reps per query (timeit-style): single-shot numbers on
+    # Minimum of 4 reps per query (timeit-style): single-shot numbers on
     # this shared-tenant box swing several-fold with neighbor load — the
     # measured per-job floor varies 0.03s-0.47s between runs with zero
     # code change — and the MINIMUM is the standard low-noise estimator of
     # a computation's actual cost (what `python -m timeit` reports).
     # Fairness rules: (a) the DuckDB baseline below gets the identical
-    # min-of-3 treatment; (b) the artifact registries are CLEARED before
+    # min-of-4 treatment; (b) the artifact registries are CLEARED before
     # every rep of each family's first query (q24 near-dup, q30
     # embeddings), so the shared-index build cost is inside those queries'
     # every rep — reps never ride work done by a previous rep. Later

@@ -34,6 +34,13 @@ N_HASHES = 16
 BAND_ROWS = 4
 
 
+# spread() sizing cache: inputFiles() + per-file stat is driver-side work
+# repeated for every fan-out stage of every query over the same table; the
+# underlying files are immutable for the life of a batch job, so memoize on
+# the sorted file list (bounded — one entry per distinct scanned table).
+_SPREAD_SIZES: dict[tuple[str, ...], int] = {}
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition before a fan-out stage. Small-file inputs (one parquet
     file → one partition) would otherwise run the whole explode on a single
@@ -52,15 +59,21 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     try:
         files = df.inputFiles()
         if files:
-            from urllib.parse import unquote, urlparse
+            key = tuple(sorted(files))
+            total = _SPREAD_SIZES.get(key)
+            if total is None:
+                from urllib.parse import unquote, urlparse
 
-            total = 0
-            for f in files:
-                p = urlparse(f)
-                if p.scheme not in ("", "file"):
-                    total = 0
-                    break
-                total += os.path.getsize(unquote(p.path))
+                total = 0
+                for f in files:
+                    p = urlparse(f)
+                    if p.scheme not in ("", "file"):
+                        total = 0
+                        break
+                    total += os.path.getsize(unquote(p.path))
+                if len(_SPREAD_SIZES) > 256:
+                    _SPREAD_SIZES.clear()
+                _SPREAD_SIZES[key] = total
             if total:
                 n = max(2, min(n, total // (256 * 1024) + 1))
     except Exception:  # noqa: BLE001 — sizing is best-effort, never fatal
@@ -147,6 +160,8 @@ def hashed_shingles(df: DataFrame, text_col: str = "text",
             for pdf in batches:
                 ids, hs = [], []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    if not isinstance(text, str):
+                        continue  # NULL text yields no shingles (= HOF tier)
                     toks = text.split(" ")
                     seen = set()
                     for i in range(len(toks) - n + 1):
@@ -447,6 +462,8 @@ def positional_shingle_hashes(df: DataFrame, text_col: str = "text",
             for pdf in batches:
                 ids, ps, hs = [], [], []
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                    if not isinstance(text, str):
+                        continue  # NULL text yields no shingles (= HOF tier)
                     toks = text.split(" ")
                     for i in range(len(toks) - n + 1):
                         s = " ".join(toks[i:i + n])

@@ -280,6 +280,24 @@ def _assign_cells(corpus: DataFrame, centroids: DataFrame,
     )
 
 
+def _mean_6dp_ui(x: Column) -> Column:
+    """Engine-exact 6-decimal mean (aggregate expression).
+
+    ``round(avg(x), 6)`` on computed doubles is the decimal-half-boundary
+    hazard documented at q13: Spark HALF_UPs the shortest-decimal repr
+    while DuckDB rounds the binary value, so a mean landing on an exact
+    half can diverge. Instead quantize each addend to integer micro-units
+    (``floor(x·1e6 + 0.5)`` — half-up toward +∞, bit-identical in every
+    engine), sum exactly as BIGINT (order-free), then round the integer
+    division half-up via ``floor((2s + c) / 2c)``. The 2s+c double is
+    exact while |s| < 2^52 micro-units (cell mass < ~4.5e9 in unit terms
+    — far past any real centroid cell).
+    """
+    s = F.sum(F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint"))
+    c = F.count(F.lit(1))
+    return F.floor((F.lit(2.0) * s + c) / (F.lit(2.0) * c)) / F.lit(1_000_000.0)
+
+
 def ivf_index(corpus: DataFrame, n_cells: int | None = 16,
               id_col: str = "vec_id", vec_col: str = "embedding",
               kmeans_iters: int = 2, impl: str = "hof"):
@@ -309,11 +327,10 @@ def ivf_index(corpus: DataFrame, n_cells: int | None = 16,
         means = (
             assigned.select("cell", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cell", "pos")
-            # round the component means: summation order varies across
-            # engines (and partitions) at the last ULP, and centroids feed
-            # further cosine comparisons — 6 decimals pins them to one
-            # reproducible value
-            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            # 6-decimal component means in exact integer micro-units:
+            # summation order varies across engines (and partitions) at
+            # the last ULP, and centroids feed further cosine comparisons
+            .agg(_mean_6dp_ui(F.col("x").cast("double")).alias("m"))
             .groupBy("cell")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
@@ -522,7 +539,7 @@ def pq_index(corpus: DataFrame, n_sub: int = 8, n_codes: int = 16,
         means = (
             assigned.select("m", "cell", F.posexplode("sub").alias("pos", "x"))
             .groupBy("m", "cell", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("mu"))
+            .agg(_mean_6dp_ui(F.col("x")).alias("mu"))
             .groupBy("m", "cell")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mu"))),

@@ -757,7 +757,10 @@ def _ivf_iter_sql(prev: str, a: str, m: str, c: str) -> str:
         WHERE rk = 1),
     {m} AS (
         SELECT cell, list(m ORDER BY pos) AS centroid FROM (
-            SELECT cell, i AS pos, ROUND(AVG(v[i + 1]), 6) AS m
+            SELECT cell, i AS pos,
+                   FLOOR((2.0 * SUM(CAST(FLOOR(v[i + 1] * 1e6 + 0.5)
+                                         AS BIGINT)) + COUNT(*))
+                         / (2.0 * COUNT(*))) / 1e6 AS m
             FROM {a}, UNNEST(range(64)) AS t(i) GROUP BY cell, i)
         GROUP BY cell),
     {c} AS (
@@ -847,7 +850,10 @@ _SQL_PQ = f"""
         WHERE rk = 1),
     m1 AS (
         SELECT m, cell, list(mu ORDER BY i) AS centroid FROM (
-            SELECT m, cell, i, ROUND(AVG(sub[i + 1]), 6) AS mu
+            SELECT m, cell, i,
+                   FLOOR((2.0 * SUM(CAST(FLOOR(sub[i + 1] * 1e6 + 0.5)
+                                         AS BIGINT)) + COUNT(*))
+                         / (2.0 * COUNT(*))) / 1e6 AS mu
             FROM a1, UNNEST(range(8)) AS t(i) GROUP BY m, cell, i)
         GROUP BY m, cell),
     c1 AS (
