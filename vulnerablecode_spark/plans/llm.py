@@ -268,6 +268,59 @@ def q60_near_dup_dedup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# INCREMENTAL near-dup — a new-document increment scored against a STORED
+# LSH index (llm/dedup.py near_dup_pairs_incremental): the production
+# shape at 100 TB, where the corpus is never re-deduplicated. Graded
+# increment = doc_id % 10 = 0 (10% of the corpus); index = the rest. The
+# operator's output equals the full batch recompute restricted to pairs
+# touching a new document (equality- and property-tested in tests/), and
+# the oracle states exactly that restriction — old×old pairs never enter
+# the Spark join, yet the result is hash-identical.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q63_incremental_near_dup",
+    oracle=f"""
+    WITH {_SQL_BANDS},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band, band_sig)
+        WHERE a.doc_id < b.doc_id
+          AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN hs a ON a.doc_id = c.doc_a
+        JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+    """,
+)
+def q63_incremental_near_dup(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    # the stored index: shingle hashes + band frame of the existing corpus
+    # (at scale these are persisted tables written at ingest; here they are
+    # built from the non-increment slice)
+    index_hashed = dedup.hashed_shingles(
+        docs.filter(~is_new), impl="arrow").localCheckpoint(eager=True)
+    index_sig = dedup.minhash_signatures(hashed=index_hashed, with_sizes=True)
+    index_bands = dedup.band_frame(index_sig, with_sizes=True)
+    return dedup.near_dup_pairs_incremental(
+        docs.filter(is_new), index_hashed, index_bands,
+        threshold=0.2, impl="arrow")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding — near-dup candidates without O(n²).
 # ---------------------------------------------------------------------------
 
@@ -768,8 +821,10 @@ def _ivf_iter_sql(prev: str, a: str, m: str, c: str) -> str:
         FROM {prev} p LEFT JOIN {m} n USING (cell))"""
 
 
-_SQL_IVF = f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# Shared CTE block (build → final assignment → query probes), composed by
+# the plain-IVF oracle (q46) and the IVF+PQ oracle (q64). Assumes an
+# ``emb(vec_id, v)`` CTE in scope.
+_SQL_IVF_CTES = f"""
     c0 AS (SELECT vec_id AS cell, v AS centroid FROM emb
            ORDER BY vec_id LIMIT 16),
     {_ivf_iter_sql('c0', 'a1', 'm1', 'c1')},
@@ -790,7 +845,12 @@ _SQL_IVF = f"""
                        ORDER BY {_SQL_IVF_COS.format(a='q.qv', b='c.centroid')}
                                 DESC, c.cell) AS rk
             FROM q CROSS JOIN c2 c)
-        WHERE rk <= 4),
+        WHERE rk <= 4)"""
+
+
+_SQL_IVF = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_SQL_IVF_CTES},
     scored AS (
         SELECT p.query_id, a.vec_id AS neighbor_id,
                ROUND(list_dot_product(p.qv, a.v) /
@@ -830,48 +890,56 @@ def _pq_sub_l2(a: str, b: str) -> str:
     return f"CAST(floor(1e6 * ({terms}) + 0.5) AS BIGINT)"
 
 
-_SQL_PQ = f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+# Shared CTE block (subvectors → codebook build → codes → per-query ADC
+# table), composed by the plain-PQ oracle (q56) and the IVF+PQ oracle
+# (q64). CTE names are pq_-prefixed where they would collide with the IVF
+# block's. Assumes an ``emb(vec_id, v)`` CTE in scope.
+_SQL_PQ_CTES = f"""
     subs AS (
         SELECT vec_id, CAST(m AS INT) AS m,
                v[m * 8 + 1 : m * 8 + 8] AS sub
         FROM emb, UNNEST(range(8)) AS t(m)),
     seeds AS (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16),
-    c0 AS (
+    pq_c0 AS (
         SELECT m, vec_id AS cell, sub AS centroid
         FROM subs WHERE vec_id IN (SELECT vec_id FROM seeds)),
-    a1 AS (
+    pq_a1 AS (
         SELECT vec_id, m, sub, cell FROM (
             SELECT s.vec_id, s.m, s.sub, c.cell,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                        ORDER BY {_pq_sub_l2('s.sub', 'c.centroid')}, c.cell)
                        AS rk
-            FROM subs s JOIN c0 c USING (m))
+            FROM subs s JOIN pq_c0 c USING (m))
         WHERE rk = 1),
-    m1 AS (
+    pq_m1 AS (
         SELECT m, cell, list(mu ORDER BY i) AS centroid FROM (
             SELECT m, cell, i,
                    FLOOR((2.0 * SUM(CAST(FLOOR(sub[i + 1] * 1e6 + 0.5)
                                          AS BIGINT)) + COUNT(*))
                          / (2.0 * COUNT(*))) / 1e6 AS mu
-            FROM a1, UNNEST(range(8)) AS t(i) GROUP BY m, cell, i)
+            FROM pq_a1, UNNEST(range(8)) AS t(i) GROUP BY m, cell, i)
         GROUP BY m, cell),
-    c1 AS (
+    pq_c1 AS (
         SELECT p.m, p.cell, COALESCE(n.centroid, p.centroid) AS centroid
-        FROM c0 p LEFT JOIN m1 n USING (m, cell)),
+        FROM pq_c0 p LEFT JOIN pq_m1 n USING (m, cell)),
     codes AS (
         SELECT vec_id, m, cell FROM (
             SELECT s.vec_id, s.m, c.cell,
                    ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                        ORDER BY {_pq_sub_l2('s.sub', 'c.centroid')}, c.cell)
                        AS rk
-            FROM subs s JOIN c1 c USING (m))
+            FROM subs s JOIN pq_c1 c USING (m))
         WHERE rk = 1),
     qt AS (
         SELECT s.vec_id AS query_id, s.m, c.cell,
                {_pq_sub_l2('s.sub', 'c.centroid')} AS d_ui
-        FROM subs s JOIN c1 c USING (m)
-        WHERE s.vec_id < 10),
+        FROM subs s JOIN pq_c1 c USING (m)
+        WHERE s.vec_id < 10)"""
+
+
+_SQL_PQ = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_SQL_PQ_CTES},
     adc AS (
         SELECT q.query_id, k.vec_id AS neighbor_id,
                CAST(SUM(q.d_ui) AS BIGINT) AS adc_dist_ui
@@ -891,6 +959,48 @@ def q56_ann_topk_pq(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     res = similarity.ann_topk_pq(emb, queries_df, k=5)
+    return res.withColumn("rk", F.col("rk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composition (llm/similarity.py ann_topk_ivf_pq) — the FAISS
+# ``IVFx,PQy`` layout: IVF probing gates candidates, the PQ/ADC table
+# scores only those candidates from their codes. The oracle composes the
+# two shared CTE blocks (the exact q46 build + the exact q56 build) and
+# re-states the candidate-gated ADC scan, so the full billion-scale ANN
+# composition is hash-verified end-to-end.
+# ---------------------------------------------------------------------------
+
+_SQL_IVF_PQ = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_SQL_IVF_CTES},
+    {_SQL_PQ_CTES},
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN af a USING (cell)
+        WHERE p.query_id <> a.vec_id),
+    adc AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(SUM(q.d_ui) AS BIGINT) AS adc_dist_ui
+        FROM cand c
+        JOIN codes k ON k.vec_id = c.neighbor_id
+        JOIN qt q ON q.query_id = c.query_id
+                 AND q.m = k.m AND q.cell = k.cell
+        GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_dist_ui, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_ui, neighbor_id) AS rk
+        FROM adc
+    ) WHERE rk <= 5
+"""
+
+
+@query("q64_ann_topk_ivf_pq", oracle=_SQL_IVF_PQ)
+def q64_ann_topk_ivf_pq(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    res = similarity.ann_topk_ivf_pq(emb, queries_df, k=5, n_cells=16,
+                                     nprobe=4, impl="arrow")
     return res.withColumn("rk", F.col("rk").cast("int"))
 
 
