@@ -210,10 +210,11 @@ def q24_ngram_jaccard(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q60_near_dup_dedup",
-    oracle=f"""
-    WITH RECURSIVE {_SQL_BANDS},
+# Shared CTE fragment: LSH candidates → 0.8-verified pairs → recursive
+# connected components (assumes the _SQL_BANDS CTEs in scope, requires
+# WITH RECURSIVE). Composed by the q60 keep-list oracle and the q62
+# data-card oracle, which reports the keep-list's dedup rate by source.
+_SQL_NEAR_DUP_COMP = """
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b USING (band, band_sig)
@@ -241,7 +242,14 @@ def q24_ngram_jaccard(spark, sf_dir):
         UNION
         SELECT s.dst, r.root FROM reach r JOIN sym s ON s.src = r.node
     ),
-    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+    comp AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)"""
+
+
+@query(
+    "q60_near_dup_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BANDS},
+    {_SQL_NEAR_DUP_COMP}
     SELECT d.doc_id,
            COALESCE(c.component, d.doc_id) AS cluster_id,
            (COALESCE(c.component, d.doc_id) = d.doc_id) AS keep
@@ -561,7 +569,14 @@ def q55_repetition_signals(spark, sf_dir):
 @query(
     "q62_corpus_datacard",
     oracle=rf"""
-    WITH q AS (
+    WITH RECURSIVE {_SQL_BANDS},
+    {_SQL_NEAR_DUP_COMP},
+    nd AS (
+        SELECT d.doc_id,
+               (COALESCE(c.component, d.doc_id) <> d.doc_id) AS is_near_dup
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    q AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars
@@ -596,18 +611,26 @@ def q55_repetition_signals(spark, sf_dir):
            CAST(SUM(q.n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
            CAST(SUM(t.ttr_bp) // COUNT(*) AS BIGINT) AS avg_ttr_bp,
            CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_exact_dups
+               AS n_exact_dups,
+           CAST(SUM(CASE WHEN nd.is_near_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_dups,
+           CAST(SUM(CASE WHEN nd.is_near_dup THEN 1 ELSE 0 END) * 10000
+                // COUNT(*) AS BIGINT) AS near_dup_rate_bp
     FROM documents doc
     JOIN q USING (doc_id) JOIN t USING (doc_id)
     JOIN d USING (doc_id) JOIN lang USING (doc_id)
+    JOIN nd USING (doc_id)
     GROUP BY 1, 2
     """,
 )
 def q62_corpus_datacard(spark, sf_dir):
     """Per-(source, crude-language-bucket) corpus summary: doc/token
     volumes, average length, average char-trigram diversity, exact-dup
-    count — the composition consumers actually read. All integer
-    arithmetic; the dup flag is the q23 keep-first rule inverted."""
+    count, and the end-to-end NEAR-dup rate from the q60 keep-list — the
+    data card a curator publishes alongside a corpus. All integer
+    arithmetic; the exact-dup flag is the q23 keep-first rule inverted,
+    the near-dup flag is the q60 keep-list inverted (shared artifacts, so
+    the LSH index and component labels are built once per session)."""
     docs = _load(spark, sf_dir, "documents")
     q = text.quality_metrics(docs).select("doc_id", "n_tokens", "n_chars")
     t = text.char_trigram_diversity(docs).select("doc_id", "ttr_bp")
@@ -618,9 +641,12 @@ def q62_corpus_datacard(spark, sf_dir):
         F.when(text.marker_hits(F.col("text"),
                                 text.LANG_MARKERS["en"]) > 0,
                F.lit("en")).otherwise(F.lit("other")).alias("lang_bucket"))
+    near = q60_near_dup_dedup(spark, sf_dir).select(
+        "doc_id", (~F.col("keep")).alias("is_near_dup"))
     joined = (docs.select("doc_id", "source")
               .join(q, "doc_id").join(t, "doc_id")
-              .join(d, "doc_id").join(lang, "doc_id"))
+              .join(d, "doc_id").join(lang, "doc_id")
+              .join(near, "doc_id"))
     return (
         joined.groupBy("source", "lang_bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -628,7 +654,11 @@ def q62_corpus_datacard(spark, sf_dir):
              F.expr("sum(n_chars) div count(1)").alias("avg_chars"),
              F.expr("sum(ttr_bp) div count(1)").alias("avg_ttr_bp"),
              F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
-             .cast("bigint").alias("n_exact_dups"))
+             .cast("bigint").alias("n_exact_dups"),
+             F.sum(F.when(F.col("is_near_dup"), 1).otherwise(0))
+             .cast("bigint").alias("n_near_dups"),
+             F.expr("sum(case when is_near_dup then 1 else 0 end) * 10000 "
+                    "div count(1)").alias("near_dup_rate_bp"))
     )
 
 
