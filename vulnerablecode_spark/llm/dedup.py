@@ -278,12 +278,18 @@ def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         hashed: DataFrame | None = None,
                         sig: DataFrame | None = None,
+                        bands: DataFrame | None = None,
                         with_sizes: bool = False) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding of MinHash signatures.
 
     Docs agreeing on ALL rows of at least one band become candidates —
     an equi-join on (band, band_signature), never O(n²). ``sig`` injects a
-    precomputed (possibly checkpointed) :func:`minhash_signatures` frame.
+    precomputed (possibly checkpointed) :func:`minhash_signatures` frame;
+    ``bands`` injects a :func:`band_frame` directly — the preferred shared
+    artifact, since the self-join consumes the band frame twice and a
+    checkpoint THERE lets the MinHash aggregation and the band-signature
+    hashing run once, fused in the same job (no standalone signature
+    materialization barrier).
 
     ``with_sizes`` carries each side's distinct-shingle count (the
     ``n_sh`` lane of ``minhash_signatures(with_sizes=True)``) through the
@@ -291,10 +297,11 @@ def lsh_candidate_pairs(df: DataFrame | None = None, text_col: str = "text",
     needs NO size joins of its own: sizes ride the (tiny) candidate frame
     instead of costing two extra joins against a per-doc aggregate.
     """
-    if sig is None:
-        sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed,
-                                 with_sizes=with_sizes)
-    bands = band_frame(sig, id_col, with_sizes=with_sizes)
+    if bands is None:
+        if sig is None:
+            sig = minhash_signatures(df, text_col, id_col, n, hashed=hashed,
+                                     with_sizes=with_sizes)
+        bands = band_frame(sig, id_col, with_sizes=with_sizes)
     extra = ["n_sh"] if with_sizes else []
     left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig",
                         *[F.col("n_sh").alias("na") for _ in extra])
@@ -369,6 +376,32 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
         candidates = lsh_candidate_pairs(hashed=sh, id_col=id_col, n=n,
                                          with_sizes=True)
     sized_cand = "na" in candidates.columns and "nb" in candidates.columns
+    jac = F.round(
+        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+    )
+    if sized_cand:
+        # Candidate-DRIVEN verify: one broadcast join pins each candidate
+        # pair to doc_a's shingle rows — narrow, no shuffle, and no
+        # cross-candidate common-shingle blow-up (a shingle shared by k
+        # candidate docs never produces k² rows, which the h-self-join
+        # formulation would); then side B's shingles — semi-gated to
+        # candidate doc_b ids so only candidate docs enter the shuffle —
+        # equi-join on (doc_b, h). The exact pair gate, both size columns
+        # and the intersect count all fall out of this single two-join
+        # chain (measured 0.44 → 0.28s at sf0.1).
+        a = sh.select(F.col(id_col).alias("doc_a"), "h")
+        b = sh.select(F.col(id_col).alias("doc_b"), "h").join(
+            F.broadcast(candidates.select("doc_b")), "doc_b", "left_semi")
+        common = (
+            F.broadcast(candidates).join(a, "doc_a")
+            .join(b, ["doc_b", "h"])
+            .groupBy("doc_a", "doc_b", "na", "nb")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        return (
+            common.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
     # no .distinct(): the only consumer is a left-semi join, which is
     # duplicate-insensitive — a distinct here would cost one more shuffle
     # barrier for nothing.
@@ -381,21 +414,6 @@ def near_dup_pairs(df: DataFrame | None = None, text_col: str = "text",
     a = sh_c.select(F.col(id_col).alias("doc_a"), "h")
     b = sh_c.select(F.col(id_col).alias("doc_b"), "h")
     pairs = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
-    jac = F.round(
-        F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
-    )
-    if sized_cand:
-        # exact pair gate AND both size columns in one broadcast join;
-        # na/nb are functions of the pair key so they group through.
-        common = (
-            pairs.join(F.broadcast(candidates), ["doc_a", "doc_b"])
-            .groupBy("doc_a", "doc_b", "na", "nb")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        return (
-            common.select("doc_a", "doc_b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold)
-        )
     if sizes is None:
         sizes = sh_c.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     else:

@@ -89,14 +89,19 @@ def _near_dup_artifacts(spark, sf_dir: str) -> dict:
         # consumed exactly once (no third barrier).
         hashed = dedup.hashed_shingles(
             docs, impl="arrow").localCheckpoint(eager=True)
-        # The band self-join consumes the signature frame TWICE (left and
-        # right side project different columns, so Catalyst cannot reuse
-        # one exchange across the sides) — without this barrier the whole
-        # MinHash aggregation would run twice inside the candidate build.
-        sig = dedup.minhash_signatures(
-            hashed=hashed, with_sizes=True).localCheckpoint(eager=True)
+        # The band self-join consumes the band frame TWICE (left and right
+        # side project different columns, so Catalyst cannot reuse one
+        # exchange across the sides) — but the duplicated subtree is just
+        # the MinHash aggregation over the CHECKPOINTED shingle frame, and
+        # the two evaluations run as CONCURRENT stages of the candidate
+        # job: on a non-saturated cluster the wall cost of the second
+        # evaluation is ~zero, while a materialization barrier for the
+        # band frame costs a full serial job. So the chain is two
+        # barriers, not three: shingles → candidates (band frame fused).
+        sig = dedup.minhash_signatures(hashed=hashed, with_sizes=True)
+        bands = dedup.band_frame(sig, with_sizes=True)
         candidates = dedup.lsh_candidate_pairs(
-            sig=sig, with_sizes=True).localCheckpoint(eager=True)
+            bands=bands, with_sizes=True).localCheckpoint(eager=True)
         art = {"hashed": hashed, "candidates": candidates}
         _ARTIFACTS[key] = art
     return art
