@@ -90,7 +90,8 @@ REAL_META_SCHEMA = StructType([
 
 
 def extract_media_meta_real(df: DataFrame, id_col: str = "doc_id",
-                            payload_col: str = "payload") -> DataFrame:
+                            payload_col: str = "payload",
+                            spread_input: bool = True) -> DataFrame:
     """REAL mapInPandas decode stage: container headers → typed metadata.
 
     Parses actual PNG/JPEG/GIF/BMP/WAV headers (kernel/media.py) per Arrow
@@ -119,13 +120,17 @@ def extract_media_meta_real(df: DataFrame, id_col: str = "doc_id",
                 out[c] = _pd.Series([m[c] for m in metas])
             yield _pd.DataFrame(out)
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (df.select(F.col(id_col), F.col(payload_col))
-            .repartition(n).mapInPandas(decode, REAL_META_SCHEMA))
+    base = df.select(F.col(id_col), F.col(payload_col))
+    if spread_input:
+        from vulnerablecode_spark.llm.dedup import spread
+
+        base = spread(base)
+    return base.mapInPandas(decode, REAL_META_SCHEMA)
 
 
 def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
-                       payload_col: str = "payload") -> DataFrame:
+                       payload_col: str = "payload",
+                       spread_input: bool = True) -> DataFrame:
     """mapInPandas decode stage: (id, payload) → typed media metadata.
 
     Arrow batches flow in as pandas DataFrames; at 100 TB this runs one
@@ -158,14 +163,17 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
                 "n_frames": meta.map(lambda m: m[3]).astype("int64"),
             })
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.select(F.col(id_col), F.col(payload_col))
-        # single-file inputs arrive as one partition — spread so one Python
-        # worker per core decodes an Arrow batch stream
-        .repartition(n)
-        .mapInPandas(decode, MEDIA_META_SCHEMA)
-    )
+    base = df.select(F.col(id_col), F.col(payload_col))
+    if spread_input:
+        # single-file inputs arrive as one partition — byte-sized spread()
+        # (not a blanket repartition-to-all-cores: a 600 KB corpus gets 3
+        # decode tasks, not 32 worker dispatches) so Python workers each
+        # decode a full Arrow batch stream. Pass ``spread_input=False``
+        # when the payload frame is already a partitioned stored column.
+        from vulnerablecode_spark.llm.dedup import spread
+
+        base = spread(base)
+    return base.mapInPandas(decode, MEDIA_META_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType([
@@ -184,7 +192,8 @@ FRAME_SCHEMA = StructType([
 
 def resize_images(df: DataFrame, width: int = 224, height: int = 224,
                   id_col: str = "doc_id", payload_col: str = "payload",
-                  codec: str = "fake") -> DataFrame:
+                  codec: str = "fake",
+                  spread_input: bool = True) -> DataFrame:
     """Resize stage: (id, payload) → (id, width, height, payload').
 
     ``codec='real'`` does an actual decode → nearest-neighbor resample →
@@ -243,9 +252,12 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224,
                     "payload": pdf[payload_col].map(fake_resample),
                 })
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (df.select(F.col(id_col), F.col(payload_col))
-            .repartition(n).mapInPandas(resize, RESIZED_SCHEMA))
+    base = df.select(F.col(id_col), F.col(payload_col))
+    if spread_input:
+        from vulnerablecode_spark.llm.dedup import spread
+
+        base = spread(base)
+    return base.mapInPandas(resize, RESIZED_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = StructType([
@@ -260,7 +272,8 @@ AUDIO_FEATURES_SCHEMA = StructType([
 
 
 def audio_features(df: DataFrame, id_col: str = "doc_id",
-                   payload_col: str = "payload") -> DataFrame:
+                   payload_col: str = "payload",
+                   spread_input: bool = True) -> DataFrame:
     """REAL audio feature extraction over PCM-16 WAV payloads.
 
     Decodes RIFF/WAVE containers (kernel/media.py) and computes per-clip
@@ -297,14 +310,18 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
                 "doc_id", "sample_rate", "n_channels", "n_samples",
                 "duration_ms", "rms", "zero_crossings"])
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (df.select(F.col(id_col), F.col(payload_col))
-            .repartition(n).mapInPandas(feats, AUDIO_FEATURES_SCHEMA))
+    base = df.select(F.col(id_col), F.col(payload_col))
+    if spread_input:
+        from vulnerablecode_spark.llm.dedup import spread
+
+        base = spread(base)
+    return base.mapInPandas(feats, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                   id_col: str = "doc_id", payload_col: str = "payload",
-                  codec: str = "fake") -> DataFrame:
+                  codec: str = "fake",
+                  spread_input: bool = True) -> DataFrame:
     """Frame-sampling stage: one video payload row → many frame rows.
 
     The row fan-out (an input batch yields a LARGER output batch) is the
@@ -364,14 +381,18 @@ def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                 "frame_payload": payloads,
             })
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (df.select(F.col(id_col), F.col(payload_col))
-            .repartition(n).mapInPandas(sample, FRAME_SCHEMA))
+    base = df.select(F.col(id_col), F.col(payload_col))
+    if spread_input:
+        from vulnerablecode_spark.llm.dedup import spread
+
+        base = spread(base)
+    return base.mapInPandas(sample, FRAME_SCHEMA)
 
 
 def byte_histogram_features(df: DataFrame, bins: int = 16,
                             id_col: str = "doc_id",
-                            payload_col: str = "payload") -> DataFrame:
+                            payload_col: str = "payload",
+                            spread_input: bool = True) -> DataFrame:
     """REAL (no stub) feature extraction: normalized ``bins``-bucket byte
     histogram per payload as ``array<double>`` — a codec-free content
     embedding usable by the cosine/ANN operators in llm.similarity.
@@ -403,9 +424,12 @@ def byte_histogram_features(df: DataFrame, bins: int = 16,
                 "features": pdf[payload_col].map(one),
             })
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (df.select(F.col(id_col), F.col(payload_col))
-            .repartition(n).mapInPandas(hist, out_schema))
+    base = df.select(F.col(id_col), F.col(payload_col))
+    if spread_input:
+        from vulnerablecode_spark.llm.dedup import spread
+
+        base = spread(base)
+    return base.mapInPandas(hist, out_schema)
 
 
 SPECTRAL_FEATURES_SCHEMA = StructType([
@@ -421,7 +445,8 @@ SPECTRAL_FEATURES_SCHEMA = StructType([
 
 def audio_spectral_features(df: DataFrame, id_col: str = "doc_id",
                             payload_col: str = "payload",
-                            rolloff: float = 0.85) -> DataFrame:
+                            rolloff: float = 0.85,
+                            spread_input: bool = True) -> DataFrame:
     """Frequency-domain audio features over PCM-16 WAV payloads.
 
     Per clip: rFFT magnitude spectrum of the mono mix, then the standard
@@ -481,6 +506,9 @@ def audio_spectral_features(df: DataFrame, id_col: str = "doc_id",
                 "spectral_rolloff_hz", "spectral_bandwidth_hz",
                 "spectral_flatness"])
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return (df.select(F.col(id_col), F.col(payload_col))
-            .repartition(n).mapInPandas(feats, SPECTRAL_FEATURES_SCHEMA))
+    base = df.select(F.col(id_col), F.col(payload_col))
+    if spread_input:
+        from vulnerablecode_spark.llm.dedup import spread
+
+        base = spread(base)
+    return base.mapInPandas(feats, SPECTRAL_FEATURES_SCHEMA)
