@@ -556,14 +556,68 @@ class TestJpegProgressive:
         dec = M.decode_jpeg(crafted)
         assert np.array_equal(dec[:, :, 0], img)
 
-    def test_successive_approximation_rejected(self):
+    def test_inconsistent_approximation_rejected(self):
+        # Ah must equal Al+1 in a refinement scan — Ah=3/Al=1 is malformed
         img = np.full((8, 8), 10, dtype=np.uint8)
         enc = bytearray(M.encode_jpeg_progressive(img))
         sos = enc.find(b"\xff\xda")
         (seglen,) = __import__("struct").unpack_from(">H", enc, sos + 2)
-        enc[sos + 2 + seglen - 1] = 0x01  # Ah/Al byte of the DC scan
+        enc[sos + 2 + seglen - 1] = 0x31  # Ah/Al byte of the DC scan
         with pytest.raises(M.MediaError):
             M.decode_jpeg(bytes(enc))
+
+
+class TestJpegSuccessiveApproximation:
+    """Progressive scans with point transform + refinement (Ah=Al+1) —
+    the scan structure virtually every real-world progressive JPEG uses."""
+
+    def test_decode_equals_non_sa_decode(self):
+        # SA transmits every coefficient bit across scans, so the decoded
+        # image must be IDENTICAL to the Ah=Al=0 decode of the same source
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+        base = M.decode_jpeg(M.encode_jpeg_progressive(img))
+        for al in (1, 2, 3):
+            sa = M.decode_jpeg(M.encode_jpeg_progressive(img, point_al=al))
+            assert np.array_equal(base, sa), f"al={al}"
+
+    def test_color_decode_equals_non_sa(self):
+        rgb = np.random.default_rng(32).integers(
+            0, 256, size=(24, 16, 3), dtype=np.uint8)
+        base = M.decode_jpeg(M.encode_jpeg_progressive(rgb))
+        sa = M.decode_jpeg(M.encode_jpeg_progressive(rgb, point_al=2))
+        assert np.array_equal(base, sa)
+
+    def test_constant_blocks_exact(self):
+        # DC-only content survives the full SA scan script bit-exactly
+        vals = np.random.default_rng(33).integers(0, 256, size=(2, 3))
+        img = np.repeat(np.repeat(vals, 8, 0), 8, 1).astype(np.uint8)
+        dec = M.decode_jpeg(M.encode_jpeg_progressive(img, point_al=2))
+        assert np.array_equal(dec[:, :, 0], img)
+
+    def test_sparse_high_frequency_exercises_zrl_refinement(self):
+        # one bright pixel per block → long zero runs in every AC band,
+        # driving the ZRL / correction-bit interleave in refinement scans
+        img = np.zeros((24, 24), dtype=np.uint8)
+        img[::8, ::8] = 255
+        base = M.decode_jpeg(M.encode_jpeg_progressive(img))
+        sa = M.decode_jpeg(M.encode_jpeg_progressive(img, point_al=3))
+        assert np.array_equal(base, sa)
+
+
+class TestJpegSaProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1),
+           st.integers(1, 3))
+    @settings(max_examples=40, deadline=None)
+    def test_sa_decode_equals_non_sa_any_shape(self, h, w, seed, al):
+        px = np.random.default_rng(seed).integers(
+            0, 256, size=(h, w), dtype=np.uint8)
+        base = M.decode_jpeg(M.encode_jpeg_progressive(px))
+        sa = M.decode_jpeg(M.encode_jpeg_progressive(px, point_al=al))
+        assert np.array_equal(base, sa)
 
 
 class TestJpegProperties:

@@ -21,9 +21,11 @@ formats are decodable with nothing beyond the standard library and numpy:
           encoder (all-ones quant table; grayscale is exact on constant
           8×8 blocks, which makes the round trip arithmetically
           gradable). Progressive (SOF2) spectral-selection scans with
-          EOB-run coding decode too (1×1 sampling, Ah=Al=0);
-          4:2:2-style layouts and successive approximation raise
-          MediaError.
+          EOB-run coding decode too (1×1 sampling), INCLUDING successive
+          approximation (point-transformed first scans + DC/AC
+          refinement scans, Ah=Al+1 — the scan structure real-world
+          progressive JPEGs use); progressive layouts other than 1×1
+          sampling raise MediaError.
 - GIF   — full frame decode: LZW implemented from the public GIF89a spec
           (LSB-first bitstream, growing 12-bit-max code table), global and
           local color tables, interlacing (4-pass row shuffle),
@@ -997,8 +999,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     run/size AC coding with ZRL/EOB, dequantize, zig-zag → raster,
     orthonormal IDCT, +128, clip. 4:2:0 chroma is replicate-upsampled
     (JFIF simple upsampling) before the color transform. Progressive
-    (SOF2) streams route to the spectral-selection decoder. Layouts
-    other than 4:4:4 / 4:2:0, and successive-approximation scans, raise
+    (SOF2) streams — including successive approximation — route to the
+    progressive decoder. Baseline layouts other than 4:4:4 / 4:2:0 raise
     MediaError — the documented scope boundary.
     """
     if sniff_format(b) != "jpeg":
@@ -1233,8 +1235,9 @@ def decode_avi_mjpeg(b: bytes) -> tuple[np.ndarray, int]:
 # Progressive JPEG (SOF2), spectral-selection mode: coefficients arrive
 # over MULTIPLE scans — a DC scan first, then per-component AC band scans
 # with EOB-run coding — and the image assembles only after all scans.
-# Scope: Ah=Al=0 (no successive approximation) and 1×1 sampling; the
-# encoder emits the same shape, so round trips cover the whole path.
+# Scope: 1×1 sampling, spectral selection AND successive approximation
+# (point-transformed first scans + DC/AC refinement scans, Ah=Al+1);
+# the encoder emits both scan shapes, so round trips cover every path.
 # ---------------------------------------------------------------------------
 
 def _scan_entropy_end(b: bytes, start: int) -> int:
@@ -1247,6 +1250,61 @@ def _scan_entropy_end(b: bytes, start: int) -> int:
             return pos
         pos += 1
     return n
+
+
+def _jpeg_refine_ac(rd, ac_tab, zz, ss, se, al, n_blocks) -> None:
+    """AC successive-approximation refinement scan (T.81 G.1.2.3, the
+    libjpeg decode_mcu_AC_refine shape): already-nonzero coefficients
+    receive one more magnitude bit (read while crossing them), newly
+    significant coefficients arrive as ±2^Al after a run of zero-HISTORY
+    slots, ZRL crosses 16 zero-history slots, and EOBn covers the current
+    block's tail plus 2^r−1+bits further blocks — every nonzero
+    coefficient in an EOB-run block still reads its correction bit."""
+    p1 = 1 << al
+    m1 = -p1
+    eobrun = 0
+    for blk in range(n_blocks):
+        row = zz[blk]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(rd, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s == 0:
+                    if r < 15:  # EOBn: includes this block's tail
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.receive(r)
+                        break
+                    # r == 15: ZRL — cross 16 zero-history slots
+                else:
+                    if s != 1:
+                        raise MediaError(
+                            "jpeg: refinement AC size must be 1")
+                    val = p1 if rd.receive(1) else m1
+                # cross r zero-history slots (reading a correction bit at
+                # every nonzero slot passed), then place val at the next
+                # zero-history slot
+                while k <= se:
+                    if row[k] != 0:
+                        if rd.receive(1) and (row[k] & p1) == 0:
+                            row[k] += p1 if row[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            if val:
+                                row[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:  # tail of the current block: corrections only
+                if row[k] != 0:
+                    if rd.receive(1) and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] > 0 else m1
+                k += 1
+            eobrun -= 1
 
 
 def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
@@ -1317,26 +1375,34 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
                 sel.append((idx, tables >> 4, tables & 0x0F))
             ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
             ahal = data[3 + 2 * ns]
-            if ahal != 0:
-                raise MediaError("jpeg: successive approximation "
-                                 "unsupported (spectral selection only)")
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ah != 0 and ah != al + 1:
+                raise MediaError("jpeg: successive approximation requires "
+                                 "Ah = Al + 1")
             ent_start = pos + 2 + seglen
             ent_end = _scan_entropy_end(b, ent_start)
             rd = _JpegBitReader(b[:ent_end], ent_start)
             if ss == 0:  # DC scan (interleaved over all named components)
                 if se != 0:
                     raise MediaError("jpeg: DC scan must have Se=0")
-                preds = {ci: 0 for ci, _, _ in sel}
                 bh, bw = grids[sel[0][0]]
-                for blk in range(bh * bw):
-                    for ci, td, _ta in sel:
-                        dc_tab = htables.get((0, td))
-                        if dc_tab is None:
-                            raise MediaError("jpeg: missing DC table")
-                        size = _huff_decode(rd, dc_tab)
-                        if size:
-                            preds[ci] += _extend(rd.receive(size), size)
-                        coefs[ci][blk, 0] = preds[ci]
+                if ah == 0:  # first DC scan: values arrive >> Al
+                    preds = {ci: 0 for ci, _, _ in sel}
+                    for blk in range(bh * bw):
+                        for ci, td, _ta in sel:
+                            dc_tab = htables.get((0, td))
+                            if dc_tab is None:
+                                raise MediaError("jpeg: missing DC table")
+                            size = _huff_decode(rd, dc_tab)
+                            if size:
+                                preds[ci] += _extend(rd.receive(size), size)
+                            coefs[ci][blk, 0] = preds[ci] << al
+                else:  # DC refinement: one magnitude bit per block/component
+                    p1 = 1 << al
+                    for blk in range(bh * bw):
+                        for ci, _td, _ta in sel:
+                            if rd.receive(1):
+                                coefs[ci][blk, 0] |= p1
             else:  # AC band scan: exactly one component, EOB-run coded
                 if ns != 1:
                     raise MediaError("jpeg: progressive AC scans are "
@@ -1346,28 +1412,33 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
                 if ac_tab is None:
                     raise MediaError("jpeg: missing AC table")
                 bh, bw = grids[ci]
-                eobrun = 0
-                for blk in range(bh * bw):
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    k = ss
-                    while k <= se:
-                        sym = _huff_decode(rd, ac_tab)
-                        r, s = sym >> 4, sym & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            eobrun = (1 << r) - 1  # EOBn: this block done,
-                            if r:                  # plus 2^r-1+bits more
-                                eobrun += rd.receive(r)
-                            break
-                        k += r
-                        if k > se:
-                            raise MediaError("jpeg: AC run past band end")
-                        coefs[ci][blk, k] = _extend(rd.receive(s), s)
-                        k += 1
+                if ah != 0:
+                    _jpeg_refine_ac(rd, ac_tab, coefs[ci], ss, se, al,
+                                    bh * bw)
+                else:
+                    eobrun = 0
+                    for blk in range(bh * bw):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = _huff_decode(rd, ac_tab)
+                            r, s = sym >> 4, sym & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1  # EOBn: block done,
+                                if r:              # plus 2^r-1+bits more
+                                    eobrun += rd.receive(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise MediaError("jpeg: AC run past band end")
+                            coefs[ci][blk, k] = _extend(
+                                rd.receive(s), s) << al
+                            k += 1
             pos = ent_end
             continue
         pos += 2 + seglen
@@ -1396,12 +1467,59 @@ def _decode_jpeg_progressive(b: bytes) -> np.ndarray:
     return _ycbcr_to_rgb(ycc)[:h, :w]
 
 
-def encode_jpeg_progressive(arr: np.ndarray) -> bytes:
+def _emit_ac_refine_block(wr, ac_codes, row, ss, se, b) -> None:
+    """Emit one block of an AC successive-approximation refinement scan
+    (T.81 G.1.3.3, the libjpeg encode_mcu_AC_refine shape): correction
+    bits for already-nonzero coefficients are BUFFERED and flushed after
+    the next Huffman symbol (new-significance, ZRL, or the block's EOB),
+    matching the order the decoder consumes them while crossing slots."""
+    # last newly-significant position: ZRLs are never emitted beyond it —
+    # the block's EOB covers the tail (with its buffered corrections)
+    eob_k = ss - 1
+    for k in range(ss, se + 1):
+        if abs(int(row[k])) >> b == 1:
+            eob_k = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = abs(int(row[k])) >> b
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob_k:
+            zc, zl = ac_codes[0xF0]
+            wr.write(zc, zl)
+            r -= 16
+            for bit in br:
+                wr.write(bit, 1)
+            br = []
+        if t > 1:  # already significant: one more magnitude bit
+            br.append(t & 1)
+            continue
+        cc, cl = ac_codes[(r << 4) | 1]  # newly significant: run + sign
+        wr.write(cc, cl)
+        wr.write(1 if int(row[k]) > 0 else 0, 1)
+        for bit in br:
+            wr.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:  # EOB (run of 1): decoder reads the tail corrections
+        ec, el = ac_codes[0x00]
+        wr.write(ec, el)
+        for bit in br:
+            wr.write(bit, 1)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, point_al: int = 0) -> bytes:
     """Encode gray or RGB (4:4:4) as a spectral-selection progressive
     JPEG: one interleaved DC scan, then one full-band (1-63) AC scan per
-    component — the minimal valid SOF2 scan script (Ah=Al=0). Shares the
-    quantization, Huffman tables and exactness properties of
-    :func:`encode_jpeg`.
+    component (Ah=Al=0 when ``point_al`` is 0). With ``point_al`` > 0 the
+    scan script adds SUCCESSIVE APPROXIMATION: the first scans transmit
+    coefficients point-transformed by ``point_al`` bits (arithmetic shift
+    for DC, magnitude shift for AC), followed by one refinement scan per
+    remaining bit level (Ah=Al+1) — the scan structure virtually every
+    real-world progressive JPEG uses. Shares the quantization, Huffman
+    tables and exactness properties of :func:`encode_jpeg`.
     """
     a = np.asarray(arr)
     if a.ndim == 3 and a.shape[2] == 1:
@@ -1449,12 +1567,15 @@ def encode_jpeg_progressive(arr: np.ndarray) -> bytes:
     out += seg(0xC2, sof)
     out += seg(0xC4, dht(0, 0, _JPEG_DC_BITS, _JPEG_DC_SYMS))
     out += seg(0xC4, dht(1, 0, _JPEG_AC_BITS, _JPEG_AC_SYMS))
-    # scan 1: interleaved DC (Ss=Se=0)
+    al = point_al
+    if not 0 <= al <= 10:
+        raise MediaError("jpeg: point transform out of range")
+    # scan 1: interleaved DC (Ss=Se=0), values arithmetic-shifted by Al
     wr = _JpegBitWriter()
     preds = [0] * ncomp
     for blk in range(bh * bw):
         for ci in range(ncomp):
-            dc = int(all_zz[ci][blk, 0])
+            dc = int(all_zz[ci][blk, 0]) >> al
             diff = dc - preds[ci]
             preds[ci] = dc
             size = _category(diff)
@@ -1466,16 +1587,28 @@ def encode_jpeg_progressive(arr: np.ndarray) -> bytes:
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])
-    out += seg(0xDA, sos + bytes([0, 0, 0]))
+    out += seg(0xDA, sos + bytes([0, 0, al]))
     out += wr.out
-    # scans 2..: one full-band AC scan per component (Ss=1, Se=63)
+    # DC refinement scans: one magnitude bit per block/component per level
+    for b in range(al - 1, -1, -1):
+        wr = _JpegBitWriter()
+        for blk in range(bh * bw):
+            for ci in range(ncomp):
+                wr.write((int(all_zz[ci][blk, 0]) >> b) & 1, 1)
+        wr.flush()
+        out += seg(0xDA, sos + bytes([0, 0, ((b + 1) << 4) | b]))
+        out += wr.out
+    # first AC scans: one full-band scan per component (Ss=1, Se=63),
+    # magnitudes shifted by Al (sign reapplied)
     for ci in range(ncomp):
         wr = _JpegBitWriter()
         for blk in range(bh * bw):
             zz = all_zz[ci][blk]
             run = 0
             for k in range(1, 64):
-                v = int(zz[k])
+                full = int(zz[k])
+                t = abs(full) >> al
+                v = t if full > 0 else -t
                 if v == 0:
                     run += 1
                     continue
@@ -1494,7 +1627,18 @@ def encode_jpeg_progressive(arr: np.ndarray) -> bytes:
                 ec, el = ac_codes[0x00]
                 wr.write(ec, el)
         wr.flush()
-        out += seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, 0]))
+        out += seg(0xDA, bytes([1, ci + 1, 0x00, 1, 63, al]))
         out += wr.out
+    # AC refinement scans: per component per remaining bit level
+    for b in range(al - 1, -1, -1):
+        for ci in range(ncomp):
+            wr = _JpegBitWriter()
+            for blk in range(bh * bw):
+                _emit_ac_refine_block(wr, ac_codes, all_zz[ci][blk],
+                                      1, 63, b)
+            wr.flush()
+            out += seg(0xDA,
+                       bytes([1, ci + 1, 0x00, 1, 63, ((b + 1) << 4) | b]))
+            out += wr.out
     out += b"\xff\xd9"
     return bytes(out)

@@ -17,8 +17,8 @@ Decoding comes in two tiers:
   original byte-arithmetic stand-in so the driver-graded q32 stays
   engine-reproducible in SQL, and the video frame split remains a marked
   stub (no container/entropy codec exists here — that is the honest
-  boundary, now limited to inter-frame video and
-  successive-approximation JPEG refinement).
+  boundary, now limited to inter-frame video; successive-approximation
+  JPEG refinement decodes for real as of round 5).
 """
 
 from __future__ import annotations
