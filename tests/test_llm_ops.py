@@ -210,6 +210,59 @@ class TestIncrementalNearDup:
         assert got == want and want  # identical, and non-trivially so
 
 
+class TestIncrementalNearDupProperties:
+    """Property test (VERDICT r4 item 8): on randomized corpora with
+    planted near-dups and a randomized increment split, the incremental
+    operator must equal the full batch recompute restricted to pairs
+    touching a new document — for every split, including empty/full."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 4))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_batch_on_random_increments(self, spark, seed, mod):
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from vulnerablecode_spark.llm.dedup import (band_frame,
+                                                    hashed_shingles,
+                                                    minhash_signatures,
+                                                    near_dup_pairs,
+                                                    near_dup_pairs_incremental)
+
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(25)]
+        rows, texts = [], []
+        for i in range(24):
+            if texts and rng.random() < 0.4:  # plant a near-dup
+                toks = texts[int(rng.integers(len(texts)))].split()
+                j = int(rng.integers(len(toks)))
+                toks[j] = str(rng.choice(vocab))
+                text = " ".join(toks)
+            else:
+                text = " ".join(rng.choice(vocab,
+                                           size=int(rng.integers(6, 15))))
+            texts.append(text)
+            rows.append((i, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        is_new = F.col("doc_id") % (mod + 1) == 0
+        old, new = docs.filter(~is_new), docs.filter(is_new)
+        idx_hashed = hashed_shingles(old).localCheckpoint(eager=True)
+        idx_bands = band_frame(
+            minhash_signatures(hashed=idx_hashed, with_sizes=True),
+            with_sizes=True).localCheckpoint(eager=True)
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in
+               near_dup_pairs_incremental(new, idx_hashed, idx_bands,
+                                          threshold=0.3).collect()}
+        new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+        want = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in near_dup_pairs(docs, threshold=0.3).collect()
+                if r.doc_a in new_ids or r.doc_b in new_ids}
+        assert got == want
+
+
 class TestDecontamination:
     def test_planted_overlap(self, spark):
         from vulnerablecode_spark.llm.dedup import decontamination_overlap
