@@ -121,6 +121,20 @@ class TestArrowScoringEquivalence:
                                       impl="arrow").collect()}
         assert hof == arrow
 
+    def test_cosine_partial_topk_equals_hof(self, spark, embeddings):
+        # the per-partition partial-top-k scan (broadcast query matrix,
+        # local candidate cut, global rounded window) must reproduce the
+        # pair-join tiers exactly — values, ranks and tie-breaks
+        from vulnerablecode_spark.llm.similarity import cosine_topk
+
+        q = embeddings.filter(F.col("vec_id") < 12)
+        hof = {(r.query_id, r.neighbor_id): (r.cosine_sim, r.rk)
+               for r in cosine_topk(embeddings, q, k=7, impl="hof").collect()}
+        part = {(r.query_id, r.neighbor_id): (r.cosine_sim, r.rk)
+                for r in cosine_topk(embeddings, q, k=7,
+                                     impl="partial").collect()}
+        assert hof == part
+
     def test_sign_bucket_arrow_equals_hof(self, spark, embeddings):
         from vulnerablecode_spark.llm.similarity import (sign_bucket,
                                                          sign_bucket_arrow)

@@ -125,6 +125,99 @@ def cosine_arrow(q_col: Column, c_col: Column) -> Column:
     return cos(q_col, c_col)
 
 
+MAX_TOPK_QUERIES = 65536  # the query set must stay broadcastable
+
+
+def _cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
+                         id_col: str, vec_col: str) -> DataFrame:
+    """Per-partition partial top-k: the scale shape for brute-force
+    search. The query MATRIX ships to executors as a broadcast variable
+    (the query set is small by contract — bounded like the IVF centroid
+    frame), each corpus partition scores its vectors against all queries
+    in one numpy sweep and emits only its local top candidates, and the
+    global top-k window runs over ``partitions × queries × ~k`` tiny
+    rows. The corpus VECTORS never leave their partition: unlike the
+    pair-row join formulation there is no |queries|×|corpus| Arrow
+    transfer of duplicated embeddings — the dominant cost at any scale.
+
+    Exactness: the numpy sweep accumulates dimension terms in the same
+    left-to-right IEEE order as the ``cosine`` HOF fold (and the
+    oracle's ``+``-chain), so raw cosines are bit-identical; rounding to
+    4dp happens JVM-side with the same F.round as every other tier. The
+    local cut keeps every row whose RAW cosine is within 2e-4 of the
+    (k+1)-th best raw value, a superset of any row that could enter the
+    global ROUNDED top-k (quantization step 1e-4, plus the self-match
+    the final filter drops) — so the partial selection can never change
+    the result."""
+    q_rows = sorted(queries.select(id_col, vec_col).collect(),
+                    key=lambda r: r[0])
+    if len(q_rows) > MAX_TOPK_QUERIES:
+        raise ValueError(
+            f"cosine_topk: query set exceeds {MAX_TOPK_QUERIES}; "
+            "use the ANN paths for query-set-scale search")
+    import numpy as np
+
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+    keep = k + 1  # + the possible self-match, dropped by the final filter
+
+    def gen(batches):  # self-contained: pickled by value for workers
+        import numpy as _np
+        import pandas as _pd
+
+        ids, Q = bc.value
+        dim = Q.shape[1]
+        nq = _np.zeros(len(ids))
+        for d in range(dim):  # dim-order accumulation = the HOF fold
+            nq += Q[:, d] * Q[:, d]
+        sq_nq = _np.sqrt(nq)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _np.vstack(pdf.iloc[:, 1].to_numpy()).astype(
+                _np.float64, copy=False)
+            cids = pdf.iloc[:, 0].to_numpy()
+            n = len(C)
+            dot = _np.zeros((n, len(ids)))
+            nc = _np.zeros(n)
+            for d in range(min(dim, C.shape[1])):
+                cd = C[:, d]
+                dot += Q[None, :, d] * cd[:, None]
+                nc += cd * cd
+            cos = dot / (sq_nq[None, :] * _np.sqrt(nc)[:, None])
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids)):
+                col = cos[:, qi]
+                if n > keep:
+                    kth = _np.partition(col, n - keep)[n - keep]
+                    sel = _np.nonzero(col >= kth - 2e-4)[0]
+                else:
+                    sel = _np.arange(n)
+                out_q.append(_np.full(len(sel), ids[qi]))
+                out_n.append(cids[sel])
+                out_c.append(col[sel])
+            yield _pd.DataFrame({
+                "query_id": _np.concatenate(out_q),
+                "neighbor_id": _np.concatenate(out_n),
+                "_raw": _np.concatenate(out_c)})
+
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(gen, "query_id long, neighbor_id long, _raw double")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(F.col("_raw"), 4).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 impl: str = "hof") -> DataFrame:
@@ -135,8 +228,13 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     ``impl='arrow'`` scores with the vectorized ``cosine_arrow`` kernel
     (same doubles, much faster on wide vectors); ``'hof'`` stays fully
     JVM-side (zero Python workers) for narrow vectors or UDF-free
-    deployments.
+    deployments; ``'partial'`` is the per-partition partial-top-k scan
+    (:func:`_cosine_topk_partial`) — the production shape: corpus
+    vectors never leave their partition. All three tiers produce
+    identical results (equality-tested).
     """
+    if impl == "partial":
+        return _cosine_topk_partial(corpus, queries, k, id_col, vec_col)
     if impl not in ("hof", "arrow"):
         raise ValueError(f"unknown impl: {impl!r}")
     q = queries.select(F.col(id_col).alias("query_id"),

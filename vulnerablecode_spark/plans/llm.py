@@ -132,11 +132,12 @@ def _embedding_artifacts(spark, sf_dir: str, bucketed: bool = False):
     if art is None:
         for stale in [k for k in _ARTIFACTS if k[0] != app]:
             del _ARTIFACTS[stale]
-        art = {"cast": _load(spark, sf_dir, "embeddings").select(
-            "vec_id",
-            F.transform("embedding", lambda x: x.cast("double"))
-             .alias("embedding"),
-        ).localCheckpoint(eager=True)}
+        art = {"cast": dedup.spread(
+            _load(spark, sf_dir, "embeddings").select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double"))
+                 .alias("embedding"),
+            )).localCheckpoint(eager=True)}
         _ARTIFACTS[key] = art
     if bucketed and "bucketed" not in art:
         art["bucketed"] = art["cast"].select(
@@ -753,7 +754,7 @@ _SQL_COSINE = """
 def q30_embedding_topk(spark, sf_dir):
     emb = _embedding_artifacts(spark, sf_dir)["cast"]
     queries_df = emb.filter(F.col("vec_id") < 10)
-    res = similarity.cosine_topk(emb, queries_df, k=5, impl="arrow")
+    res = similarity.cosine_topk(emb, queries_df, k=5, impl="partial")
     return res.withColumn("rk", F.col("rk").cast("int"))
 
 
