@@ -434,6 +434,101 @@ class TestAviMjpeg:
             M.decode_avi_mjpeg(enc[:60] )
 
 
+class TestAviRle8:
+    """Microsoft RLE8 AVI: a REAL inter-frame codec — delta/skip escapes
+    reuse the persistent canvas (temporal prediction), frame 0 keys."""
+
+    @staticmethod
+    def _sprite_frames(n=8, h=32, w=48, seed=11):
+        rng = np.random.default_rng(seed)
+        bg = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        frames = []
+        for t in range(n):
+            f = bg.copy()
+            f[5:12, 4 + 4 * t:10 + 4 * t] = 255
+            frames.append(f)
+        return np.stack(frames)
+
+    def test_roundtrip_exact(self):
+        frames = self._sprite_frames()
+        dec, fps = M.decode_avi(M.encode_avi_rle8(frames, fps=12))
+        assert fps == 12
+        assert np.array_equal(dec, frames[..., None].repeat(3, 3))
+
+    def test_delta_frames_are_small(self):
+        # static background + moving sprite: every non-key frame must be
+        # an order of magnitude smaller than the key frame — the
+        # inter-frame property itself, asserted on the wire
+        frames = self._sprite_frames()
+        flipped = frames[:, ::-1, :]
+        key = len(M._rle8_encode_frame(flipped[0], None))
+        deltas = [len(M._rle8_encode_frame(flipped[i], flipped[i - 1]))
+                  for i in range(1, len(frames))]
+        assert all(d < key / 5 for d in deltas), (key, deltas)
+
+    def test_random_frames_roundtrip(self):
+        rnd = np.random.default_rng(7).integers(
+            0, 256, size=(3, 17, 23), dtype=np.uint8)
+        dec, _ = M.decode_avi(M.encode_avi_rle8(rnd))
+        assert np.array_equal(dec, rnd[..., None].repeat(3, 3))
+
+    def test_header_parse(self):
+        meta = M.parse_media_header(M.encode_avi_rle8(
+            np.zeros((3, 8, 16), dtype=np.uint8), fps=25))
+        assert (meta["media_format"], meta["width"], meta["height"],
+                meta["n_frames"], meta["sample_rate"]) == ("avi", 16, 8,
+                                                           3, 25)
+
+    def test_dispatcher_routes_both_codecs(self):
+        rgb = np.zeros((2, 8, 8, 3), dtype=np.uint8)
+        mjpg, _ = M.decode_avi(M.encode_avi_mjpeg(rgb))
+        rle, _ = M.decode_avi(M.encode_avi_rle8(rgb))
+        assert mjpg.shape == rle.shape == (2, 8, 8, 3)
+
+    def test_unknown_compression_rejected(self):
+        enc = bytearray(M.encode_avi_rle8(np.zeros((1, 8, 8),
+                                                   dtype=np.uint8)))
+        strf = enc.find(b"strf")
+        # biCompression lives 16 bytes into the BITMAPINFOHEADER
+        enc[strf + 8 + 16:strf + 8 + 20] = b"H264"
+        with pytest.raises(M.MediaError):
+            M.decode_avi(bytes(enc))
+
+
+class TestAviRle8Properties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 5), st.integers(1, 24), st.integers(1, 24),
+           st.integers(0, 2**32 - 1))
+    @settings(max_examples=30, deadline=None)
+    def test_roundtrip_any_shape(self, n, h, w, seed):
+        frames = np.random.default_rng(seed).integers(
+            0, 256, size=(n, h, w), dtype=np.uint8)
+        dec, _ = M.decode_avi(M.encode_avi_rle8(frames))
+        assert np.array_equal(dec, frames[..., None].repeat(3, 3))
+
+    @given(st.integers(0, 2**32 - 1), st.integers(2, 6))
+    @settings(max_examples=20, deadline=None)
+    def test_sparse_deltas_roundtrip(self, seed, n):
+        # frames that differ from their predecessor in a few random
+        # rectangles — the skip/delta escape paths under fuzz
+        rng = np.random.default_rng(seed)
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        frames = [rng.integers(0, 256, size=(h, w)).astype(np.uint8)]
+        for _ in range(n - 1):
+            f = frames[-1].copy()
+            for _ in range(int(rng.integers(0, 4))):
+                y0 = int(rng.integers(0, h)); x0 = int(rng.integers(0, w))
+                y1 = int(rng.integers(y0, h)) + 1
+                x1 = int(rng.integers(x0, w)) + 1
+                f[y0:y1, x0:x1] = int(rng.integers(0, 256))
+            frames.append(f)
+        frames = np.stack(frames)
+        dec, _ = M.decode_avi(M.encode_avi_rle8(frames))
+        assert np.array_equal(dec, frames[..., None].repeat(3, 3))
+
+
 class TestMediaProperties:
     """Hypothesis properties: codec round trips over arbitrary shapes and
     totality of the header parser over arbitrary bytes."""

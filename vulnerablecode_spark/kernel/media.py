@@ -31,11 +31,14 @@ formats are decodable with nothing beyond the standard library and numpy:
           local color tables, interlacing (4-pass row shuffle),
           sub-rectangle frames composed onto the running canvas, and GCE
           transparency. Plus a matching encoder for round-trip tests.
-- AVI   — Motion-JPEG video: RIFF 'AVI ' container walk (hdrl/avih for
-          dims/fps/frame-count, movi '00dc' chunks), each frame decoded
-          by this module's baseline-JPEG decoder. Plus a matching
-          encoder. Inter-frame codecs (H.26x etc.) raise MediaError —
-          the remaining honest video boundary.
+- AVI   — video: RIFF 'AVI ' container walk (hdrl/avih for dims/fps/
+          frame-count, movi '00dc' chunks). Two real codecs, both with
+          matching encoders: Motion-JPEG (each frame this module's
+          baseline JPEG) and Microsoft RLE8 (BI_RLE8) — a genuine
+          INTER-FRAME coding where delta/skip escapes reuse the
+          persistent canvas, i.e. temporal prediction. Motion-compensated
+          entropy codecs (H.26x etc.) raise MediaError — the remaining
+          honest video boundary.
 
 Everything here is a kernel in the same sense as ``kernel/purl.py``: no
 Spark imports, deterministic, unit-tested in isolation, called from
@@ -1161,8 +1164,9 @@ def _decode_jpeg_markers(b: bytes) -> np.ndarray:
 # 'vids'/'MJPG' stream whose '00dc' chunks are baseline JPEGs — decoded by
 # THIS module's decode_jpeg, so the whole video path is pure stdlib+numpy.
 # The parse_media_header 'sample_rate' field carries the frame rate (fps)
-# for AVI payloads. Non-MJPG streams raise MediaError (the remaining
-# honest video boundary: inter-frame codecs need entropy/motion decode).
+# for AVI payloads. decode_avi dispatches MJPG and BI_RLE8 (the REAL
+# inter-frame path below); motion-compensated entropy codecs (H.26x)
+# remain the honest boundary.
 # ---------------------------------------------------------------------------
 
 def encode_avi_mjpeg(frames: np.ndarray, fps: int = 10,
@@ -1229,6 +1233,206 @@ def decode_avi_mjpeg(b: bytes) -> tuple[np.ndarray, int]:
         if isinstance(exc, MediaError):
             raise
         raise MediaError(f"avi: malformed stream ({exc})") from exc
+
+
+# ---------------------------------------------------------------------------
+# AVI / Microsoft RLE8 (BI_RLE8, the public Windows RLE bitmap coding in
+# an AVI stream): a REAL INTER-FRAME codec — each '00dc' chunk updates a
+# persistent canvas, and the escape codes (end-of-line, delta-move) skip
+# pixels that keep their PREVIOUS-frame value, i.e. temporal prediction.
+# The encoder diffs each frame against the last and emits skips for
+# unchanged spans, so static background costs ~nothing per frame. 8-bit
+# palette (stored in strf, read back on decode). Bottom-up DIB rows.
+# ---------------------------------------------------------------------------
+
+def _rle8_encode_frame(cur: np.ndarray, prev: np.ndarray | None) -> bytes:
+    """RLE8-encode one bottom-up index frame as a delta against ``prev``
+    (None = key frame: everything encoded). Escapes: 00 00 end-of-line,
+    00 01 end-of-bitmap, 00 02 dx dy delta-move (skip = reuse previous
+    frame's pixels), 00 n≥3 absolute run (word-padded); otherwise
+    (count, index) encoded runs."""
+    h, w = cur.shape
+    out = bytearray()
+    for y in range(h):
+        row = cur[y]
+        same = (row == prev[y]) if prev is not None else np.zeros(w, bool)
+        if same.all():
+            out += b"\x00\x00"  # EOL: whole row rides the previous frame
+            continue
+        x = 0
+        while x < w:
+            if same[x]:
+                run = 1
+                while x + run < w and same[x + run]:
+                    run += 1
+                if x + run >= w:
+                    break  # unchanged to row end: EOL below skips it
+                while run > 255:
+                    out += bytes((0, 2, 255, 0))
+                    run -= 255
+                out += bytes((0, 2, run, 0))
+                x += run
+                continue
+            # changed span: literal RLE runs of equal indices
+            val = row[x]
+            run = 1
+            while (x + run < w and not same[x + run]
+                   and row[x + run] == val and run < 255):
+                run += 1
+            out += bytes((run, int(val)))
+            x += run
+        out += b"\x00\x00"  # EOL
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def encode_avi_rle8(frames: np.ndarray, fps: int = 10) -> bytes:
+    """Encode (n, h, w) palette-index frames (or (n, h, w, 3) RGB
+    quantized to the implicit gray palette, the encode_gif convention) as
+    a BI_RLE8 AVI: frame 0 is a key frame, every later frame is
+    delta-coded against its predecessor — unchanged spans are skip
+    escapes the decoder resolves from its persistent canvas."""
+    f = np.asarray(frames)
+    if f.ndim == 4 and f.shape[3] == 3:
+        f = f.mean(axis=3).astype(np.uint8)
+    if f.ndim != 3 or not f.shape[0]:
+        raise MediaError("avi: rle8 encoder takes (n, h, w[, 3]) frames")
+    f = f.astype(np.uint8)
+    n, h, w = f.shape
+    flipped = f[:, ::-1, :]  # bottom-up DIB row order
+    payloads = [_rle8_encode_frame(flipped[i],
+                                   flipped[i - 1] if i else None)
+                for i in range(n)]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    strh = (b"vids" + b"MRLE" + struct.pack("<I", 0)
+            + struct.pack("<HHI", 0, 0, 0)
+            + struct.pack("<5I", 1, fps, 0, n, 0)
+            + struct.pack("<2I", 0, 0)
+            + struct.pack("<4H", 0, 0, 0, 0))
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))  # BGRA
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1,  # BI_RLE8
+                       w * h, 0, 0, 256, 0) + palette
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_strf(b: bytes) -> tuple[int, np.ndarray | None]:
+    """(biCompression, palette RGB (256,3) or None) from the first video
+    strf chunk."""
+    for cid, off, size in _riff_chunks(b):
+        if cid != b"LIST" or b[off:off + 4] != b"hdrl":
+            continue
+        pos = off + 4
+        end = off + size
+        while pos + 8 <= end:
+            sid = b[pos:pos + 4]
+            (ssize,) = struct.unpack_from("<I", b, pos + 4)
+            if sid == b"LIST":
+                pos += 12  # descend into strl
+                continue
+            if sid == b"strf" and ssize >= 40:
+                (compression,) = struct.unpack_from("<I", b, pos + 8 + 16)
+                palette = None
+                if ssize >= 40 + 256 * 4:
+                    raw = np.frombuffer(b, np.uint8, 256 * 4, pos + 8 + 40)
+                    bgra = raw.reshape(256, 4)
+                    palette = bgra[:, 2::-1].copy()  # BGR(A) → RGB
+                return int(compression), palette
+            pos += 8 + ssize + (ssize & 1)
+    raise MediaError("avi: no video strf")
+
+
+def decode_avi_rle8(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode a BI_RLE8 AVI to ((n, h, w, 3) uint8 RGB frames, fps) —
+    the canvas persists across frames, so skip escapes reproduce the
+    encoder's temporal prediction exactly."""
+    if sniff_format(b) != "avi":
+        raise MediaError("not an avi payload")
+    try:
+        meta = _parse_avi_header(b)
+        h, w = int(meta["height"]), int(meta["width"])
+        _, palette = _avi_strf(b)
+        if palette is None:
+            palette = np.arange(256, dtype=np.uint8)[:, None].repeat(3, 1)
+        canvas = np.zeros((h, w), dtype=np.uint8)  # bottom-up
+        frames = []
+        for cid, off, size in _riff_chunks(b):
+            if cid != b"LIST" or b[off:off + 4] != b"movi":
+                continue
+            pos = off + 4
+            end = off + size
+            while pos + 8 <= end:
+                sid = b[pos:pos + 4]
+                (ssize,) = struct.unpack_from("<I", b, pos + 4)
+                if sid[2:4] in (b"dc", b"db"):
+                    _rle8_apply(b, pos + 8, pos + 8 + ssize, canvas)
+                    frames.append(palette[canvas[::-1]])
+                pos += 8 + ssize + (ssize & 1)
+        if not frames:
+            raise MediaError("avi: no video frames")
+        return np.stack(frames), int(meta["sample_rate"] or 0)
+    except (struct.error, IndexError, ValueError) as exc:
+        if isinstance(exc, MediaError):
+            raise
+        raise MediaError(f"avi: malformed stream ({exc})") from exc
+
+
+def _rle8_apply(b: bytes, pos: int, end: int, canvas: np.ndarray) -> None:
+    """Apply one RLE8 frame chunk onto the persistent bottom-up canvas."""
+    h, w = canvas.shape
+    x = y = 0
+    while pos + 2 <= end:
+        count, val = b[pos], b[pos + 1]
+        pos += 2
+        if count:  # encoded run
+            run = min(count, w - x)
+            canvas[y, x:x + run] = val
+            x += count
+            continue
+        if val == 0:  # end of line
+            y += 1
+            x = 0
+            if y >= h:
+                return
+        elif val == 1:  # end of bitmap
+            return
+        elif val == 2:  # delta move: skipped pixels keep prior frame
+            x += b[pos]
+            y += b[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal pixels, word-aligned
+            run = min(val, w - x)
+            canvas[y, x:x + run] = np.frombuffer(b, np.uint8, run, pos)
+            x += val
+            pos += val + (val & 1)
+
+
+def decode_avi(b: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch an AVI payload by its strf compression: 0/'MJPG' fourcc →
+    Motion-JPEG, 1 (BI_RLE8) → the inter-frame RLE decoder. Anything
+    else (motion-compensated entropy codecs — H.26x and friends) raises
+    MediaError: the remaining honest video boundary."""
+    compression, _ = _avi_strf(b)
+    if compression == 1:
+        return decode_avi_rle8(b)
+    if compression in (0, struct.unpack("<I", b"MJPG")[0]):
+        return decode_avi_mjpeg(b)
+    raise MediaError(
+        f"avi: unsupported video compression 0x{compression:08x} "
+        "(motion-compensated codecs are out of scope)")
 
 
 # ---------------------------------------------------------------------------

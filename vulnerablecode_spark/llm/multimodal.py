@@ -357,11 +357,12 @@ def sample_frames(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
             if real:
                 try:
                     if _media.sniff_format(b) == "avi":
-                        decoded, _fps = _media.decode_avi_mjpeg(b)
+                        # dispatches MJPG and inter-frame RLE8 streams
+                        decoded, _fps = _media.decode_avi(b)
                     else:
                         decoded = _media.decode_gif(b)
                 except _media.MediaError:
-                    return  # neither gif nor mjpg-avi: drop the row
+                    return  # not a decodable video: drop the row
                 for i in range(0, decoded.shape[0], k):
                     yield i, _media.encode_png(decoded[i])
                 return
