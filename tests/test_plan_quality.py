@@ -59,12 +59,16 @@ class TestPlanQuality:
         kind = "LeftSemi" if name == "q03_semi_join" else "LeftAnti"
         assert kind in plan
 
-    def test_q30_is_intentional_broadcast_nlj(self, spark):
-        # brute-force baseline: small query set broadcast against corpus —
-        # BroadcastNestedLoopJoin is the DESIGNED plan here (q31/IVF are
-        # the scale paths)
+    def test_q30_is_partial_topk_scan(self, spark):
+        # brute-force baseline (round-5 shape): the query MATRIX ships as
+        # a broadcast VARIABLE into a per-partition partial-top-k
+        # mapInPandas — corpus vectors never enter a join, so the plan
+        # has NO join node at all; the only shuffle is the tiny
+        # partials → global top-k window
         plan = plan_of(spark, "q30_embedding_topk")
-        assert "BroadcastNestedLoopJoin" in plan or "Broadcast" in plan
+        assert "MapInPandas" in plan
+        assert "Join" not in plan and "CartesianProduct" not in plan
+        assert "Window" in plan
 
     def test_q08_single_shuffle_window(self, spark):
         plan = plan_of(spark, "q08_latest_per_key")
