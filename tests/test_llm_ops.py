@@ -121,6 +121,24 @@ class TestArrowScoringEquivalence:
                                       impl="arrow").collect()}
         assert hof == arrow
 
+    def test_semantic_dedup_drops_planted_duplicates(self, spark, embeddings):
+        # SemDeDup: an exact copy of a vector lands in the same k-means
+        # cell with cosine 1.0 — the higher id must be dropped, the
+        # lower kept; and output covers every input exactly once
+        import pyspark.sql.functions as F
+
+        from vulnerablecode_spark.llm.similarity import semantic_dedup
+
+        copies = embeddings.filter(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        corpus = embeddings.select("vec_id", "embedding").unionByName(copies)
+        out = {r.vec_id: r for r in
+               semantic_dedup(corpus, threshold=0.95).collect()}
+        assert len(out) == corpus.count()
+        for vid in range(5):
+            assert out[vid + 100000].keep is False  # the planted copy
+            assert out[vid].keep is True            # the original
+
     def test_cosine_partial_topk_equals_hof(self, spark, embeddings):
         # the per-partition partial-top-k scan (broadcast query matrix,
         # local candidate cut, global rounded window) must reproduce the

@@ -554,6 +554,45 @@ def embedding_near_dup_pairs(corpus: DataFrame, threshold: float = 0.9,
     )
 
 
+def semantic_dedup(corpus: DataFrame, threshold: float = 0.4,
+                   n_cells: int | None = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   impl: str = "hof") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by cluster-then-dedup. The corpus is clustered with
+    the deterministic IVF k-means build, near-duplicate pairs are
+    enumerated WITHIN each cluster only — candidate space O(Σ cell²),
+    never corpus², the property that makes semantic dedup tractable at
+    billions of documents — and a document is dropped iff some LOWER-id
+    document in its cluster matches it at ≥ ``threshold`` cosine (the
+    min-id keep rule shared with the text near-dup keep-list).
+
+    Returns (id, cell, keep). The whole composition — k-means build,
+    final assignment, within-cell pair cosines, keep rule — is
+    engine-reproducible and hash-verified end-to-end (q65)."""
+    _, assigned = ivf_index(corpus, n_cells, id_col, vec_col, impl=impl)
+    base = assigned.select(F.col(id_col).alias("vid"),
+                           F.col(vec_col).alias("vec"), "cell")
+    left = base.select(F.col("vid").alias("id_a"),
+                       F.col("vec").alias("vec_a"), "cell")
+    right = base.select(F.col("vid").alias("id_b"),
+                        F.col("vec").alias("vec_b"), "cell")
+    sim = F.round(_cos_impl(F.col("vec_a"), F.col("vec_b"), impl), 4)
+    dups = (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_b", sim.alias("_s"))
+        .filter(F.col("_s") >= threshold)
+        .select(F.col("id_b").alias("vid"))
+        .distinct()
+    )
+    return (
+        base.join(dups.withColumn("_dup", F.lit(True)), "vid", "left")
+        .select(F.col("vid").alias(id_col), "cell",
+                F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the classic memory-compression ANN path
 # (Jégou/Douze/Schmid 2011): split each vector into M subvectors, learn a

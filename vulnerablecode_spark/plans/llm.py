@@ -1062,6 +1062,36 @@ def q64_ann_topk_ivf_pq(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup — SemDeDup (Abbas et al. 2023): cluster with the IVF
+# k-means build, enumerate near-dup pairs within clusters only, keep the
+# lowest id of every duplicate relation. The oracle reuses the exact q46
+# IVF CTE block for the clustering and re-states the within-cell pair
+# scan + keep rule, so the whole composition is hash-verified.
+# ---------------------------------------------------------------------------
+
+_SQL_SEMANTIC_DEDUP = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    {_SQL_IVF_CTES},
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM af a JOIN af b USING (cell)
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4)
+    SELECT f.vec_id, f.cell, (d.vec_id IS NULL) AS keep
+    FROM af f LEFT JOIN dups d USING (vec_id)
+"""
+
+
+@query("q65_semantic_dedup", oracle=_SQL_SEMANTIC_DEDUP)
+def q65_semantic_dedup(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4, n_cells=16,
+                                     impl="arrow")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup — the dedup-shaped LSH variant (pairs over a
 # bucket self-join, not per-query top-k). llm/similarity.py
 # embedding_near_dup_pairs.
