@@ -215,6 +215,56 @@ class TestStreamingCodecStage:
                 assert got[i].sample_rate == 8000
 
 
+class TestStreamNearDup:
+    def test_increment_scores_against_stored_index(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.incremental import \
+            stream_near_dup
+
+        src = tmp_path / "docs"; src.mkdir()
+        index = str(tmp_path / "nd_index")
+        pairs = str(tmp_path / "nd_pairs")
+        ckpt = str(tmp_path / "ckpt_nd")
+
+        words = [f"w{i}" for i in range(24)]
+        base = " ".join(words)
+        d2 = " ".join("x2" if w == "w11" else w for w in words)
+        d4 = " ".join("x4" if w == "w5" else w for w in words)
+        d5 = " ".join("x4" if w == "w5" else
+                      ("x5" if w == "w18" else w) for w in words)
+        _write_record(src, "d1.json", {"doc_id": 1, "text": base})
+        _write_record(src, "d2.json", {"doc_id": 2, "text": d2})
+        _write_record(src, "d3.json",
+                      {"doc_id": 3, "text": "totally different words here"})
+        stream_near_dup(spark, str(src), index, pairs, ckpt, threshold=0.4)
+        p1 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(pairs).collect()}
+        assert p1 == {(1, 2)}  # within-batch near-dup found
+
+        # second trigger: a near-dup of STORED doc 1 (doc 4) plus a
+        # near-dup of doc 4 itself (doc 5) arrive — (1,4) comes from the
+        # index join, (4,5) from within the increment, and the old×old
+        # pair (1,2) is NOT re-emitted
+        _write_record(src, "d4.json", {"doc_id": 4, "text": d4})
+        _write_record(src, "d5.json", {"doc_id": 5, "text": d5})
+        stream_near_dup(spark, str(src), index, pairs, ckpt, threshold=0.4)
+        p2 = {(r.doc_a, r.doc_b) for r in spark.read.parquet(pairs).collect()}
+        assert p2 == {(1, 2), (1, 4), (4, 5)}
+        indexed = {r.doc_id for r in
+                   spark.read.parquet(f"{index}/hashed")
+                   .select("doc_id").distinct().collect()}
+        assert indexed == {1, 2, 3, 4, 5}
+
+        # equality vs the batch recompute over the full corpus
+        from pyspark.sql import functions as F
+
+        from vulnerablecode_spark.llm.dedup import near_dup_pairs
+
+        docs = spark.read.schema("doc_id long, text string").option(
+            "multiLine", "true").json(str(src))
+        full = {(r.doc_a, r.doc_b)
+                for r in near_dup_pairs(docs, threshold=0.4).collect()}
+        assert p2 == full
+
+
 class TestStreamDedup:
     def test_dedup_state_survives_triggers(self, spark, tmp_path):
         from vulnerablecode_spark.streaming.incremental import stream_dedup

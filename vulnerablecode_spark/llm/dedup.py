@@ -621,13 +621,15 @@ def shared_span_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def near_dup_pairs_incremental(new_docs: DataFrame,
+def near_dup_pairs_incremental(new_docs: DataFrame | None,
                                index_hashed: DataFrame,
                                index_bands: DataFrame,
                                text_col: str = "text",
                                id_col: str = "doc_id", n: int = 3,
                                threshold: float = 0.8,
-                               impl: str = "hof") -> DataFrame:
+                               impl: str = "hof",
+                               new_hashed: DataFrame | None = None,
+                               new_bands: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup: score ONLY the pairs that involve a NEW
     document, against a stored LSH index — the production shape at 100 TB,
     where the corpus is never re-deduplicated; each increment joins the
@@ -639,13 +641,20 @@ def near_dup_pairs_incremental(new_docs: DataFrame,
     band_sig) — old×old pairs never enter the join. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b, exact-verified at
     ``threshold``, identical to what the full :func:`near_dup_pairs`
-    would report for pairs touching a new document (equality-tested).
+    would report for pairs touching a new document (equality- and
+    property-tested).
+
+    ``new_hashed``/``new_bands`` inject the increment's already-built
+    artifacts (a caller appending them to the stored index — the
+    streaming driver — builds them once for both purposes).
     """
-    new_hashed = hashed_shingles(new_docs, text_col, id_col, n,
-                                 impl=impl).localCheckpoint(eager=True)
-    new_sig = minhash_signatures(hashed=new_hashed, id_col=id_col, n=n,
-                                 with_sizes=True)
-    new_bands = band_frame(new_sig, id_col, with_sizes=True)
+    if new_hashed is None:
+        new_hashed = hashed_shingles(new_docs, text_col, id_col, n,
+                                     impl=impl).localCheckpoint(eager=True)
+    if new_bands is None:
+        new_sig = minhash_signatures(hashed=new_hashed, id_col=id_col, n=n,
+                                     with_sizes=True)
+        new_bands = band_frame(new_sig, id_col, with_sizes=True)
     all_bands = index_bands.unionByName(new_bands)
     raw = (
         new_bands.select(F.col(id_col).alias("_new_id"), "band", "band_sig",

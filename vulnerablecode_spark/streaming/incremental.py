@@ -96,6 +96,68 @@ def stream_ingest(spark: SparkSession, source_dir: str, table_path: str,
     )
 
 
+def stream_near_dup(spark: SparkSession, source_dir: str, index_dir: str,
+                    pairs_dir: str, checkpoint_dir: str,
+                    threshold: float = 0.4) -> None:
+    """Streaming incremental NEAR-dup: each micro-batch of documents is
+    scored against the STORED LSH index (shingle hashes + band frame),
+    its near-dup pairs appended, and its own rows appended to the index
+    — the production increment shape
+    (``llm.dedup.near_dup_pairs_incremental``) driven by Structured
+    Streaming. Old×old pairs never re-enter any join: a batch pays for
+    its own rows against the index, nothing more, regardless of corpus
+    size.
+
+    Index tables live under ``index_dir`` (``hashed/`` = (doc_id, h),
+    ``bands/`` = band_frame rows with n_sh). Appends here are plain
+    parquet; a transactional table (Delta) makes the
+    pairs-append/index-append pair atomic on batch replay — with plain
+    parquet a crashed-then-replayed batch could append twice, so
+    production uses the checkpointed batch_id for idempotent writes
+    (txn pattern), noted rather than simulated here.
+    """
+    from pyspark.sql import functions as F  # noqa: F401 — parity import
+
+    from vulnerablecode_spark.llm import dedup as nd
+
+    hashed_path = os.path.join(index_dir, "hashed")
+    bands_path = os.path.join(index_dir, "bands")
+
+    def merge_batch(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        sess = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        new_hashed = nd.hashed_shingles(
+            batch, impl="arrow").localCheckpoint(eager=True)
+        new_sig = nd.minhash_signatures(hashed=new_hashed, with_sizes=True)
+        new_bands = nd.band_frame(
+            new_sig, with_sizes=True).localCheckpoint(eager=True)
+        index_hashed = read_table(sess, hashed_path)
+        index_bands = read_table(sess, bands_path)
+        if index_hashed is None or index_bands is None:
+            empty_h = sess.createDataFrame([], new_hashed.schema)
+            empty_b = sess.createDataFrame([], new_bands.schema)
+            index_hashed, index_bands = empty_h, empty_b
+        pairs = nd.near_dup_pairs_incremental(
+            None, index_hashed, index_bands, threshold=threshold,
+            new_hashed=new_hashed, new_bands=new_bands)
+        pairs.write.mode("append").parquet(pairs_dir)
+        new_hashed.write.mode("append").parquet(hashed_path)
+        new_bands.write.mode("append").parquet(bands_path)
+
+    (
+        spark.readStream.schema("doc_id long, text string")
+        .option("multiLine", "true")
+        .json(source_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_dedup(spark: SparkSession, source_dir: str, out_dir: str,
                  checkpoint_dir: str) -> None:
     """Streaming exact dedup over a document file stream: emit each
