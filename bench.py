@@ -120,16 +120,18 @@ def main() -> None:
     # bench SF so its round count / wall time is visible in every
     # BENCH_r{N}.json (the VERDICT r3 ask).
     extras: dict[str, float] = {}
-    try:
-        reps = []
-        for _ in range(REPS):
-            start = time.perf_counter()
-            QUERIES["q40_connected_components"](spark, sf_dir).write.format(
-                "noop").mode("overwrite").save()
-            reps.append(time.perf_counter() - start)
-        extras["q40_connected_components"] = round(min(reps), 3)
-    except Exception as exc:  # extras are informational — never fail bench
-        print(f"# extras skipped: {exc}", file=sys.stderr)
+    for extra in ("q40_connected_components", "q60_near_dup_dedup",
+                  "q63_incremental_near_dup", "q65_semantic_dedup"):
+        try:
+            reps = []
+            for _ in range(REPS):
+                start = time.perf_counter()
+                QUERIES[extra](spark, sf_dir).write.format(
+                    "noop").mode("overwrite").save()
+                reps.append(time.perf_counter() - start)
+            extras[extra] = round(min(reps), 3)
+        except Exception as exc:  # extras are informational — never fail
+            print(f"# extra {extra} skipped: {exc}", file=sys.stderr)
 
     # Per-query floor: the fixed cost of ONE trivial Spark action (plan +
     # job launch + 32-task stage) on this box right now. At sf0.1 many
