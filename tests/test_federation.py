@@ -318,6 +318,38 @@ class TestConstraintDialects:
         assert not sat(">=1.5,<1.5.2", "2.2")
 
 
+class TestFedVersionProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _version = st.lists(
+        st.one_of(st.integers(0, 99).map(str),
+                  st.sampled_from(["a", "rc1", "M8", "beta"])),
+        min_size=1, max_size=5).map(".".join)
+
+    @given(_version, _version)
+    @settings(max_examples=200, deadline=None)
+    def test_comparison_is_antisymmetric_and_total(self, a, b):
+        from vulnerablecode_spark.federation.base import FedVersion
+
+        ca = FedVersion(a)._cmp(FedVersion(b))
+        cb = FedVersion(b)._cmp(FedVersion(a))
+        assert ca == -cb  # antisymmetric
+        assert ca in (-1, 0, 1)
+        assert FedVersion(a)._cmp(FedVersion(a)) == 0  # reflexive equality
+
+    @given(_version, _version, _version)
+    @settings(max_examples=200, deadline=None)
+    def test_comparison_prefix_semantics(self, a, b, c):
+        # zip-truncated semantics: comparing x with x + "." + anything
+        # is always equal (the reference GenericVersion behavior)
+        from vulnerablecode_spark.federation.base import FedVersion
+
+        assert FedVersion(a)._cmp(FedVersion(f"{a}.{b}")) == 0
+        # and the v/V prefix is insignificant
+        assert FedVersion(f"v{a}")._cmp(FedVersion(a)) == 0
+
+
 class TestSparkStages:
     def test_request_plan_fans_out(self, spark):
         from vulnerablecode_spark.federation import (REQUEST_GENERATORS,

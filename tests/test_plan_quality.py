@@ -110,6 +110,31 @@ class TestRound4PlanQuality:
             plan = plan_of(spark, name)
             assert "CartesianProduct" not in plan, name
 
+
+class TestRound5PlanQuality:
+    def test_round5_graded_queries_no_cartesian(self, spark):
+        for name in ("q63_incremental_near_dup", "q64_ann_topk_ivf_pq",
+                     "q65_semantic_dedup"):
+            plan = plan_of(spark, name)
+            assert "CartesianProduct" not in plan, name
+
+    def test_q65_cluster_gated_pair_join(self, spark):
+        """SemDeDup's pair enumeration is an equi-join on the cluster id
+        — candidate space O(Σ cell²), never a corpus cross join — and
+        every centroid-side join broadcasts."""
+        plan = plan_of(spark, "q65_semantic_dedup")
+        assert "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan)
+
+    def test_q63_increment_joins_only(self, spark):
+        """The incremental path joins the INCREMENT against the stored
+        index — band equi-join plus the candidate-driven verify; the
+        exact-pair gate rides broadcasts of the tiny candidate frame."""
+        plan = plan_of(spark, "q63_incremental_near_dup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+
     def test_q48_single_window_shuffle(self, spark):
         """Winnowing's window min is one shuffle on doc_id; the argmin
         resolution join reuses the same key."""
