@@ -214,6 +214,23 @@ class TestSpreadSizing:
         assert n == spark.sparkContext.defaultParallelism, n
 
 
+class TestDirtyData:
+    def test_null_text_yields_no_shingles_in_both_tiers(self, spark):
+        # ADVICE r4: the arrow tier must match the HOF tier's NULL
+        # behavior (no rows) instead of failing the whole task
+        from vulnerablecode_spark.llm.dedup import (hashed_shingles,
+                                                    positional_shingle_hashes)
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, None), (3, "x y z w")],
+            "doc_id long, text string")
+        for fn in (hashed_shingles, positional_shingle_hashes):
+            hof = {(r.doc_id, r.h) for r in fn(docs, impl="hof").collect()}
+            arrow = {(r.doc_id, r.h) for r in fn(docs, impl="arrow").collect()}
+            assert hof == arrow
+            assert not {d for d, _ in hof} & {2}  # null doc absent, not fatal
+
+
 class TestIncrementalNearDup:
     def test_matches_full_recompute_on_new_pairs(self, spark):
         import pyspark.sql.functions as F
