@@ -7,6 +7,14 @@ payload/URL generation), pure ``parse_*`` helpers over recorded
 responses, and a Spark ``parse(responses_df)`` stage yielding the
 normalized VendorData claims frame that feeds
 ``operators/compare.py``.
+
+Provenance note: these adapters speak third-party WIRE formats, so the
+API constants — endpoint URLs, ecosystem-name tables, JSON/GraphQL
+payload shapes, response field names — necessarily match the
+reference's (and any other client's); byte-parity there is the point,
+verified against the reference's recorded fixtures. The code around
+them (DataFrame staging, the stdlib-HTML DOM, the constraint
+evaluators) is this engine's own design.
 """
 
 from __future__ import annotations
