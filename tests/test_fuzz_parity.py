@@ -1,0 +1,95 @@
+"""Randomized Spark↔DuckDB parity: the oracle gate re-run over RANDOM
+synthetic tables instead of the driver's fixed dataset.
+
+The fixed-corpus gate proves each query once; this harness proves the
+ENGINE-DETERMINISM argument — md5-derived hashing, integer micro-unit
+arithmetic, fixed-point means, rounded cosines — on data the queries
+were never tuned against. Float-boundary divergences (the q13-style
+decimal-half hazards) are data-dependent, so random vectors/documents
+are exactly where they would surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import vulnerablecode_spark.plans.coverage  # noqa: F401 — registers queries
+import vulnerablecode_spark.plans.llm  # noqa: F401
+import vulnerablecode_spark.plans.relational  # noqa: F401
+from vulnerablecode_spark.testing import compare_query
+
+# queries reading ONLY the documents table
+DOC_QUERIES = [
+    "q23_exact_dedup", "q24_ngram_jaccard", "q25_minhash_lsh",
+    "q26_simhash", "q27_lang_id", "q28_quality_score", "q29_token_count",
+    "q57_decontamination", "q58_char_trigram_diversity",
+    "q59_feature_hashing", "q60_near_dup_dedup",
+    "q63_incremental_near_dup",
+]
+# queries reading ONLY the embeddings table — the float-heavy family
+EMB_QUERIES = [
+    "q30_embedding_topk", "q31_embedding_ann_lsh", "q46_ann_topk_ivf",
+    "q47_embedding_near_dup", "q56_ann_topk_pq", "q64_ann_topk_ivf_pq",
+    "q65_semantic_dedup",
+]
+
+
+def _write_documents(path, seed: int, n_docs: int = 120) -> None:
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(60)]
+                     + ["the", "a", "of", "and", "le", "der"])
+    texts = []
+    for i in range(n_docs):
+        if texts and rng.random() < 0.3:  # plant near-dups
+            toks = texts[int(rng.integers(len(texts)))].split(" ")
+            for _ in range(int(rng.integers(1, 3))):
+                toks[int(rng.integers(len(toks)))] = str(rng.choice(vocab))
+            texts.append(" ".join(toks))
+        else:
+            texts.append(" ".join(
+                rng.choice(vocab, size=int(rng.integers(4, 40)))))
+    pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts,
+        "lang": rng.choice(["en", "fr", "de"], size=n_docs),
+        "source": rng.choice(["web", "code", "paper"], size=n_docs),
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+    }).to_parquet(f"{path}/documents.parquet")
+
+
+def _write_embeddings(path, seed: int, n_vecs: int = 150) -> None:
+    rng = np.random.default_rng(seed)
+    # clustered + noise: realistic for ANN paths, and full-precision
+    # floats (not rounded) so engine arithmetic runs on worst-case ulps
+    centers = rng.normal(size=(6, 64)).astype(np.float32)
+    mat = (centers[rng.integers(0, 6, size=n_vecs)]
+           + rng.normal(scale=0.3, size=(n_vecs, 64)).astype(np.float32))
+    pd.DataFrame({
+        "vec_id": np.arange(n_vecs, dtype=np.int64),
+        "embedding": [row.astype(np.float32) for row in mat],
+        "label": rng.integers(0, 6, size=n_vecs).astype(np.int32),
+    }).to_parquet(f"{path}/embeddings.parquet")
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_document_queries_match_oracle_on_random_corpora(
+        spark, tmp_path, seed):
+    d = tmp_path / f"fuzz_docs_{seed}"
+    d.mkdir()
+    _write_documents(d, seed)
+    for name in DOC_QUERIES:
+        ok, detail = compare_query(spark, name, str(d))
+        assert ok, f"{name} seed={seed}: {detail}"
+
+
+@pytest.mark.parametrize("seed", [111, 222, 333])
+def test_embedding_queries_match_oracle_on_random_vectors(
+        spark, tmp_path, seed):
+    d = tmp_path / f"fuzz_emb_{seed}"
+    d.mkdir()
+    _write_embeddings(d, seed)
+    for name in EMB_QUERIES:
+        ok, detail = compare_query(spark, name, str(d))
+        assert ok, f"{name} seed={seed}: {detail}"

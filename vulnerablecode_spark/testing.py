@@ -16,13 +16,18 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def duckdb_conn(sf_dir: str):
+    import os
+
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # partial dirs (the randomized fuzz harness writes only the
+        # tables a query reads) register what exists
+        if os.path.exists(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
     return con
 
 
