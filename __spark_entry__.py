@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import vulnerablecode_spark.plans.coverage  # noqa: F401,E402 — registers queries
+import vulnerablecode_spark.plans.curate  # noqa: F401,E402
 import vulnerablecode_spark.plans.llm  # noqa: F401,E402
 import vulnerablecode_spark.plans.relational  # noqa: F401,E402
 from vulnerablecode_spark.plans import ORACLES, QUERIES  # noqa: E402

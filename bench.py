@@ -40,6 +40,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     import vulnerablecode_spark.plans.coverage  # noqa: F401 — q40 extra
+    import vulnerablecode_spark.plans.curate  # noqa: F401
     import vulnerablecode_spark.plans.llm  # noqa: F401
     import vulnerablecode_spark.plans.relational  # noqa: F401
     from vulnerablecode_spark.plans import QUERIES

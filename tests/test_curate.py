@@ -1,0 +1,194 @@
+"""Corpus-curation operators (llm/curate.py): semantic unit tests on
+hand-built frames plus physical-plan promises for the graded queries
+(q66–q70). Oracle parity at sf0.01 is covered by test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+import vulnerablecode_spark.plans.curate  # noqa: F401 — registers q66–q70
+from vulnerablecode_spark.llm import curate
+from vulnerablecode_spark.plans import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+class TestStripStopwords:
+    def test_counts_and_fingerprint(self, spark):
+        out = curate.strip_stopwords(
+            _docs(spark, [(1, "the quick fox and the dog", "en", "s")])
+        ).collect()[0]
+        # "the", "and", "the" removed; "quick fox dog" kept
+        assert out.kept_tokens == 3
+        assert out.removed_tokens == 3
+        import hashlib
+
+        assert out.clean_fp == hashlib.md5(b"quick fox dog").hexdigest()
+
+    def test_all_stopwords_doc(self, spark):
+        out = curate.strip_stopwords(
+            _docs(spark, [(1, "the a of and", "en", "s")])
+        ).collect()[0]
+        assert out.kept_tokens == 0 and out.removed_tokens == 4
+
+
+class TestPackSequences:
+    def test_every_token_packed_exactly_once(self, spark):
+        rows = [
+            (i, " ".join(f"t{i}w{j}" for j in range(n)), "en", f"src{i % 2}")
+            for i, n in enumerate([5, 130, 128, 3, 260, 1])
+        ]
+        manifest = curate.pack_sequences(_docs(spark, rows), seq_len=128)
+        got = manifest.collect()
+        n_tok = {r[0]: len(r[1].split(" ")) for r in rows}
+        # within-doc spans cover [0, n_tok) exactly once, in seq order
+        by_doc: dict[int, list] = {}
+        for m in got:
+            by_doc.setdefault(m.doc_id, []).append(m)
+        for doc_id, spans in by_doc.items():
+            spans.sort(key=lambda m: m.seq_id)
+            assert spans[0].tok_begin == 0
+            assert spans[-1].tok_end == n_tok[doc_id] - 1
+            for a, b in zip(spans, spans[1:]):
+                assert b.tok_begin == a.tok_end + 1
+                assert b.seq_id == a.seq_id + 1
+        # every sequence except each stream's last holds exactly 128 tokens
+        seq_sizes: dict[tuple, int] = {}
+        for m in got:
+            key = (m.stream, m.seq_id)
+            seq_sizes[key] = seq_sizes.get(key, 0) + m.tok_end - m.tok_begin + 1
+        last = {s: max(q for (t, q) in seq_sizes if t == s)
+                for s in {k[0] for k in seq_sizes}}
+        for (stream, seq_id), size in seq_sizes.items():
+            if seq_id != last[stream]:
+                assert size == 128, (stream, seq_id, size)
+            else:
+                assert 1 <= size <= 128
+
+    def test_streams_pack_independently(self, spark):
+        rows = [(1, "a b c", "en", "s0"), (2, "d e", "en", "s1")]
+        got = curate.pack_sequences(_docs(spark, rows), seq_len=128).collect()
+        # both docs start their own stream at sequence 0, offset 0
+        assert {(m.stream, m.seq_id, m.tok_begin) for m in got} == {
+            ("s0", 0, 0), ("s1", 0, 0)
+        }
+
+
+class TestStratifiedSample:
+    def test_small_strata_kept_whole(self, spark):
+        rows = [(i, "x", "en", "small") for i in range(10)]
+        got = curate.stratified_sample(
+            _docs(spark, rows), target_per_stratum=25, strata=("source",)
+        ).collect()
+        assert len(got) == 10
+        assert all(r.rate_bp == 10000 for r in got)
+
+    def test_large_stratum_rate(self, spark):
+        rows = [(i, "x", "en", "big") for i in range(500)]
+        got = curate.stratified_sample(
+            _docs(spark, rows), target_per_stratum=25, strata=("source",)
+        ).collect()
+        assert all(r.rate_bp == 250000 // 500 for r in got)
+        # hash gate at 500 bp keeps a few percent — bounded, deterministic
+        assert 0 < len(got) < 100
+
+    def test_verdict_stable_under_growth_at_fixed_rate(self, spark):
+        # the per-doc gate hash ignores other rows: with the stratum size
+        # (hence rate) pinned, adding documents never flips existing ones
+        base = [(i, "x", "en", "s") for i in range(100)]
+        grown = base + [(i, "x", "en", "other") for i in range(100, 200)]
+        kept_base = {
+            r.doc_id
+            for r in curate.stratified_sample(
+                _docs(spark, base), 25, strata=("source",)
+            ).collect()
+            if r.source == "s"
+        }
+        kept_grown = {
+            r.doc_id
+            for r in curate.stratified_sample(
+                _docs(spark, grown), 25, strata=("source",)
+            ).collect()
+            if r.source == "s"
+        }
+        assert kept_base == kept_grown
+
+
+class TestDistinctiveTerms:
+    def test_source_marker_token_wins(self, spark):
+        rows = []
+        for i in range(20):
+            rows.append((i, "common common common marker" +
+                         (" marker" * 4), "en", "special"))
+        for i in range(20, 60):
+            rows.append((i, "common common common filler filler", "en", "rest"))
+        got = curate.distinctive_terms(_docs(spark, rows), k=1, min_tf=5).collect()
+        top = {r.source: r.term for r in got}
+        assert top["special"] == "marker"
+        assert top["rest"] == "filler"
+        assert all(r.term_rank == 1 for r in got)
+
+    def test_lift_is_exact_integer(self, spark):
+        rows = [(0, "x x y", "en", "a"), (1, "y y y", "en", "b")]
+        got = curate.distinctive_terms(_docs(spark, rows), k=2, min_tf=1).collect()
+        by = {(r.source, r.term): r.lift_bp for r in got}
+        # P(x|a)=2/3 vs P(x)=2/6 → lift 2.0 → 20000 bp exactly
+        assert by[("a", "x")] == 2 * 6 * 10000 // (3 * 2)
+
+
+class TestEpochUpsample:
+    def test_factors_cap_and_equalize(self, spark):
+        rows = (
+            [(i, " ".join(["t"] * 100), "en", "big") for i in range(10)]
+            + [(100, " ".join(["t"] * 10), "en", "small")]
+            + [(200, "t", "en", "tiny")]
+        )
+        got = curate.epoch_upsample(_docs(spark, rows), max_epochs=4)
+        per = {
+            r.source: r.epochs
+            for r in got.select("source", "epochs").distinct().collect()
+        }
+        assert per == {"big": 1, "small": 4, "tiny": 4}  # tiny capped at 4
+        copies = got.groupBy("source").count().collect()
+        by = {r.source: r["count"] for r in copies}
+        assert by == {"big": 10, "small": 4, "tiny": 4}
+
+
+class TestCuratePlanQuality:
+    @staticmethod
+    def _plan(spark, name):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            QUERIES[name](spark, SF_SMOKE).explain("formatted")
+        return buf.getvalue()
+
+    def test_packing_and_sampling_are_joinless(self, spark):
+        # one window shuffle each — no join node may appear
+        for name in ("q67_sequence_packing", "q68_stratified_sample"):
+            plan = self._plan(spark, name)
+            assert "Join" not in plan, name
+            assert "CartesianProduct" not in plan, name
+
+    def test_scalar_totals_broadcast(self, spark):
+        # Catalyst folds the literal join key, so the 1-row scalar-total
+        # side plans as a BroadcastNestedLoopJoin over a single broadcast
+        # row — the canonical scalar plan (same acceptance as the q46
+        # centroid assertion); what matters is that every join broadcasts
+        # its small side and nothing degenerates to a cartesian shuffle.
+        for name in ("q69_distinctive_terms", "q70_epoch_upsample"):
+            plan = self._plan(spark, name)
+            assert "CartesianProduct" not in plan, name
+            assert "BroadcastExchange" in plan, name
+
+    def test_stopword_strip_is_mapside(self, spark):
+        plan = self._plan(spark, "q66_stopword_strip")
+        assert "Exchange" not in plan  # pure projection, shuffle-free

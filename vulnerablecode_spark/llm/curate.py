@@ -1,0 +1,284 @@
+"""Corpus curation operators: the steps between "filtered documents" and
+"training batches" in a large-scale LLM data pipeline — stopword/boilerplate
+stripping, concat-and-chunk sequence packing, stratified sampling,
+distinctive-vocabulary reports, and epoch up-sampling manifests.
+
+Design rules shared with the rest of the llm package:
+
+- Pure Catalyst column expressions end-to-end — no Python UDFs — so every
+  operator stays inside whole-stage codegen (the one HOF lambda in
+  ``strip_stopwords`` is interpreted per element, like the other HOF sites
+  the repo documents, and is a short list membership test).
+- Engine-exact arithmetic: every score is integer (basis points / micro
+  units) and every hash is the md5-derived 60-bit ``hash64`` that DuckDB
+  reproduces bit-for-bit — no float rounding, no engine-specific hash.
+- No global total order. Sequence packing partitions its window by the
+  stream column (source), the standard sharded-packing shape: a 100 TB
+  corpus is packed per (source, shard) stream in parallel, never via one
+  global sort. Stratified sampling and up-sampling reduce to per-stratum
+  aggregates (tiny frames) broadcast back onto the corpus.
+
+These generalize the reference's data-curation posture (dedup + quality
+improvers over advisory text, e.g. remove_duplicate_advisories.py,
+improvers/valid_versions.py) to corpus-scale training-data preparation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.llm.dedup import hash64
+
+# Default boilerplate/stopword list — the English marker set the language
+# and quality operators already use (llm/text.py LANG_MARKERS["en"]).
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and")
+
+
+# ---------------------------------------------------------------------------
+# Stopword / boilerplate stripping
+# ---------------------------------------------------------------------------
+
+
+def strip_stopwords(
+    docs: DataFrame,
+    stopwords: tuple[str, ...] = STOPWORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove stopword tokens and fingerprint the cleaned text.
+
+    Returns one row per document: the md5 fingerprint of the cleaned text
+    (documents are fingerprinted, not re-emitted, so the result frame stays
+    narrow — the cleaned text itself is ``array_join(kept, ' ')`` if a
+    caller wants to materialize it), plus kept/removed token counts.
+    """
+    toks = F.split(F.col(text_col), " ")
+    sw = list(stopwords)
+    kept = F.filter(toks, lambda t: ~t.isin(sw))
+    return docs.select(
+        F.col(id_col),
+        F.md5(F.array_join(kept, " ")).alias("clean_fp"),
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        (F.size(toks) - F.size(kept)).cast("bigint").alias("removed_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 128,
+    stream_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing manifest: documents of each stream are
+    concatenated in ``id_col`` order and cut into fixed ``seq_len``-token
+    training sequences; a document spanning a cut appears in every sequence
+    it touches, with its within-document token span.
+
+    Output: (stream, seq_id, doc_id, tok_begin, tok_end) — ``tok_begin`` /
+    ``tok_end`` are the INCLUSIVE within-document token indices that land
+    in ``seq_id``. This is the manifest a loader needs to assemble packed
+    batches without re-reading the corpus.
+
+    Scale shape: the only shuffle is the window partitioned by the stream
+    column — packing is embarrassingly parallel across streams, and a
+    production run packs per (source, shard) so no stream outgrows a task.
+    All arithmetic is integer division, identical across engines.
+    """
+    ln = F.lit(int(seq_len)).cast("bigint")
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    w = (
+        Window.partitionBy("stream")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = docs.select(
+        F.col(stream_col).alias("stream"),
+        F.col(id_col),
+        n_tok.alias("n_tok"),
+    ).withColumn(
+        "off", F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("bigint"))
+    )
+    seq_first = F.expr("off div " + str(int(seq_len)))
+    seq_last = F.expr(f"(off + n_tok - 1) div {int(seq_len)}")
+    e = t.withColumn("seq_id", F.explode(F.sequence(seq_first, seq_last)))
+    return e.select(
+        "stream",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.col(id_col),
+        F.greatest(F.col("seq_id") * ln - F.col("off"), F.lit(0).cast("bigint"))
+        .cast("bigint").alias("tok_begin"),
+        (F.least((F.col("seq_id") + 1) * ln, F.col("off") + F.col("n_tok"))
+         - F.col("off") - 1).cast("bigint").alias("tok_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(
+    docs: DataFrame,
+    target_per_stratum: int = 25,
+    strata: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hash-gate sampling with per-stratum rates equalizing stratum sizes.
+
+    Each stratum's keep rate (basis points) is ``min(10000, 10000 * target
+    // stratum_size)`` — small strata are kept whole, large strata are
+    down-sampled toward ``target_per_stratum`` expected docs. The gate is
+    ``hash64(stratum:doc_id) % 10000 < rate_bp``: deterministic, engine
+    portable (md5-derived), and independent per document, so the sample is
+    stable under corpus growth — adding documents never flips the verdict
+    on existing ones (the property reservoir sampling lacks).
+
+    Stratum sizes come from a window count over the strata columns — one
+    shuffle by stratum key, no driver materialization.
+    """
+    w = Window.partitionBy(*strata)
+    rate_bp = F.least(
+        F.lit(10000).cast("bigint"),
+        F.expr(f"{10000 * int(target_per_stratum)} div stratum_n"),
+    )
+    gate = hash64(F.concat_ws(":", *strata, F.col(id_col).cast("string"))) % 10000
+    return (
+        docs.withColumn("stratum_n", F.count("*").over(w).cast("bigint"))
+        .withColumn("rate_bp", rate_bp)
+        .filter(gate < F.col("rate_bp"))
+        .select(F.col(id_col), *strata, "stratum_n", "rate_bp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive vocabulary per source (PMI-style lift, integer basis points)
+# ---------------------------------------------------------------------------
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    k: int = 5,
+    min_tf: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k distinctive terms per source by pointwise-mutual-information
+    lift: ``lift_bp = 10000 * P(term | source) / P(term)`` computed entirely
+    in integer arithmetic as ``tf * total_tokens * 10000 div (source_tokens
+    * global_tf)`` — no log, no float, so both engines agree bit-for-bit
+    (tf-idf's ``ln`` term is libm-dependent across engines; lift ranks the
+    same "characteristic vocabulary" question without it). Product bound:
+    tf × total × 10⁴ stays under 2⁶³ through ~10⁹ total tokens per grouping
+    scope; beyond that the production plan switches the numerator to
+    DECIMAL(38,0), which both engines carry exactly.
+
+    One explode + two aggregations (term×source, term) + a broadcast of the
+    tiny per-source totals; top-k via row_number with a deterministic
+    (lift desc, term asc) tie-break.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = toks.groupBy("grp", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    global_tf = toks.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("global_tf")
+    )
+    grp_tot = tf.groupBy("grp").agg(F.sum("tf").cast("bigint").alias("grp_tokens"))
+    # scalar total joined on a literal key → BroadcastHashJoin, never a
+    # nested-loop/cartesian (the plan-quality invariant the suite asserts).
+    total = grp_tot.agg(
+        F.sum("grp_tokens").cast("bigint").alias("total_tokens")
+    ).withColumn("_k", F.lit(1))
+    scored = (
+        tf.filter(F.col("tf") >= int(min_tf))
+        .join(global_tf, "term")
+        .join(F.broadcast(grp_tot), "grp")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(total), "_k")
+        .withColumn(
+            "lift_bp",
+            F.expr("tf * total_tokens * 10000 div (grp_tokens * global_tf)"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("lift_bp").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= int(k))
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            "tf",
+            "lift_bp",
+            F.col("term_rank").cast("bigint").alias("term_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch up-sampling manifest
+# ---------------------------------------------------------------------------
+
+
+def epoch_upsample(
+    docs: DataFrame,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source epoch multipliers that equalize token contributions —
+    the "low-resource sources get more epochs" mix rule every multi-source
+    training run applies — materialized as a per-document copy manifest.
+
+    ``epochs(source) = min(max_epochs, ceil(max_source_tokens /
+    source_tokens))`` in integer arithmetic; the per-source factor frame is
+    tiny (one row per source) so the join back onto the corpus broadcasts.
+    Output: one row per (doc, copy) with the copy index — the manifest a
+    sampler reads to build the epoch schedule without duplicating bytes.
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    per_src = (
+        docs.select(F.col(group_col).alias("grp"), n_tok.alias("n_tok"))
+        .groupBy("grp")
+        .agg(F.sum("n_tok").cast("bigint").alias("src_tokens"))
+    )
+    # max over the per-source frame (≤ thousands of rows) joined back on a
+    # literal key — BroadcastHashJoin over the tiny aggregate, not the
+    # corpus, and never a nested-loop join.
+    per_src = per_src.withColumn("_k", F.lit(1)).join(
+        F.broadcast(
+            per_src.agg(F.max("src_tokens").alias("max_tokens"))
+            .withColumn("_k", F.lit(1))
+        ),
+        "_k",
+    ).withColumn(
+        "epochs",
+        F.least(
+            F.lit(int(max_epochs)).cast("bigint"),
+            F.expr("(max_tokens + src_tokens - 1) div src_tokens"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col), F.col(group_col).alias("grp"))
+        .join(F.broadcast(per_src.select("grp", "src_tokens", "epochs")), "grp")
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("epochs"))),
+        )
+        .select(
+            F.col(id_col),
+            F.col("grp").alias(group_col),
+            "epochs",
+            "copy_idx",
+        )
+    )

@@ -1,0 +1,189 @@
+"""Graded queries for the corpus-curation operators (llm/curate.py):
+stopword stripping, concat-and-chunk sequence packing, stratified sampling,
+distinctive-vocabulary lift, and epoch up-sampling manifests.
+
+Every oracle reproduces the Spark plan's integer arithmetic exactly —
+``div`` ↔ ``//``, the md5-derived 60-bit hash, basis-point rates — so the
+driver's value-hash comparison is bit-for-bit, never float-tolerant.
+"""
+
+from __future__ import annotations
+
+from vulnerablecode_spark.llm import curate
+from vulnerablecode_spark.plans.registry import _load, query
+
+_SQL_HASH64 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Stopword / boilerplate stripping — cleaned-text fingerprints + counts.
+# ---------------------------------------------------------------------------
+
+_SQL_KEPT = (
+    "list_filter(string_split(text, ' '), "
+    "t -> t NOT IN ('the', 'a', 'of', 'and'))"
+)
+
+
+@query(
+    "q66_stopword_strip",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string({_SQL_KEPT}, ' ')) AS clean_fp,
+           CAST(len({_SQL_KEPT}) AS BIGINT) AS kept_tokens,
+           CAST(len(string_split(text, ' ')) - len({_SQL_KEPT}) AS BIGINT)
+               AS removed_tokens
+    FROM documents
+    """,
+)
+def q66_stopword_strip(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.strip_stopwords(docs)
+
+
+# ---------------------------------------------------------------------------
+# Concat-and-chunk sequence packing — the training-batch manifest.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q67_sequence_packing",
+    oracle="""
+    WITH t AS (
+        SELECT source AS stream, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    o AS (
+        SELECT stream, doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY stream ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS tok_off
+        FROM t
+    ),
+    e AS (
+        SELECT stream, doc_id, n_tok, tok_off,
+               UNNEST(range(tok_off // 128, (tok_off + n_tok - 1) // 128 + 1))
+                   AS seq_id
+        FROM o
+    )
+    SELECT stream, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(GREATEST(seq_id * 128 - tok_off, 0) AS BIGINT) AS tok_begin,
+           CAST(LEAST((seq_id + 1) * 128, tok_off + n_tok) - tok_off - 1
+                AS BIGINT) AS tok_end
+    FROM e
+    """,
+)
+def q67_sequence_packing(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.pack_sequences(docs, seq_len=128)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — per-(source, lang) equalizing rates.
+# ---------------------------------------------------------------------------
+
+_SQL_STRATUM_KEY = (
+    "source || ':' || lang || ':' || CAST(doc_id AS VARCHAR)"
+)
+
+
+@query(
+    "q68_stratified_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, lang,
+               CAST(COUNT(*) OVER (PARTITION BY source, lang) AS BIGINT)
+                   AS stratum_n
+        FROM documents
+    )
+    SELECT doc_id, source, lang, stratum_n,
+           CAST(LEAST(10000, 250000 // stratum_n) AS BIGINT) AS rate_bp
+    FROM t
+    WHERE {_SQL_HASH64.format(s=_SQL_STRATUM_KEY)} % 10000
+          < LEAST(10000, 250000 // stratum_n)
+    """,
+)
+def q68_stratified_sample(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.stratified_sample(docs, target_per_stratum=25)
+
+
+# ---------------------------------------------------------------------------
+# Distinctive vocabulary per source — integer PMI lift, top-5.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q69_distinctive_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT source AS grp, UNNEST(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tfq AS (
+        SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks GROUP BY grp, term
+    ),
+    g AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS global_tf
+        FROM toks GROUP BY term
+    ),
+    gt AS (
+        SELECT grp, CAST(SUM(tf) AS BIGINT) AS grp_tokens
+        FROM tfq GROUP BY grp
+    ),
+    tot AS (SELECT CAST(SUM(grp_tokens) AS BIGINT) AS total_tokens FROM gt),
+    scored AS (
+        SELECT tfq.grp, tfq.term, tfq.tf,
+               tfq.tf * tot.total_tokens * 10000
+                   // (gt.grp_tokens * g.global_tf) AS lift_bp
+        FROM tfq JOIN g USING (term) JOIN gt USING (grp), tot
+        WHERE tfq.tf >= 5
+    ),
+    ranked AS (
+        SELECT grp, term, tf, lift_bp,
+               ROW_NUMBER() OVER (
+                   PARTITION BY grp ORDER BY lift_bp DESC, term ASC
+               ) AS term_rank
+        FROM scored
+    )
+    SELECT grp AS source, term, tf, CAST(lift_bp AS BIGINT) AS lift_bp,
+           CAST(term_rank AS BIGINT) AS term_rank
+    FROM ranked WHERE term_rank <= 5
+    """,
+)
+def q69_distinctive_terms(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.distinctive_terms(docs, k=5, min_tf=5)
+
+
+# ---------------------------------------------------------------------------
+# Epoch up-sampling manifest — token-equalizing per-source multipliers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q70_epoch_upsample",
+    oracle="""
+    WITH per AS (
+        SELECT source AS grp,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    m AS (SELECT CAST(MAX(src_tokens) AS BIGINT) AS max_tokens FROM per),
+    f AS (
+        SELECT grp, src_tokens,
+               CAST(LEAST(4, (max_tokens + src_tokens - 1) // src_tokens)
+                    AS BIGINT) AS epochs
+        FROM per, m
+    )
+    SELECT d.doc_id, f.grp AS source, f.epochs,
+           CAST(UNNEST(range(1, f.epochs + 1)) AS BIGINT) AS copy_idx
+    FROM documents d JOIN f ON d.source = f.grp
+    """,
+)
+def q70_epoch_upsample(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.epoch_upsample(docs, max_epochs=4)
