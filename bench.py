@@ -122,7 +122,9 @@ def main() -> None:
     # BENCH_r{N}.json (the VERDICT r3 ask).
     extras: dict[str, float] = {}
     for extra in ("q40_connected_components", "q60_near_dup_dedup",
-                  "q63_incremental_near_dup", "q65_semantic_dedup"):
+                  "q63_incremental_near_dup", "q65_semantic_dedup",
+                  "q67_sequence_packing", "q68_stratified_sample",
+                  "q69_distinctive_terms"):
         try:
             reps = []
             for _ in range(REPS):

@@ -41,6 +41,28 @@ class TestStripStopwords:
         assert out.kept_tokens == 0 and out.removed_tokens == 4
 
 
+class TestRedactPii:
+    def test_typed_placeholders_and_counts(self, spark):
+        import hashlib
+
+        text = ("mail me@x.com or me2@y.org ip 10.0.0.1 "
+                "card 4111222233334444 key " + "0123456789abcdef" * 2)
+        out = curate.redact_pii(_docs(spark, [(1, text, "en", "s")])).collect()[0]
+        assert (out.n_email, out.n_ipv4, out.n_longnum, out.n_hexsecret) == (
+            2, 1, 1, 1)
+        scrubbed = ("mail <EMAIL> or <EMAIL> ip <IP> card <NUM> key <HEX>")
+        assert out.redacted_fp == hashlib.md5(scrubbed.encode()).hexdigest()
+
+    def test_clean_text_untouched(self, spark):
+        import hashlib
+
+        out = curate.redact_pii(
+            _docs(spark, [(1, "just plain words", "en", "s")])
+        ).collect()[0]
+        assert out.redacted_fp == hashlib.md5(b"just plain words").hexdigest()
+        assert out.n_email == out.n_ipv4 == out.n_longnum == out.n_hexsecret == 0
+
+
 class TestPackSequences:
     def test_every_token_packed_exactly_once(self, spark):
         rows = [
@@ -191,4 +213,8 @@ class TestCuratePlanQuality:
 
     def test_stopword_strip_is_mapside(self, spark):
         plan = self._plan(spark, "q66_stopword_strip")
+        assert "Exchange" not in plan  # pure projection, shuffle-free
+
+    def test_pii_redaction_is_mapside(self, spark):
+        plan = self._plan(spark, "q71_pii_redaction")
         assert "Exchange" not in plan  # pure projection, shuffle-free

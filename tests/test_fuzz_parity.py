@@ -16,6 +16,7 @@ import pandas as pd
 import pytest
 
 import vulnerablecode_spark.plans.coverage  # noqa: F401 — registers queries
+import vulnerablecode_spark.plans.curate  # noqa: F401
 import vulnerablecode_spark.plans.llm  # noqa: F401
 import vulnerablecode_spark.plans.relational  # noqa: F401
 from vulnerablecode_spark.testing import compare_query
@@ -27,6 +28,13 @@ DOC_QUERIES = [
     "q57_decontamination", "q58_char_trigram_diversity",
     "q59_feature_hashing", "q60_near_dup_dedup",
     "q63_incremental_near_dup",
+    # curation family — integer div / window cumsum / hash-gate arithmetic
+    # on corpora with random token multiplicity and stratum sizes
+    "q66_stopword_strip", "q67_sequence_packing", "q68_stratified_sample",
+    "q69_distinctive_terms", "q70_epoch_upsample",
+    # the scrub runs for real here: the generator plants emails / IPs /
+    # card numbers / hex keys (the driver corpus has none)
+    "q71_pii_redaction",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [
@@ -48,8 +56,13 @@ def _write_documents(path, seed: int, n_docs: int = 120) -> None:
                 toks[int(rng.integers(len(toks)))] = str(rng.choice(vocab))
             texts.append(" ".join(toks))
         else:
-            texts.append(" ".join(
-                rng.choice(vocab, size=int(rng.integers(4, 40)))))
+            toks = list(rng.choice(vocab, size=int(rng.integers(4, 40))))
+            if rng.random() < 0.3:  # plant PII for the redaction family
+                toks.extend(rng.choice([
+                    f"user{i}@example.com", f"10.0.{i % 256}.1",
+                    "4111222233334444", "0123456789abcdef" * 2,
+                ], size=int(rng.integers(1, 3))))
+            texts.append(" ".join(toks))
     pd.DataFrame({
         "doc_id": np.arange(n_docs, dtype=np.int64),
         "text": texts,

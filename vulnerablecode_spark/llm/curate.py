@@ -65,6 +65,51 @@ def strip_stopwords(
 
 
 # ---------------------------------------------------------------------------
+# PII / secret redaction
+# ---------------------------------------------------------------------------
+
+# Patterns valid — and match-identical — in both Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, and \b only; no
+# lookaround or backreferences (RE2 has neither). Order matters for the
+# redacted text (applied top to bottom); counts are hits in the ORIGINAL
+# text, so an overlap (a 12-digit email local part) counts under every
+# pattern it matches.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{12,19}\b", "<NUM>"),
+    ("hexsecret", r"\b[0-9a-f]{32,}\b", "<HEX>"),
+)
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Regex-scrub emails / IPv4s / long digit runs / hex secrets into
+    typed placeholders — the standard pre-training privacy pass — and
+    count per-class hits.
+
+    Pure ``regexp_replace`` / ``regexp_extract_all`` projections: JVM-side,
+    shuffle-free, linear in input splits. The redacted text is emitted as
+    an md5 fingerprint (same narrow-frame convention as
+    ``strip_stopwords``); callers wanting the text materialize the same
+    expression without the hash.
+    """
+    redacted = F.col(text_col)
+    for _, pattern, placeholder in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pattern, placeholder)
+    counts = [
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), F.lit(0))
+        ).cast("bigint").alias(f"n_{name}")
+        for name, pattern, _ in PII_PATTERNS
+    ]
+    return docs.select(F.col(id_col), F.md5(redacted).alias("redacted_fp"), *counts)
+
+
+# ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------
 

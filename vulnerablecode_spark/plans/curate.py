@@ -42,6 +42,46 @@ def q66_stopword_strip(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# PII / secret redaction — typed-placeholder scrub + per-class hit counts.
+# ---------------------------------------------------------------------------
+
+# keep in sync with llm/curate.py PII_PATTERNS (order defines the scrub)
+_PII = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{12,19}\b", "<NUM>"),
+    ("hexsecret", r"\b[0-9a-f]{32,}\b", "<HEX>"),
+)
+
+_redacted = "text"
+for _, _pat, _ph in _PII:
+    _redacted = f"regexp_replace({_redacted}, '{_pat}', '{_ph}', 'g')"
+_counts = ",\n           ".join(
+    f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+    for name, pat, _ in _PII
+)
+
+
+@query(
+    "q71_pii_redaction",
+    # The driver corpus is synthetic prose with no PII, so all counts are 0
+    # and the fingerprint equals md5(text) — the fuzz harness
+    # (tests/test_fuzz_parity.py) plants emails/IPs/card numbers/hex keys
+    # into random corpora, where the scrub and counts are exercised for
+    # real on both engines.
+    oracle=f"""
+    SELECT doc_id,
+           md5({_redacted}) AS redacted_fp,
+           {_counts}
+    FROM documents
+    """,
+)
+def q71_pii_redaction(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.redact_pii(docs)
+
+
+# ---------------------------------------------------------------------------
 # Concat-and-chunk sequence packing — the training-batch manifest.
 # ---------------------------------------------------------------------------
 
