@@ -288,3 +288,54 @@ class TestStreamDedup:
         t2 = spark.read.parquet(out)
         assert t2.count() == 3
         assert {r.doc_id for r in t2.collect()} & {4} == set()
+
+
+class TestStreamPack:
+    def test_offsets_carry_across_triggers_and_match_batch(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.stateful import stream_pack
+
+        src = tmp_path / "pack_docs"; src.mkdir()
+        out = str(tmp_path / "manifest")
+        ckpt = str(tmp_path / "ckpt_pack")
+
+        def doc(i, n, source):
+            return {"doc_id": i, "text": " ".join(f"t{i}w{j}" for j in range(n)),
+                    "source": source}
+
+        # trigger 1: source s0 crosses the 10-token boundary mid-doc
+        _write_record(src, "d1.json", doc(1, 7, "s0"))
+        _write_record(src, "d2.json", doc(2, 6, "s0"))
+        _write_record(src, "d3.json", doc(3, 4, "s1"))
+        stream_pack(spark, str(src), out, ckpt, seq_len=10)
+        t1 = spark.read.parquet(out).collect()
+        # doc 2 spans sequences 0 and 1 of s0 (offset 7, 6 tokens)
+        assert {(r.stream, r.seq_id, r.doc_id, r.tok_begin, r.tok_end)
+                for r in t1} == {
+            ("s0", 0, 1, 0, 6), ("s0", 0, 2, 0, 2), ("s0", 1, 2, 3, 5),
+            ("s1", 0, 3, 0, 3),
+        }
+
+        # trigger 2: later docs continue from the CHECKPOINTED offsets —
+        # s0 resumes at offset 13 inside sequence 1, s1 at 4 in sequence 0
+        _write_record(src, "d4.json", doc(4, 9, "s0"))
+        _write_record(src, "d5.json", doc(5, 2, "s1"))
+        stream_pack(spark, str(src), out, ckpt, seq_len=10)
+        got = {(r.stream, r.seq_id, r.doc_id, r.tok_begin, r.tok_end)
+               for r in spark.read.parquet(out).collect()}
+
+        # row-identical to the batch operator over the full corpus
+        from vulnerablecode_spark.llm.curate import pack_sequences
+
+        docs_df = spark.createDataFrame(
+            [(1, 7, "s0"), (2, 6, "s0"), (3, 4, "s1"), (4, 9, "s0"),
+             (5, 2, "s1")],
+            "doc_id long, n long, source string",
+        ).selectExpr(
+            "doc_id",
+            "array_join(transform(sequence(1, n), x -> concat('w', x)), ' ')"
+            " AS text",
+            "source",
+        )
+        batch = {(r.stream, r.seq_id, r.doc_id, r.tok_begin, r.tok_end)
+                 for r in pack_sequences(docs_df, seq_len=10).collect()}
+        assert got == batch

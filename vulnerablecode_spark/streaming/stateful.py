@@ -65,3 +65,81 @@ def sessionize(events: DataFrame, gap_seconds: int = 60,
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequence packing — the stateful twin of llm.curate.pack_sequences
+# ---------------------------------------------------------------------------
+
+PACK_OUTPUT_SCHEMA = ("stream string, seq_id bigint, doc_id bigint, "
+                      "tok_begin bigint, tok_end bigint")
+PACK_STATE_SCHEMA = "next_off bigint"
+
+
+def pack_sequences_stream(docs: DataFrame, seq_len: int = 128,
+                          stream_col: str = "source",
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Streaming concat-and-chunk packing: each stream's running token
+    offset is the ONLY state carried across micro-batches, so manifest
+    rows stream out as documents arrive instead of waiting for a corpus
+    snapshot. Docs are packed in ``id_col`` order within each trigger;
+    when documents arrive in id order across triggers the emitted
+    manifest is row-identical to the batch ``llm.curate.pack_sequences``
+    (asserted in tests/test_streaming.py).
+
+    State is one bigint per stream — bounded by stream count, not corpus
+    size — hash-partitioned across executors by the group key.
+    """
+    ln = int(seq_len)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        off = state.get[0] if state.exists else 0
+        incoming = []
+        for pdf in pdfs:
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                incoming.append((int(doc_id), len(str(text).split(" "))))
+        incoming.sort()
+        rows = []
+        for doc_id, n_tok in incoming:
+            first, last = off // ln, (off + n_tok - 1) // ln
+            for s in range(first, last + 1):
+                rows.append((key[0], s, doc_id, max(s * ln - off, 0),
+                             min((s + 1) * ln, off + n_tok) - off - 1))
+            off += n_tok
+        state.update((off,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["stream", "seq_id", "doc_id",
+                               "tok_begin", "tok_end"])
+
+    return (
+        docs.groupBy(stream_col)
+        .applyInPandasWithState(
+            update, PACK_OUTPUT_SCHEMA, PACK_STATE_SCHEMA, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_pack(spark, source_dir: str, out_dir: str, checkpoint_dir: str,
+                seq_len: int = 128) -> None:
+    """File-stream harness: JSON doc records → packed-sequence manifest
+    parquet, offsets carried in the checkpointed state store across
+    AvailableNow runs."""
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("multiLine", "true")
+        .json(source_dir)
+    )
+    manifest = pack_sequences_stream(stream, seq_len=seq_len)
+    (
+        manifest.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
