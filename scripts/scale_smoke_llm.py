@@ -85,6 +85,20 @@ def main() -> None:
     timed("winnowing", lambda: "{} fingerprints".format(
         dedup.winnowing_fingerprints(docs, impl="arrow").count()))
 
+    # curation family: every stage is a projection or one partitioned
+    # window/agg — wall must track corpus size linearly, no stage may
+    # shuffle text except the packing window's narrow (id, n_tok) frame
+    from vulnerablecode_spark.llm import curate
+
+    timed("pii_redaction", lambda: "{} docs scrubbed".format(
+        curate.redact_pii(docs).count()))
+    timed("sequence_packing", lambda: "{} manifest rows".format(
+        curate.pack_sequences(docs, seq_len=128).count()))
+    timed("stratified_sample", lambda: "{} docs kept".format(
+        curate.stratified_sample(docs, target_per_stratum=25).count()))
+    timed("distinctive_terms", lambda: "{} terms".format(
+        curate.distinctive_terms(docs, k=5, min_tf=5).count()))
+
     bucketed = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),

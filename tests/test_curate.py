@@ -96,6 +96,31 @@ class TestPackSequences:
             else:
                 assert 1 <= size <= 128
 
+    def test_sharded_packing_still_covers_every_token(self, spark):
+        rows = [
+            (i, " ".join(f"t{i}w{j}" for j in range(n)), "en", "src")
+            for i, n in enumerate([5, 130, 128, 3, 260, 1])
+        ]
+        got = curate.pack_sequences(
+            _docs(spark, rows), seq_len=128, n_shards=4
+        ).collect()
+        # sharding re-routes docs to sub-streams but each doc's spans
+        # still cover [0, n_tok) exactly once within ONE stream
+        n_tok = {r[0]: len(r[1].split(" ")) for r in rows}
+        by_doc: dict[int, list] = {}
+        for m in got:
+            by_doc.setdefault(m.doc_id, []).append(m)
+        assert set(by_doc) == set(n_tok)
+        for doc_id, spans in by_doc.items():
+            assert len({m.stream for m in spans}) == 1
+            spans.sort(key=lambda m: m.seq_id)
+            assert spans[0].tok_begin == 0
+            assert spans[-1].tok_end == n_tok[doc_id] - 1
+            for a, b in zip(spans, spans[1:]):
+                assert b.tok_begin == a.tok_end + 1
+        # more than one shard stream actually used for 6 docs
+        assert len({m.stream for m in got}) > 1
+
     def test_streams_pack_independently(self, spark):
         rows = [(1, "a b c", "en", "s0"), (2, "d e", "en", "s1")]
         got = curate.pack_sequences(_docs(spark, rows), seq_len=128).collect()

@@ -120,6 +120,7 @@ def pack_sequences(
     stream_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_shards: int = 1,
 ) -> DataFrame:
     """Concat-and-chunk packing manifest: documents of each stream are
     concatenated in ``id_col`` order and cut into fixed ``seq_len``-token
@@ -133,18 +134,30 @@ def pack_sequences(
 
     Scale shape: the only shuffle is the window partitioned by the stream
     column — packing is embarrassingly parallel across streams, and a
-    production run packs per (source, shard) so no stream outgrows a task.
-    All arithmetic is integer division, identical across engines.
+    production run packs per (source, shard) so no stream outgrows a task:
+    pass ``n_shards > 1`` to sub-shard each source by a deterministic doc
+    hash (each shard is its own independent concat-and-chunk stream, the
+    window sort never sees more than 1/n_shards of a source, and the
+    manifest stays a valid packing — sequences simply belong to sharded
+    streams). All arithmetic is integer division, identical across engines.
     """
     ln = F.lit(int(seq_len)).cast("bigint")
     n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    stream = F.col(stream_col)
+    if n_shards > 1:
+        stream = F.concat_ws(
+            "#",
+            stream,
+            (hash64(F.col(id_col).cast("string")) % int(n_shards))
+            .cast("string"),
+        )
     w = (
         Window.partitionBy("stream")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     t = docs.select(
-        F.col(stream_col).alias("stream"),
+        stream.alias("stream"),
         F.col(id_col),
         n_tok.alias("n_tok"),
     ).withColumn(
