@@ -35,6 +35,8 @@ DOC_QUERIES = [
     # the scrub runs for real here: the generator plants emails / IPs /
     # card numbers / hex keys (the driver corpus has none)
     "q71_pii_redaction",
+    # planted near-dups differ by 1-2 tokens → real maximal shared runs
+    "q72_exact_substrings",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

@@ -768,3 +768,58 @@ class TestEmbeddingNearDup:
                  .filter(F.col("c") >= 0.4))
         bset = {(r.id_a, r.id_b) for r in brute.collect()}
         assert {(r.id_a, r.id_b) for r in rows} <= bset
+
+
+class TestExactSubstringSpans:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_maximal_run_exact_offsets(self, spark):
+        from vulnerablecode_spark.llm.dedup import exact_substring_spans
+
+        shared = " ".join(f"s{i}" for i in range(10))  # 10-token run
+        docs = self._docs(spark, [
+            (1, "a b c " + shared + " x y"),
+            (2, "p q " + shared + " r"),
+        ])
+        got = exact_substring_spans(docs, min_tokens=8).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        assert (r.start_a, r.start_b, r.n_tokens) == (3, 2, 10)
+
+    def test_short_runs_filtered(self, spark):
+        from vulnerablecode_spark.llm.dedup import exact_substring_spans
+
+        shared = " ".join(f"s{i}" for i in range(5))  # below min_tokens=8
+        docs = self._docs(spark, [
+            (1, "a b " + shared + " c"),
+            (2, "x " + shared + " y"),
+        ])
+        assert exact_substring_spans(docs, min_tokens=8).count() == 0
+
+    def test_two_separate_runs_two_rows(self, spark):
+        from vulnerablecode_spark.llm.dedup import exact_substring_spans
+
+        r1 = " ".join(f"p{i}" for i in range(8))
+        r2 = " ".join(f"q{i}" for i in range(9))
+        docs = self._docs(spark, [
+            (1, r1 + " gap1 gapx " + r2),
+            (2, r2 + " other stuff here filler " + r1),
+        ])
+        got = {(r.n_tokens, r.start_a, r.start_b)
+               for r in exact_substring_spans(docs, min_tokens=8).collect()}
+        # doc 2 layout: r2 at 0 (9 tokens), 4 filler tokens, r1 at 13
+        assert got == {(8, 0, 13), (9, 10, 0)}
+
+    def test_df_cap_suppresses_ubiquitous_ngrams(self, spark):
+        from vulnerablecode_spark.llm.dedup import exact_substring_spans
+
+        boiler = " ".join(f"b{i}" for i in range(12))
+        docs = self._docs(spark, [(i, boiler) for i in range(6)])
+        # every n-gram appears in 6 docs > max_df=5 → nothing reported
+        assert exact_substring_spans(
+            docs, min_tokens=8, max_df=5).count() == 0
+        # raising the cap reports all 15 pairs
+        assert exact_substring_spans(
+            docs, min_tokens=8, max_df=10).count() == 15

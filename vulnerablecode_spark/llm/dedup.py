@@ -621,6 +621,59 @@ def shared_span_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def exact_substring_spans(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", n: int = 3,
+                          min_tokens: int = 8, max_df: int = 50,
+                          impl: str = "hof") -> DataFrame:
+    """MAXIMAL exact shared token runs between document pairs — the
+    ExactSubstr dedup semantic of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better"), whose single-machine
+    form is a suffix array. The distributed form is hash-diagonal
+    gaps-and-islands:
+
+    1. positional n-gram hashes (id, pos, h);
+    2. document-frequency cap on h (the same hot-shingle discipline as
+       :func:`shared_span_pairs` — join fan-out is bounded by
+       ``max_df × Σ df``, never quadratic in a ubiquitous idiom);
+    3. equi-join on h across documents: each matching (pos_a, pos_b)
+       lies on diagonal ``pos_a − pos_b``; a shared substring of k
+       consecutive n-grams is k consecutive positions on ONE diagonal;
+    4. islands: within (doc_a, doc_b, diag), ``pos_a − row_number()`` is
+       constant per maximal run — group, and a run of k matches is an
+       exact shared span of ``k + n − 1`` tokens.
+
+    Matches are exact modulo the 60-bit hash (the standard fingerprint
+    argument; a collision needs ~2^30 distinct n-grams by birthday
+    bound). Output: (doc_a, doc_b, start_a, start_b, n_tokens) for every
+    maximal run of ≥ ``min_tokens`` tokens.
+    """
+    ph = positional_shingle_hashes(df, text_col, id_col, n, impl=impl)
+    rare = (ph.select(F.col(id_col), "h").distinct()
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("h"))
+    ph = ph.join(rare, "h", "left_semi")
+    a = ph.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"),
+                  "h")
+    b = ph.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"),
+                  "h")
+    m = (a.join(b, "h")
+         .filter(F.col("doc_a") < F.col("doc_b"))
+         .withColumn("diag", F.col("pos_a") - F.col("pos_b")))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy(
+        F.col("pos_a").asc())
+    runs = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(F.min("pos_a").cast("bigint").alias("start_a"),
+             F.min("pos_b").cast("bigint").alias("start_b"),
+             (F.count(F.lit(1)) + n - 1).cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") >= min_tokens)
+        .select("doc_a", "doc_b", "start_a", "start_b", "n_tokens")
+    )
+
+
 def near_dup_pairs_incremental(new_docs: DataFrame | None,
                                index_hashed: DataFrame,
                                index_bands: DataFrame,

@@ -1206,6 +1206,48 @@ def q61_shared_spans(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Exact shared substrings — maximal token runs via hash-diagonal islands
+# (the Lee et al. 2021 ExactSubstr semantic; suffix-array-free distributed
+# form, llm/dedup.py exact_substring_spans).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q72_exact_substrings",
+    oracle=f"""
+    WITH ph AS ({_SQL_POS_SHINGLES}),
+    rare AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM ph)
+        GROUP BY h HAVING COUNT(*) <= 50
+    ),
+    phr AS (SELECT ph.* FROM ph JOIN rare USING (h)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM phr a JOIN phr b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, pos_a, pos_b,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+               ) AS island
+        FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS BIGINT) AS start_a,
+           CAST(MIN(pos_b) AS BIGINT) AS start_b,
+           CAST(COUNT(*) + 2 AS BIGINT) AS n_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, island
+    HAVING COUNT(*) + 2 >= 8
+    """,
+)
+def q72_exact_substrings(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(docs, n=3, min_tokens=8, max_df=50,
+                                       impl="arrow")
+
+
+# ---------------------------------------------------------------------------
 # Real-codec round trips (kernel/media.py). The payloads are synthesized
 # deterministically from doc_id, pushed through the REAL encoder, then the
 # REAL container-header parser and pixel/sample decoder; the oracle computes
