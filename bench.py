@@ -124,7 +124,7 @@ def main() -> None:
     for extra in ("q40_connected_components", "q60_near_dup_dedup",
                   "q63_incremental_near_dup", "q65_semantic_dedup",
                   "q67_sequence_packing", "q68_stratified_sample",
-                  "q69_distinctive_terms"):
+                  "q69_distinctive_terms", "q72_exact_substrings"):
         try:
             reps = []
             for _ in range(REPS):

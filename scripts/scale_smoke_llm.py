@@ -84,6 +84,10 @@ def main() -> None:
             impl="arrow").count()))
     timed("winnowing", lambda: "{} fingerprints".format(
         dedup.winnowing_fingerprints(docs, impl="arrow").count()))
+    # adversarial for the diagonal-islands join: every replica pair
+    # shares its ENTIRE token stream as one maximal run
+    timed("exact_substrings", lambda: "{} spans".format(
+        dedup.exact_substring_spans(docs, impl="arrow").count()))
 
     # curation family: every stage is a projection or one partitioned
     # window/agg — wall must track corpus size linearly, no stage may

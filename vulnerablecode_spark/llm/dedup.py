@@ -647,13 +647,20 @@ def exact_substring_spans(df: DataFrame, text_col: str = "text",
     bound). Output: (doc_a, doc_b, start_a, start_b, n_tokens) for every
     maximal run of ≥ ``min_tokens`` tokens.
     """
-    ph = positional_shingle_hashes(df, text_col, id_col, n, impl=impl)
+    # one materialization of the Arrow hash kernel: ph feeds three
+    # consumers (DF agg + both join sides) — without the checkpoint the
+    # mapInPandas stage re-executes per consumer (same rationale as the
+    # near-dup artifact chain's shingle barrier)
+    ph = positional_shingle_hashes(
+        df, text_col, id_col, n, impl=impl).localCheckpoint(eager=False)
     rare = (ph.select(F.col(id_col), "h").distinct()
             .groupBy("h")
             .agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") <= max_df)
             .select("h"))
-    ph = ph.join(rare, "h", "left_semi")
+    # second barrier: the capped frame feeds BOTH sides of the pair join —
+    # without it the semi-join (and the kernel scan under it) runs twice
+    ph = ph.join(rare, "h", "left_semi").localCheckpoint(eager=False)
     a = ph.select(F.col(id_col).alias("doc_a"), F.col("pos").alias("pos_a"),
                   "h")
     b = ph.select(F.col(id_col).alias("doc_b"), F.col("pos").alias("pos_b"),
