@@ -37,6 +37,9 @@ DOC_QUERIES = [
     "q71_pii_redaction",
     # planted near-dups differ by 1-2 tokens → real maximal shared runs
     "q72_exact_substrings",
+    # planted near-dups form multi-doc clusters → the cluster-atomic
+    # split gate is load-bearing
+    "q73_leakage_safe_splits",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

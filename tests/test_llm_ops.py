@@ -823,3 +823,39 @@ class TestExactSubstringSpans:
         # raising the cap reports all 15 pairs
         assert exact_substring_spans(
             docs, min_tokens=8, max_df=10).count() == 15
+
+
+class TestLeakageSafeSplits:
+    def test_near_dup_clusters_never_straddle_splits(self, spark):
+        import vulnerablecode_spark.plans.llm  # noqa: F401 — registers q73
+        from vulnerablecode_spark.plans import QUERIES
+
+        out = QUERIES["q73_leakage_safe_splits"](
+            spark, "/root/testdata/sf0.001").collect()
+        by_cluster: dict[int, set] = {}
+        for r in out:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        # the invariant the operator exists for: one split per cluster
+        assert all(len(s) == 1 for s in by_cluster.values())
+        # the corpus has real near-dup clusters, so the guard is exercised
+        sizes: dict[int, int] = {}
+        for r in out:
+            sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+        assert max(sizes.values()) > 1
+
+    def test_split_is_cluster_hash_deterministic(self, spark):
+        from vulnerablecode_spark.llm.dedup import hash64
+        from pyspark.sql import functions as F
+
+        # recompute the gate for a handful of clusters and check the label
+        import vulnerablecode_spark.plans.llm  # noqa: F401 — registers q73
+        from vulnerablecode_spark.plans import QUERIES
+
+        out = QUERIES["q73_leakage_safe_splits"](
+            spark, "/root/testdata/sf0.001").limit(20)
+        chk = out.withColumn(
+            "gate", hash64(F.col("cluster_id").cast("string")) % 10000)
+        for r in chk.collect():
+            want = ("train" if r.gate < 9000
+                    else "val" if r.gate < 9500 else "test")
+            assert r.split == want

@@ -114,7 +114,8 @@ class TestRound4PlanQuality:
 class TestRound5PlanQuality:
     def test_round5_graded_queries_no_cartesian(self, spark):
         for name in ("q63_incremental_near_dup", "q64_ann_topk_ivf_pq",
-                     "q65_semantic_dedup", "q72_exact_substrings"):
+                     "q65_semantic_dedup", "q72_exact_substrings",
+                     "q73_leakage_safe_splits"):
             plan = plan_of(spark, name)
             assert "CartesianProduct" not in plan, name
 

@@ -1248,6 +1248,66 @@ def q72_exact_substrings(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Leakage-safe train/val/test splits — the split gate hashes the NEAR-DUP
+# CLUSTER id, not the document id, so a near-duplicate pair can never
+# straddle train and test (the contamination channel plain per-doc hash
+# splits leave open). Composes the q60 component machinery; singleton
+# docs are their own cluster. 90/5/5 in basis points, md5-hash gate —
+# deterministic, engine-portable, stable under corpus growth for
+# unchanged clusters.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q73_leakage_safe_splits",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BANDS},
+    {_SQL_NEAR_DUP_COMP},
+    clustered AS (
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE
+               WHEN {_SQL_HASH64.format(
+                   s="CAST(cluster_id AS VARCHAR)")} % 10000 < 9000
+                   THEN 'train'
+               WHEN {_SQL_HASH64.format(
+                   s="CAST(cluster_id AS VARCHAR)")} % 10000 < 9500
+                   THEN 'val'
+               ELSE 'test'
+           END AS split
+    FROM clustered
+    """,
+)
+def q73_leakage_safe_splits(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import \
+        connected_components
+
+    art = _near_dup_artifacts(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(
+        hashed=art["hashed"], candidates=art["candidates"], threshold=0.8)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    cluster = F.coalesce("component", "doc_id")
+    gate = dedup.hash64(cluster.cast("string")) % 10000
+    return (
+        docs.join(comps, docs["doc_id"] == comps["node"], "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            F.when(gate < 9000, "train")
+            .when(gate < 9500, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Real-codec round trips (kernel/media.py). The payloads are synthesized
 # deterministically from doc_id, pushed through the REAL encoder, then the
 # REAL container-header parser and pixel/sample decoder; the oracle computes
