@@ -192,6 +192,21 @@ class TestDistinctiveTerms:
         assert by[("a", "x")] == 2 * 6 * 10000 // (3 * 2)
 
 
+class TestBpeMergeStats:
+    def test_counts_and_rank(self, spark):
+        docs = _docs(spark, [
+            (1, "a b a b c", "en", "s"),   # "a b"×2, "b a"×1, "b c"×1
+            (2, "a b x", "en", "s"),       # "a b"×1, "b x"×1
+            (3, "solo", "en", "s"),        # no bigram
+        ])
+        got = [(r.pair, r.n, r.merge_rank)
+               for r in curate.bpe_merge_stats(docs, k=3).collect()]
+        assert got[0] == ("a b", 3, 1)
+        # ties broken by pair asc
+        assert [g[0] for g in got[1:]] == ["b a", "b c"]
+        assert [g[2] for g in got] == [1, 2, 3]
+
+
 class TestEpochUpsample:
     def test_factors_cap_and_equalize(self, spark):
         rows = (

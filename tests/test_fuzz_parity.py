@@ -40,6 +40,8 @@ DOC_QUERIES = [
     # planted near-dups form multi-doc clusters → the cluster-atomic
     # split gate is load-bearing
     "q73_leakage_safe_splits",
+    # random token multiplicity exercises the top-k tie-break totally
+    "q74_bpe_merge_stats",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

@@ -283,6 +283,48 @@ def distinctive_terms(
 
 
 # ---------------------------------------------------------------------------
+# BPE merge statistics (tokenizer induction, one iteration)
+# ---------------------------------------------------------------------------
+
+
+def bpe_merge_stats(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k most frequent ADJACENT token pairs — the statistic one BPE
+    merge iteration maximizes, at corpus scale: explode bigrams map-side,
+    partial-aggregated count, distributed TakeOrdered for the global
+    top-k (never an unpartitioned window over the pair space), then a
+    rank over the k surviving rows. Deterministic (count desc, pair asc)
+    tie-break on both engines. A full tokenizer trainer loops this,
+    re-tokenizing against the merge table each round; the per-iteration
+    aggregate IS the distributed work.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return counts.withColumn(
+        "merge_rank", F.row_number().over(w).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Epoch up-sampling manifest
 # ---------------------------------------------------------------------------
 

@@ -200,6 +200,33 @@ def q69_distinctive_terms(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# BPE merge statistics — top adjacent-pair counts (tokenizer induction).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q74_bpe_merge_stats",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    p AS (
+        SELECT toks[i + 1] || ' ' || toks[i + 2] AS pair
+        FROM t, UNNEST(range(0, greatest(len(toks) - 1, 0))) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY pair),
+    top AS (SELECT pair, n FROM c ORDER BY n DESC, pair ASC LIMIT 20)
+    SELECT pair, n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+               AS merge_rank
+    FROM top
+    """,
+)
+def q74_bpe_merge_stats(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.bpe_merge_stats(docs, k=20)
+
+
+# ---------------------------------------------------------------------------
 # Epoch up-sampling manifest — token-equalizing per-source multipliers.
 # ---------------------------------------------------------------------------
 
