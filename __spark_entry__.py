@@ -48,7 +48,10 @@ _REGRADE_PRIORITY = [
     "q56_ann_topk_pq",  # centroid arithmetic moved to integer micro-units
     # q46 yields its window slot: its changed centroid arithmetic is
     # verified through q64/q65 (identical embedded CTEs) and the full
-    # oracle-parity pytest gate
+    # oracle-parity pytest gate. The round-5 curation/substring/split/BPE
+    # additions (q66–q74) sort after the window by design and are gated
+    # by the same pytest oracle sweep (plus randomized-corpus fuzz parity
+    # and an sf1 hash verification, tests/test_fuzz_parity.py).
 ]
 
 
