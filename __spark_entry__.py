@@ -24,6 +24,7 @@ import vulnerablecode_spark.plans.coverage  # noqa: F401,E402 — registers quer
 import vulnerablecode_spark.plans.curate  # noqa: F401,E402
 import vulnerablecode_spark.plans.llm  # noqa: F401,E402
 import vulnerablecode_spark.plans.relational  # noqa: F401,E402
+import vulnerablecode_spark.plans.select  # noqa: F401,E402
 from vulnerablecode_spark.plans import ORACLES, QUERIES  # noqa: E402
 
 

@@ -43,6 +43,7 @@ def main() -> None:
     import vulnerablecode_spark.plans.curate  # noqa: F401
     import vulnerablecode_spark.plans.llm  # noqa: F401
     import vulnerablecode_spark.plans.relational  # noqa: F401
+    import vulnerablecode_spark.plans.select  # noqa: F401
     from vulnerablecode_spark.plans import QUERIES
     from vulnerablecode_spark.session import get_spark
 

@@ -19,6 +19,7 @@ import vulnerablecode_spark.plans.coverage  # noqa: F401 — registers queries
 import vulnerablecode_spark.plans.curate  # noqa: F401
 import vulnerablecode_spark.plans.llm  # noqa: F401
 import vulnerablecode_spark.plans.relational  # noqa: F401
+import vulnerablecode_spark.plans.select  # noqa: F401
 from vulnerablecode_spark.testing import compare_query
 
 # queries reading ONLY the documents table
@@ -42,6 +43,10 @@ DOC_QUERIES = [
     "q73_leakage_safe_splits",
     # random token multiplicity exercises the top-k tie-break totally
     "q74_bpe_merge_stats",
+    # selection family — the generator's 'src0' source makes the DSIR
+    # target side non-empty, so bucket lifts exercise both branches
+    "q75_dsir_importance", "q76_surprisal_partition",
+    "q77_packing_efficiency",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [
@@ -74,7 +79,7 @@ def _write_documents(path, seed: int, n_docs: int = 120) -> None:
         "doc_id": np.arange(n_docs, dtype=np.int64),
         "text": texts,
         "lang": rng.choice(["en", "fr", "de"], size=n_docs),
-        "source": rng.choice(["web", "code", "paper"], size=n_docs),
+        "source": rng.choice(["web", "src0", "paper"], size=n_docs),
         "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
     }).to_parquet(f"{path}/documents.parquet")
 

@@ -1,0 +1,241 @@
+"""Data-selection operators: scoring documents for inclusion in a training
+mix — hashed importance resampling (DSIR), unigram-surprisal corpus
+partitioning (the CCNet head/middle/tail split), and packing-efficiency
+reports for the sequence-packing manifests.
+
+These are the selection half of a pretraining data pipeline: dedup/quality
+(llm/dedup.py, llm/text.py) decide what is CLEAN, these decide what is
+WORTH TRAINING ON and how efficiently it batches. They generalize the
+reference's prioritize-by-signal posture (improvers ranked by confidence,
+vulnerabilities ranked by risk, e.g. vulnerabilities/improvers/__init__.py
+ordering and vulnerabilities/risk.py weighted scoring) to corpus-scale
+selection.
+
+Design rules shared with the rest of the llm package:
+
+- Pure Catalyst expressions — no Python UDFs — so every operator stays
+  JVM-side and whole-stage codegen'd.
+- Engine-exact arithmetic: integer basis points / micro-units throughout,
+  and the md5-derived 60-bit ``hash64`` for every hash, so a DuckDB oracle
+  reproduces results bit-for-bit (no float log-probabilities: the DSIR and
+  surprisal scores are likelihood RATIOS carried as integer lifts, which
+  rank identically to their logs).
+- Scale shape: every per-bucket / per-source statistic frame is tiny
+  (n_buckets or n_sources rows) and broadcast back onto the corpus; the
+  corpus-side plans are one explode + key-partitioned aggregations. No
+  global sort except the per-language NTILE in ``surprisal_partition``,
+  whose 100 TB variant is documented in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.llm.dedup import hash64
+
+
+def _scalar_join(df: DataFrame, scalar: DataFrame) -> DataFrame:
+    """Join a 1-row aggregate onto ``df`` via a literal key →
+    BroadcastHashJoin, never a nested-loop/cartesian (the plan-quality
+    invariant the suite asserts)."""
+    return df.withColumn("_k", F.lit(1)).join(
+        F.broadcast(scalar.withColumn("_k", F.lit(1))), "_k"
+    ).drop("_k")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — hashed importance resampling weights
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: "F.Column",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    hashed-n-gram variant: score every NON-target document by how much its
+    hashed-unigram distribution looks like the target domain's.
+
+    Tokens hash into ``n_buckets`` buckets; each bucket gets an integer
+    importance lift (basis points, Laplace +1 smoothed)::
+
+        lift_bp[b] = 10000 * p_target(b) / p_raw(b)
+                   = ((t_cnt[b]+1) * (r_tot+B) * 10000)
+                     div ((r_cnt[b]+1) * (t_tot+B))
+
+    and a document's importance weight is its token-count-weighted MEAN
+    bucket lift — the integer-ratio analogue of the paper's mean
+    log-likelihood ratio (a monotone transform per bucket, so resampling
+    ranks agree wherever one bucket dominates; unlike the float log it is
+    bit-identical across engines). Product bound: counts × totals × 10⁴
+    stays under 2⁶³ through ~10⁹ tokens per side; beyond that the
+    production plan switches the numerator to DECIMAL(38,0).
+
+    Scale shape: ONE explode of the corpus; per-(doc, bucket) counts
+    partial-aggregate map-side; the bucket statistics frame is ``n_buckets``
+    rows — broadcast — so the corpus is never joined to anything its own
+    size. Output: (doc_id, n_tok, importance_bp) for raw-side documents,
+    descending-sortable for top-p resampling.
+    """
+    nb = int(n_buckets)
+    toks = docs.select(
+        F.col(id_col),
+        target.alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    per_doc_bucket = (
+        toks.withColumn("bucket", hash64(F.col("tok")) % nb)
+        .groupBy(id_col, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    stats = per_doc_bucket.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0))
+        .cast("bigint").alias("t_cnt"),
+        F.sum(F.when(~F.col("is_target"), F.col("cnt")).otherwise(0))
+        .cast("bigint").alias("r_cnt"),
+    )
+    totals = stats.agg(
+        F.sum("t_cnt").cast("bigint").alias("t_tot"),
+        F.sum("r_cnt").cast("bigint").alias("r_tot"),
+    )
+    dim = _scalar_join(stats, totals).withColumn(
+        "lift_bp",
+        F.expr(
+            f"(t_cnt + 1) * (r_tot + {nb}) * 10000"
+            f" div ((r_cnt + 1) * (t_tot + {nb}))"
+        ),
+    )
+    return (
+        per_doc_bucket.filter(~F.col("is_target"))
+        .join(F.broadcast(dim.select("bucket", "lift_bp")), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tok"),
+            F.expr("sum(cnt * lift_bp) div sum(cnt)")
+            .cast("bigint").alias("importance_bp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style surprisal partitioning (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def surprisal_partition(
+    docs: DataFrame,
+    n_parts: int = 3,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partition each language's corpus into equal tiers by a unigram
+    surprisal proxy — the CCNet head/middle/tail split (Wenzek et al.
+    2020), with the corpus's own unigram model standing in for the
+    external KenLM.
+
+    Per-token rarity is the integer inverse probability ``10000 *
+    total_tokens div global_tf(token)`` (basis points); a document's
+    surprisal score is its mean token rarity. Rarity is a monotone
+    transform of unigram -log p, so tier membership matches the
+    log-domain split wherever a document's tokens are dominated by one
+    frequency band, and the integer form is engine-exact. Tiers come from
+    ``NTILE(n_parts)`` per language over (score, doc_id) — tier 1 = head
+    (most-probable text), tier ``n_parts`` = tail.
+
+    Scale shape: explode → global term-frequency aggregate (vocabulary-
+    sized, orders of magnitude smaller than the corpus) → shuffle join
+    tokens⋈tf on the term key → per-doc sum. The per-language NTILE is
+    the one global-sort stage; the 100 TB variant replaces it with
+    score cutpoints from a per-language quantile sketch (two fixed
+    cutpoints broadcast back), which this operator's output is the exact
+    small-scale reference for.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("global_tf")
+    )
+    total = tf.agg(F.sum("global_tf").cast("bigint").alias("total_tokens"))
+    scored = (
+        _scalar_join(toks.join(tf, "tok"), total)
+        .groupBy(id_col, lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.expr("sum(total_tokens * 10000 div global_tf) div count(1)")
+            .cast("bigint").alias("surprisal_bp"),
+        )
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("surprisal_bp").asc(), F.col(id_col).asc()
+    )
+    tier = F.ntile(int(n_parts)).over(w).cast("bigint")
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_tok",
+        "surprisal_bp",
+        tier.alias("tier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Packing-efficiency report
+# ---------------------------------------------------------------------------
+
+
+def packing_efficiency(
+    docs: DataFrame,
+    seq_len: int = 128,
+    stream_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stream report comparing naive one-doc-per-sequence batching
+    against the concat-and-chunk packing of ``curate.pack_sequences``:
+    sequence counts, padding waste, and utilization (basis points) for
+    both strategies — the artifact that justifies a packing pipeline.
+
+    Naive batching pads every document to a ``seq_len`` multiple
+    (``ceil(n_tok / L)`` sequences per doc); packed batching concatenates
+    the stream and cuts (``ceil(stream_tokens / L)`` sequences total, all
+    padding at the single stream tail). Pure one-pass aggregation —
+    integer arithmetic, one shuffle by stream key, no window.
+    """
+    ln = int(seq_len)
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    return (
+        docs.select(
+            F.col(stream_col).alias("stream"), n_tok.alias("n_tok")
+        )
+        .groupBy("stream")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("stream_tokens"),
+            F.sum(F.expr(f"(n_tok + {ln} - 1) div {ln}"))
+            .cast("bigint").alias("naive_seqs"),
+        )
+        .select(
+            "stream",
+            "n_docs",
+            "stream_tokens",
+            "naive_seqs",
+            F.expr(f"(stream_tokens + {ln} - 1) div {ln}")
+            .cast("bigint").alias("packed_seqs"),
+            F.expr(f"naive_seqs * {ln} - stream_tokens")
+            .cast("bigint").alias("naive_pad_tokens"),
+            F.expr(
+                f"stream_tokens * 10000 div (naive_seqs * {ln})"
+            ).cast("bigint").alias("naive_util_bp"),
+            F.expr(
+                f"stream_tokens * 10000"
+                f" div (((stream_tokens + {ln} - 1) div {ln}) * {ln})"
+            ).cast("bigint").alias("packed_util_bp"),
+        )
+    )
