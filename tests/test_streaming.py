@@ -265,6 +265,58 @@ class TestStreamNearDup:
         assert p2 == full
 
 
+class TestStreamDsirScore:
+    def test_batches_score_against_stored_model(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from vulnerablecode_spark.llm.select import (dsir_bucket_lifts,
+                                                     dsir_score)
+        from vulnerablecode_spark.streaming.incremental import \
+            stream_dsir_score
+
+        # fit the importance model offline on a labeled corpus and store it
+        fit = spark.createDataFrame(
+            [(100, "spark sql query plan spark sql", "tgt"),
+             (101, "banana kiwi mango papaya", "raw"),
+             (102, "spark plan sql", "raw")],
+            "doc_id long, text string, source string")
+        lifts_path = str(tmp_path / "dsir_lifts")
+        dsir_bucket_lifts(
+            fit, target=F.col("source") == "tgt", n_buckets=64
+        ).write.parquet(lifts_path)
+
+        src = tmp_path / "docs"; src.mkdir()
+        out = str(tmp_path / "scored")
+        ckpt = str(tmp_path / "ckpt_dsir")
+        _write_record(src, "d1.json",
+                      {"doc_id": 1, "text": "spark sql plan spark"})
+        _write_record(src, "d2.json",
+                      {"doc_id": 2, "text": "banana kiwi mango"})
+        stream_dsir_score(spark, str(src), lifts_path, out, ckpt,
+                          n_buckets=64)
+        s1 = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+        assert set(s1) == {1, 2}
+        assert s1[1].importance_bp > s1[2].importance_bp
+
+        # a later trigger scores ONLY the new arrivals, and every stream
+        # row equals the batch dsir_score of the same doc against the
+        # same stored model
+        _write_record(src, "d3.json",
+                      {"doc_id": 3, "text": "query plan sql spark papaya"})
+        stream_dsir_score(spark, str(src), lifts_path, out, ckpt,
+                          n_buckets=64)
+        s2 = {r.doc_id: (r.n_tok, r.importance_bp)
+              for r in spark.read.parquet(out).collect()}
+        assert set(s2) == {1, 2, 3}
+        docs = spark.read.schema("doc_id long, text string").option(
+            "multiLine", "true").json(str(src))
+        batch = {r.doc_id: (r.n_tok, r.importance_bp)
+                 for r in dsir_score(
+                     docs, spark.read.parquet(lifts_path),
+                     n_buckets=64).collect()}
+        assert s2 == batch
+
+
 class TestStreamDedup:
     def test_dedup_state_survives_triggers(self, spark, tmp_path):
         from vulnerablecode_spark.streaming.incremental import stream_dedup

@@ -49,50 +49,55 @@ def _scalar_join(df: DataFrame, scalar: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def dsir_importance(
+def _doc_bucket_counts(
+    docs: DataFrame,
+    n_buckets: int,
+    text_col: str,
+    id_col: str,
+    flag: "F.Column | None" = None,
+) -> DataFrame:
+    """Per-(doc, bucket) hashed-unigram counts — one explode, counts
+    partial-aggregated map-side before the doc-key shuffle."""
+    cols = [F.col(id_col)]
+    keys = [id_col, "bucket"]
+    if flag is not None:
+        cols.append(flag.alias("is_target"))
+        keys.insert(1, "is_target")
+    toks = docs.select(
+        *cols, F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    return (
+        toks.withColumn("bucket", hash64(F.col("tok")) % int(n_buckets))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def dsir_bucket_lifts(
     docs: DataFrame,
     target: "F.Column",
     n_buckets: int = 4096,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Data Selection via Importance Resampling (Xie et al. 2023), the
-    hashed-n-gram variant: score every NON-target document by how much its
-    hashed-unigram distribution looks like the target domain's.
-
-    Tokens hash into ``n_buckets`` buckets; each bucket gets an integer
-    importance lift (basis points, Laplace +1 smoothed)::
+    """Fit the DSIR importance model: per-bucket integer lifts (basis
+    points, Laplace +1 smoothed) comparing the target domain's hashed-
+    unigram distribution to the raw side's::
 
         lift_bp[b] = 10000 * p_target(b) / p_raw(b)
                    = ((t_cnt[b]+1) * (r_tot+B) * 10000)
                      div ((r_cnt[b]+1) * (t_tot+B))
 
-    and a document's importance weight is its token-count-weighted MEAN
-    bucket lift — the integer-ratio analogue of the paper's mean
-    log-likelihood ratio (a monotone transform per bucket, so resampling
-    ranks agree wherever one bucket dominates; unlike the float log it is
-    bit-identical across engines). Product bound: counts × totals × 10⁴
-    stays under 2⁶³ through ~10⁹ tokens per side; beyond that the
-    production plan switches the numerator to DECIMAL(38,0).
-
-    Scale shape: ONE explode of the corpus; per-(doc, bucket) counts
-    partial-aggregate map-side; the bucket statistics frame is ``n_buckets``
-    rows — broadcast — so the corpus is never joined to anything its own
-    size. Output: (doc_id, n_tok, importance_bp) for raw-side documents,
-    descending-sortable for top-p resampling.
+    Output is the ``n_buckets``-row (bucket, lift_bp) dimension — the
+    STORED model a production pipeline writes once and broadcasts into
+    every subsequent scoring pass (batch or streaming). Product bound:
+    counts × totals × 10⁴ stays under 2⁶³ through ~10⁹ tokens per side;
+    beyond that the production plan switches the numerator to
+    DECIMAL(38,0).
     """
     nb = int(n_buckets)
-    toks = docs.select(
-        F.col(id_col),
-        target.alias("is_target"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    )
-    per_doc_bucket = (
-        toks.withColumn("bucket", hash64(F.col("tok")) % nb)
-        .groupBy(id_col, "is_target", "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    )
-    stats = per_doc_bucket.groupBy("bucket").agg(
+    pdb = _doc_bucket_counts(docs, nb, text_col, id_col, flag=target)
+    stats = pdb.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_target"), F.col("cnt")).otherwise(0))
         .cast("bigint").alias("t_cnt"),
         F.sum(F.when(~F.col("is_target"), F.col("cnt")).otherwise(0))
@@ -102,22 +107,61 @@ def dsir_importance(
         F.sum("t_cnt").cast("bigint").alias("t_tot"),
         F.sum("r_cnt").cast("bigint").alias("r_tot"),
     )
-    dim = _scalar_join(stats, totals).withColumn(
-        "lift_bp",
+    return _scalar_join(stats, totals).select(
+        "bucket",
         F.expr(
             f"(t_cnt + 1) * (r_tot + {nb}) * 10000"
             f" div ((r_cnt + 1) * (t_tot + {nb}))"
-        ),
+        ).cast("bigint").alias("lift_bp"),
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    lifts: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against a fitted (bucket, lift_bp) dimension: each
+    document's importance weight is its token-count-weighted MEAN bucket
+    lift — the integer-ratio analogue of DSIR's mean log-likelihood ratio
+    (a monotone transform per bucket, so resampling ranks agree wherever
+    one bucket dominates; unlike the float log it is bit-identical across
+    engines). The dimension broadcasts, so the corpus is never joined to
+    anything its own size. Output: (doc_id, n_tok, importance_bp),
+    descending-sortable for top-p resampling.
+    """
+    pdb = _doc_bucket_counts(docs, n_buckets, text_col, id_col)
     return (
-        per_doc_bucket.filter(~F.col("is_target"))
-        .join(F.broadcast(dim.select("bucket", "lift_bp")), "bucket")
+        pdb.join(F.broadcast(lifts), "bucket")
         .groupBy(id_col)
         .agg(
             F.sum("cnt").cast("bigint").alias("n_tok"),
             F.expr("sum(cnt * lift_bp) div sum(cnt)")
             .cast("bigint").alias("importance_bp"),
         )
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: "F.Column",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023), the
+    hashed-n-gram variant: fit per-bucket lifts on the target/raw split
+    (``dsir_bucket_lifts``), then score every NON-target document against
+    them (``dsir_score``). See those stages for arithmetic and the scale
+    shape; the streaming twin (streaming/incremental.py
+    ``stream_dsir_score``) replays the score stage per micro-batch
+    against the stored dimension.
+    """
+    lifts = dsir_bucket_lifts(docs, target, n_buckets, text_col, id_col)
+    return dsir_score(
+        docs.filter(~target), lifts, n_buckets, text_col, id_col
     )
 
 

@@ -158,6 +158,42 @@ def stream_near_dup(spark: SparkSession, source_dir: str, index_dir: str,
     )
 
 
+def stream_dsir_score(spark: SparkSession, source_dir: str, lifts_path: str,
+                      out_dir: str, checkpoint_dir: str,
+                      n_buckets: int = 4096) -> None:
+    """Streaming DSIR scoring: micro-batches of documents are scored
+    against the STORED (bucket, lift_bp) importance model
+    (``llm.select.dsir_bucket_lifts``, fit offline and written once) and
+    their (doc_id, n_tok, importance_bp) rows appended — the production
+    selection shape, where the importance model is a slowly-refit
+    dimension and the corpus arrives as a stream. The model frame
+    broadcasts into every batch; per-doc aggregation happens inside
+    ``foreachBatch`` so no streaming state accrues (each document is
+    wholly contained in its batch — unlike dedup, scoring needs no
+    cross-batch memory).
+    """
+    from vulnerablecode_spark.llm.select import dsir_score
+
+    lifts = read_table(spark, lifts_path)
+
+    def score_batch(batch: DataFrame, _batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        dsir_score(batch, lifts, n_buckets=n_buckets).write.mode(
+            "append").parquet(out_dir)
+
+    (
+        spark.readStream.schema("doc_id long, text string")
+        .option("multiLine", "true")
+        .json(source_dir)
+        .writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def stream_dedup(spark: SparkSession, source_dir: str, out_dir: str,
                  checkpoint_dir: str) -> None:
     """Streaming exact dedup over a document file stream: emit each
