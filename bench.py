@@ -125,7 +125,8 @@ def main() -> None:
     for extra in ("q40_connected_components", "q60_near_dup_dedup",
                   "q63_incremental_near_dup", "q65_semantic_dedup",
                   "q67_sequence_packing", "q68_stratified_sample",
-                  "q69_distinctive_terms", "q72_exact_substrings"):
+                  "q69_distinctive_terms", "q72_exact_substrings",
+                  "q75_dsir_importance", "q76_surprisal_partition"):
         try:
             reps = []
             for _ in range(REPS):

@@ -103,6 +103,20 @@ def main() -> None:
     timed("distinctive_terms", lambda: "{} terms".format(
         curate.distinctive_terms(docs, k=5, min_tf=5).count()))
 
+    # selection family: DSIR fit is two bucket-key aggregates over one
+    # explode; scoring joins the corpus only to the broadcast n_buckets-row
+    # model — wall must track corpus size, never corpus × model
+    from vulnerablecode_spark.llm import select as sel
+
+    lifts = sel.dsir_bucket_lifts(
+        docs, target=F.col("source") == "src0").localCheckpoint(eager=True)
+    timed("dsir_fit", lambda: f"{lifts.count()} bucket lifts")
+    timed("dsir_score", lambda: "{} docs scored".format(
+        sel.dsir_score(docs.filter(F.col("source") != "src0"),
+                       lifts).count()))
+    timed("surprisal_partition", lambda: "{} docs tiered".format(
+        sel.surprisal_partition(docs).count()))
+
     bucketed = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
