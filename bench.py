@@ -126,7 +126,8 @@ def main() -> None:
                   "q63_incremental_near_dup", "q65_semantic_dedup",
                   "q67_sequence_packing", "q68_stratified_sample",
                   "q69_distinctive_terms", "q72_exact_substrings",
-                  "q75_dsir_importance", "q76_surprisal_partition"):
+                  "q75_dsir_importance", "q76_surprisal_partition",
+                  "q78_curation_pipeline"):
         try:
             reps = []
             for _ in range(REPS):

@@ -47,6 +47,9 @@ DOC_QUERIES = [
     # target side non-empty, so bucket lifts exercise both branches
     "q75_dsir_importance", "q76_surprisal_partition",
     "q77_packing_efficiency",
+    # composed pipeline: the planted near-dup clusters make the dup gate
+    # load-bearing, and planted PII docs skew quality scores both ways
+    "q78_curation_pipeline",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

@@ -1601,3 +1601,88 @@ def q52_wav_roundtrip(spark, sf_dir):
         roundtrip,
         "doc_id long, sample_rate long, n_channels long, bit_depth long, "
         "n_samples long, sample_sum long, abs_sum long")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline — the composed audit trail: quality gate
+# (q28's integer score) AND near-dup keep-list (q60's components) AND
+# benchmark decontamination (q57's overlap), one verdict row per document.
+# This is the "run the whole pipeline" artifact a data curator ships with
+# a training set; every stage reuses the SHARED near-dup artifacts, so the
+# composition adds two narrow doc-keyed joins, not a recompute.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q78_curation_pipeline",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BANDS},
+    {_SQL_NEAR_DUP_COMP},
+    quality AS (
+        SELECT doc_id,
+               (LEAST(n_tokens, 64) * 5000) // 64
+               + (LEAST(((stop_hits * 10000) // n_tokens) * 4, 10000) // 4)
+               + (CASE WHEN ((n_chars - (n_tokens - 1)) * 100) // n_tokens
+                            BETWEEN 300 AND 800 THEN 2500 ELSE 0 END)
+                   AS quality_score_bp
+        FROM (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '\\b(the|a|of|and)\\b')) AS BIGINT) AS stop_hits
+            FROM documents
+        )
+    ),
+    bench AS (SELECT DISTINCT h FROM hs WHERE doc_id < 20),
+    contam AS (
+        SELECT doc_id,
+               CAST((SUM(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+                     * 10000) // COUNT(*) AS BIGINT) AS overlap_bp
+        FROM hs LEFT JOIN bench b USING (h)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           q.quality_score_bp >= 5000 AS quality_ok,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS dup_keep,
+           COALESCE(ct.overlap_bp, 0) < 5000 AS contam_ok,
+           (q.quality_score_bp >= 5000
+            AND COALESCE(c.component, d.doc_id) = d.doc_id
+            AND COALESCE(ct.overlap_bp, 0) < 5000) AS selected
+    FROM documents d
+    JOIN quality q USING (doc_id)
+    LEFT JOIN comp c ON c.node = d.doc_id
+    LEFT JOIN contam ct ON ct.doc_id = d.doc_id
+    """,
+)
+def q78_curation_pipeline(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import \
+        connected_components
+
+    docs = _load(spark, sf_dir, "documents")
+    quality = text.quality_metrics(docs).select(
+        "doc_id", (F.col("quality_score_bp") >= 5000).alias("quality_ok"))
+    art = _near_dup_artifacts(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(
+        hashed=art["hashed"], candidates=art["candidates"], threshold=0.8)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    contam = dedup.decontamination_overlap(
+        docs, docs.filter(F.col("doc_id") < 20), impl="arrow"
+    ).select("doc_id", "overlap_bp")
+    base = docs.select("doc_id")
+    joined = (
+        base.join(quality, "doc_id")
+        .join(comps, base["doc_id"] == comps["node"], "left")
+        .join(contam, "doc_id", "left")
+    )
+    dup_keep = F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+    contam_ok = F.coalesce(F.col("overlap_bp"), F.lit(0)) < 5000
+    return joined.select(
+        "doc_id",
+        "quality_ok",
+        dup_keep.alias("dup_keep"),
+        contam_ok.alias("contam_ok"),
+        (F.col("quality_ok") & dup_keep & contam_ok).alias("selected"),
+    )
