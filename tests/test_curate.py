@@ -258,3 +258,54 @@ class TestCuratePlanQuality:
     def test_pii_redaction_is_mapside(self, spark):
         plan = self._plan(spark, "q71_pii_redaction")
         assert "Exchange" not in plan  # pure projection, shuffle-free
+
+
+class TestBpeEncodeTrain:
+    def test_greedy_overlap_and_priority(self, spark):
+        import hashlib
+
+        # merge 0: (a, b) outranks merge 1: (b, c) — in "a b c" the
+        # higher-priority (a,b) must win even though (b,c) also matches;
+        # overlapping "a a a" with (a,a) merges left-to-right → [aa, a]
+        out = {r.doc_id: r for r in curate.bpe_apply_merges(
+            _docs(spark, [(1, "a b c", "en", "s"),
+                          (2, "a a a", "en", "s")]),
+            merges=[("a", "b"), ("b", "c"), ("a", "a")]).collect()}
+        assert (out[1].n_tok_before, out[1].n_tok_after) == (3, 2)
+        assert out[1].encoded_fp == hashlib.md5(
+            "a b\x1fc".encode()).hexdigest()
+        assert (out[2].n_tok_before, out[2].n_tok_after) == (3, 2)
+        assert out[2].encoded_fp == hashlib.md5(
+            "a a\x1fa".encode()).hexdigest()
+
+    def test_cascading_merges(self, spark):
+        import hashlib
+
+        # (a,b) then (a b, c): the second merge consumes the first's
+        # output token — the defining recursive property of BPE vocab
+        out = curate.bpe_apply_merges(
+            _docs(spark, [(1, "a b c d", "en", "s")]),
+            merges=[("a", "b"), ("a b", "c")]).collect()[0]
+        assert out.n_tok_after == 2
+        assert out.encoded_fp == hashlib.md5(
+            "a b c\x1fd".encode()).hexdigest()
+
+    def test_train_learns_frequent_pairs_then_encode_shrinks(self, spark):
+        docs = _docs(spark, [
+            (1, "new york city has new york weather", "en", "s"),
+            (2, "new york is new york", "en", "s"),
+            (3, "old york town", "en", "s"),
+        ])
+        merges = curate.bpe_train(docs, n_merges=2)
+        # "new york" occurs 4x — round 1 must adopt it; round 2 then sees
+        # the merged token and its most frequent neighbor pair
+        assert merges[0] == ("new", "york")
+        enc = {r.doc_id: r for r in
+               curate.bpe_apply_merges(docs, merges).collect()}
+        assert enc[1].n_tok_after < enc[1].n_tok_before
+        assert enc[3].n_tok_after == 3  # "old york town" untouched
+
+    def test_train_stops_when_no_repeating_pair(self, spark):
+        merges = curate.bpe_train(
+            _docs(spark, [(1, "q w e r t y", "en", "s")]), n_merges=5)
+        assert merges == []  # every pair occurs once → nothing to learn

@@ -50,6 +50,8 @@ DOC_QUERIES = [
     # composed pipeline: the planted near-dup clusters make the dup gate
     # load-bearing, and planted PII docs skew quality scores both ways
     "q78_curation_pipeline",
+    # planted near-dup chains make multi-size clusters
+    "q79_cluster_size_histogram",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

@@ -1,0 +1,50 @@
+"""Oracle parity at the sf1 scale point (the floor-free bench scale).
+
+testdata/sf1 is generated — not driver-shipped — so this module SKIPS
+cleanly when the directory is absent; regenerate it with
+``python scripts/gen_sf.py`` (deterministic, ~1 min). When present, the
+round-5+ query families are hash-verified at 10× the driver's largest
+grading scale, the evidence behind SCALE.md's "hash-verified at the sf1
+scale point" claims.
+
+The sweep is the HEAVY tail only (near-dup compositions, selection,
+pipeline audit): the full 79-query sweep at sf1 belongs to bench/verify
+sessions, not the default pytest gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import vulnerablecode_spark.plans.coverage  # noqa: F401 — registers queries
+import vulnerablecode_spark.plans.curate  # noqa: F401
+import vulnerablecode_spark.plans.llm  # noqa: F401
+import vulnerablecode_spark.plans.relational  # noqa: F401
+import vulnerablecode_spark.plans.select  # noqa: F401
+from vulnerablecode_spark.testing import compare_query
+
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "testdata", "sf1"))
+
+SF1_QUERIES = [
+    "q60_near_dup_dedup",
+    "q63_incremental_near_dup",
+    "q72_exact_substrings",
+    "q75_dsir_importance",
+    "q76_surprisal_partition",
+    "q77_packing_efficiency",
+    "q78_curation_pipeline",
+    "q79_cluster_size_histogram",
+]
+
+
+@pytest.mark.skipif(not os.path.isdir(SF1_DIR),
+                    reason="testdata/sf1 not generated (scripts/gen_sf.py)")
+@pytest.mark.parametrize("name", SF1_QUERIES)
+def test_sf1_query_matches_oracle(spark, name):
+    ok, detail = compare_query(spark, name, SF1_DIR)
+    assert ok, f"{name} @ sf1: {detail}"

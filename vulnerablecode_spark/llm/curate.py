@@ -324,6 +324,166 @@ def bpe_merge_stats(
     )
 
 
+def bpe_apply_merges(
+    docs: DataFrame,
+    merges: "list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a ranked BPE merge table to every document — the encode
+    (serving-time) twin of ``bpe_merge_stats``: repeatedly merge the
+    best-ranked adjacent pair present in the token stream, each pass
+    taking non-overlapping occurrences left to right, until no listed
+    pair remains. Genuinely sequence-dependent (greedy, priority-ordered,
+    overlap-sensitive — ``a a a`` with merge ``(a, a)`` yields
+    ``[a a, a]``), so this is one of the few Arrow-batched Python
+    kernels: the merge table broadcasts in the closure, documents are
+    embarrassingly parallel.
+
+    Output: (doc_id, n_tok_before, n_tok_after, encoded_fp) where
+    ``encoded_fp`` is the md5 of the encoded stream joined with the
+    unit-separator byte (merged tokens keep their internal space, so the
+    separator keeps the fingerprint injective).
+    """
+    merge_list = [(str(left), str(right)) for left, right in merges]
+
+    def encode_batches(batches):
+        import hashlib
+
+        import pandas as _pd
+
+        ranks = {pair: i for i, pair in enumerate(merge_list)}
+
+        def encode(toks):
+            while True:
+                best = None
+                for a, b in zip(toks, toks[1:]):
+                    r = ranks.get((a, b))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    return toks
+                left, right = merge_list[best]
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == left
+                            and toks[i + 1] == right):
+                        out.append(left + " " + right)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(txt, str):
+                    continue
+                toks = txt.split(" ")
+                enc = encode(toks)
+                rows.append((
+                    doc_id, len(toks), len(enc),
+                    hashlib.md5("\x1f".join(enc).encode()).hexdigest(),
+                ))
+            yield _pd.DataFrame(rows, columns=[
+                id_col, "n_tok_before", "n_tok_after", "encoded_fp"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode_batches,
+        f"{id_col} long, n_tok_before long, n_tok_after long, "
+        "encoded_fp string",
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "list[tuple[str, str]]":
+    """Distributed BPE training: ``n_merges`` rounds of (count adjacent
+    pairs over the currently-encoded corpus → adopt the most frequent
+    pair as the next merge). Each round is one distributed aggregate
+    (``bpe_merge_stats`` with k=1) over the corpus re-encoded against
+    the merges learned so far — the driver holds only the merge table
+    (``n_merges`` rows), never data. Rounds are bounded by construction;
+    ties break (count desc, pair asc) like ``bpe_merge_stats``, so the
+    learned table is deterministic.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 — local for clarity
+
+    merges: list[tuple[str, str]] = []
+    corpus = docs.select(id_col, text_col)
+    for _ in range(int(n_merges)):
+        if merges:
+            # re-encode is one mapInPandas pass; the fingerprint columns
+            # are dropped — training only needs the encoded stream, so
+            # re-materialize it as text with the separator preserved
+            encoded = _bpe_encoded_text(corpus, merges, text_col, id_col)
+        else:
+            encoded = corpus.select(
+                F.col(id_col),
+                F.split(F.col(text_col), " ").alias("toks"))
+        top = (
+            encoded.select(F.explode(F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(t, i) -> struct(t as l, toks[i + 1] as r))"
+            )).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        merges.append((top[0]["l"], top[0]["r"]))
+    return merges
+
+
+def _bpe_encoded_text(docs, merges, text_col, id_col):
+    """Encoded corpus as (id, toks array) via the same greedy kernel."""
+    merge_list = [(str(left), str(right)) for left, right in merges]
+
+    def encode_batches(batches):
+        import pandas as _pd
+
+        ranks = {pair: i for i, pair in enumerate(merge_list)}
+
+        def encode(toks):
+            while True:
+                best = None
+                for a, b in zip(toks, toks[1:]):
+                    r = ranks.get((a, b))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    return toks
+                left, right = merge_list[best]
+                out, i = [], 0
+                while i < len(toks):
+                    if (i + 1 < len(toks) and toks[i] == left
+                            and toks[i + 1] == right):
+                        out.append(left + " " + right)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(txt, str):
+                    continue
+                rows.append((doc_id, encode(txt.split(" "))))
+            yield _pd.DataFrame(rows, columns=[id_col, "toks"])
+
+    return docs.select(id_col, text_col).mapInPandas(
+        encode_batches, f"{id_col} long, toks array<string>")
+
+
 # ---------------------------------------------------------------------------
 # Epoch up-sampling manifest
 # ---------------------------------------------------------------------------

@@ -1686,3 +1686,55 @@ def q78_curation_pipeline(spark, sf_dir):
         contam_ok.alias("contam_ok"),
         (F.col("quality_ok") & dup_keep & contam_ok).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size histogram — the dedup diagnostic a curator reads
+# before choosing a threshold: how many clusters of each size exist, and
+# how many documents each size class removes. Reuses the q60 component
+# labels; singleton documents count as size-1 clusters.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q79_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BANDS},
+    {_SQL_NEAR_DUP_COMP},
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    clusters AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM labeled GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS n_removed
+    FROM clusters GROUP BY cluster_size
+    """,
+)
+def q79_cluster_size_histogram(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import \
+        connected_components
+
+    art = _near_dup_artifacts(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(
+        hashed=art["hashed"], candidates=art["candidates"], threshold=0.8)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    labeled = docs.join(comps, docs["doc_id"] == comps["node"], "left").select(
+        F.coalesce("component", "doc_id").alias("cluster_id"))
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size"))
+        .cast("bigint").alias("n_docs"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
+        .cast("bigint").alias("n_removed"),
+    )
