@@ -1,0 +1,108 @@
+"""Learned quality filtering: the fastText/LR-style classifier step real
+pretraining pipelines run after rule-based quality signals — GPT-3's
+Wikipedia-vs-CommonCrawl logistic regression, CCNet's fastText stage —
+expressed with Spark MLlib so training is distributed L-BFGS over the
+executors, not a driver-side fit.
+
+Featurization is the hashing trick over whitespace tokens
+(``pyspark.ml.feature.HashingTF``, murmur3 — the MLlib-native sibling of
+``llm.text.feature_hash_counts``'s engine-portable integer variant:
+training needs no cross-engine oracle, so the idiomatic vectorizer wins
+here). The model object is a broadcastable coefficient vector; scoring is
+a map-side projection — no shuffle beyond the tokenize-free transform.
+
+Relation to the DSIR scorer (llm/select.py): DSIR reweights by a
+generative bucket-ratio model with no training loop; this is the
+discriminative twin — a trained decision boundary — and real pipelines
+run both (DSIR to resample, a classifier to hard-filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    positive: "F.Column",
+    n_features: int = 4096,
+    max_iter: int = 25,
+    reg_param: float = 0.01,
+    text_col: str = "text",
+):
+    """Fit the quality model: logistic regression over hashed token
+    vectors, label 1 = ``positive`` (the curated/target-domain slice),
+    0 = the rest. Returns a fitted ``PipelineModel`` (tokens → HashingTF
+    → LR) whose coefficients broadcast into any later scoring pass.
+
+    Scale shape: HashingTF is a stateless map-side transform (no
+    vocabulary broadcast, no fit pass over the corpus); LR training is
+    MLlib's distributed L-BFGS — each iteration one treeAggregate of
+    gradient partials, driver state = one coefficient vector of
+    ``n_features`` doubles.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    labeled = docs.select(
+        F.split(F.col(text_col), " ").alias("tokens"),
+        positive.cast("double").alias("label"),
+    )
+    pipeline = Pipeline(stages=[
+        HashingTF(inputCol="tokens", outputCol="features",
+                  numFeatures=int(n_features)),
+        LogisticRegression(maxIter=int(max_iter), regParam=float(reg_param),
+                           featuresCol="features", labelCol="label"),
+    ])
+    return pipeline.fit(labeled)
+
+
+def score_quality(
+    model,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents with a fitted quality model: (doc_id,
+    quality_prob, quality_pred) where ``quality_prob`` is P(label=1).
+    Pure map-side: hash-transform + broadcast coefficient dot product,
+    embarrassingly parallel over input splits.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(
+        docs.select(F.col(id_col),
+                    F.split(F.col(text_col), " ").alias("tokens"))
+    )
+    return scored.select(
+        F.col(id_col),
+        vector_to_array("probability").getItem(1).alias("quality_prob"),
+        F.col("prediction").cast("bigint").alias("quality_pred"),
+    )
+
+
+def classifier_filter_report(
+    model,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source report of what a probability threshold would keep —
+    the artifact a curator reads before committing to a hard filter:
+    (source, n_docs, n_kept, kept_bp)."""
+    scored = score_quality(model, docs, text_col=text_col, id_col=id_col)
+    joined = docs.select(F.col(id_col), F.col(group_col)).join(
+        scored, id_col)
+    return joined.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("quality_prob") >= float(threshold)).cast("bigint"))
+        .cast("bigint").alias("n_kept"),
+        F.expr(
+            f"sum(cast(quality_prob >= {float(threshold)} as bigint)) "
+            "* 10000 div count(1)"
+        ).cast("bigint").alias("kept_bp"),
+    )
