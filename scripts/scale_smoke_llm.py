@@ -108,9 +108,16 @@ def main() -> None:
     # model — wall must track corpus size, never corpus × model
     from vulnerablecode_spark.llm import select as sel
 
-    lifts = sel.dsir_bucket_lifts(
-        docs, target=F.col("source") == "src0").localCheckpoint(eager=True)
-    timed("dsir_fit", lambda: f"{lifts.count()} bucket lifts")
+    lifts_box: list = []
+
+    def fit_model():
+        lifts_box.append(sel.dsir_bucket_lifts(
+            docs, target=F.col("source") == "src0")
+            .localCheckpoint(eager=True))
+        return f"{lifts_box[0].count()} bucket lifts"
+
+    timed("dsir_fit", fit_model)
+    lifts = lifts_box[0]
     timed("dsir_score", lambda: "{} docs scored".format(
         sel.dsir_score(docs.filter(F.col("source") != "src0"),
                        lifts).count()))

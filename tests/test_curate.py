@@ -309,3 +309,14 @@ class TestBpeEncodeTrain:
         merges = curate.bpe_train(
             _docs(spark, [(1, "q w e r t y", "en", "s")]), n_merges=5)
         assert merges == []  # every pair occurs once → nothing to learn
+
+    def test_null_text_emits_empty_row_not_drop(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b", "en", "s"), (2, None, "en", "s")],
+            "doc_id bigint, text string, lang string, source string")
+        out = {r.doc_id: r for r in curate.bpe_apply_merges(
+            docs, merges=[("a", "b")]).collect()}
+        assert set(out) == {1, 2}  # the null doc is NOT silently dropped
+        assert (out[2].n_tok_before, out[2].n_tok_after) == (0, 0)
+        assert out[2].encoded_fp is None
+        assert out[1].n_tok_after == 1

@@ -62,6 +62,25 @@ class TestDsirImportance:
         assert len(out) == 2
         assert len({r.importance_bp for r in out}) == 1
 
+    def test_dense_model_scores_novel_documents(self, spark):
+        # the stored model must be total over the hash range: a document
+        # whose tokens never appeared in the fit corpus still gets a row,
+        # carrying the smoothed default lift (t_cnt=0, r_cnt=0)
+        nb = 32
+        fit = _docs(spark, [
+            (1, "spark sql plan", "en", "tgt"),
+            (2, "banana kiwi mango", "en", "raw"),
+        ])
+        lifts = select.dsir_bucket_lifts(
+            fit, target=F.col("source") == "tgt", n_buckets=nb)
+        assert lifts.count() == nb  # dense: every bucket has a row
+        novel = _docs(spark, [(9, "zqxwv qqqzz", "en", "raw")])
+        out = select.dsir_score(novel, lifts, n_buckets=nb).collect()
+        assert len(out) == 1 and out[0].n_tok == 2
+        # both fit sides have 3 tokens → default lift for unseen buckets
+        expected = (0 + 1) * (3 + nb) * 10000 // ((0 + 1) * (3 + nb))
+        assert out[0].importance_bp == expected
+
     def test_n_tok_matches_split(self, spark):
         docs = _docs(spark, [(1, "x y z", "en", "raw"),
                              (2, "x", "en", "tgt")])

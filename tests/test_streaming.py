@@ -391,3 +391,19 @@ class TestStreamPack:
         batch = {(r.stream, r.seq_id, r.doc_id, r.tok_begin, r.tok_end)
                  for r in pack_sequences(docs_df, seq_len=10).collect()}
         assert got == batch
+
+
+class TestStreamDsirMissingModel:
+    def test_missing_lifts_path_raises_before_start(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from vulnerablecode_spark.streaming.incremental import \
+            stream_dsir_score
+
+        src = tmp_path / "docs"; src.mkdir()
+        _write_record(src, "d1.json", {"doc_id": 1, "text": "a b"})
+        with _pytest.raises(FileNotFoundError, match="lifts model"):
+            stream_dsir_score(spark, str(src),
+                              str(tmp_path / "nope"),
+                              str(tmp_path / "out"),
+                              str(tmp_path / "ckpt"))

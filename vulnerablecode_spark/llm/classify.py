@@ -64,20 +64,24 @@ def score_quality(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    passthrough: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Score documents with a fitted quality model: (doc_id,
-    quality_prob, quality_pred) where ``quality_prob`` is P(label=1).
-    Pure map-side: hash-transform + broadcast coefficient dot product,
-    embarrassingly parallel over input splits.
+    [passthrough...], quality_prob, quality_pred) where ``quality_prob``
+    is P(label=1). Pure map-side: hash-transform + broadcast coefficient
+    dot product, embarrassingly parallel over input splits —
+    ``passthrough`` columns ride the transform untouched, so callers
+    never need a join to recover them.
     """
     from pyspark.ml.functions import vector_to_array
 
     scored = model.transform(
-        docs.select(F.col(id_col),
+        docs.select(F.col(id_col), *[F.col(c) for c in passthrough],
                     F.split(F.col(text_col), " ").alias("tokens"))
     )
     return scored.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         vector_to_array("probability").getItem(1).alias("quality_prob"),
         F.col("prediction").cast("bigint").alias("quality_pred"),
     )
@@ -93,16 +97,14 @@ def classifier_filter_report(
 ) -> DataFrame:
     """Per-source report of what a probability threshold would keep —
     the artifact a curator reads before committing to a hard filter:
-    (source, n_docs, n_kept, kept_bp)."""
-    scored = score_quality(model, docs, text_col=text_col, id_col=id_col)
-    joined = docs.select(F.col(id_col), F.col(group_col)).join(
-        scored, id_col)
-    return joined.groupBy(group_col).agg(
+    (source, n_docs, n_kept, kept_bp). The group column rides the
+    scoring transform as a passthrough, so the plan is score → one
+    group-key aggregation, no corpus self-join."""
+    scored = score_quality(model, docs, text_col=text_col, id_col=id_col,
+                           passthrough=(group_col,))
+    return scored.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum((F.col("quality_prob") >= float(threshold)).cast("bigint"))
         .cast("bigint").alias("n_kept"),
-        F.expr(
-            f"sum(cast(quality_prob >= {float(threshold)} as bigint)) "
-            "* 10000 div count(1)"
-        ).cast("bigint").alias("kept_bp"),
-    )
+    ).withColumn(
+        "kept_bp", F.expr("n_kept * 10000 div n_docs").cast("bigint"))

@@ -345,40 +345,20 @@ def bpe_apply_merges(
     unit-separator byte (merged tokens keep their internal space, so the
     separator keeps the fingerprint injective).
     """
-    merge_list = [(str(left), str(right)) for left, right in merges]
+    encode = _make_bpe_encoder(merges)
 
     def encode_batches(batches):
         import hashlib
 
         import pandas as _pd
 
-        ranks = {pair: i for i, pair in enumerate(merge_list)}
-
-        def encode(toks):
-            while True:
-                best = None
-                for a, b in zip(toks, toks[1:]):
-                    r = ranks.get((a, b))
-                    if r is not None and (best is None or r < best):
-                        best = r
-                if best is None:
-                    return toks
-                left, right = merge_list[best]
-                out, i = [], 0
-                while i < len(toks):
-                    if (i + 1 < len(toks) and toks[i] == left
-                            and toks[i + 1] == right):
-                        out.append(left + " " + right)
-                        i += 2
-                    else:
-                        out.append(toks[i])
-                        i += 1
-                toks = out
-
         for pdf in batches:
             rows = []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
                 if not isinstance(txt, str):
+                    # null/dirty text → explicit empty row, never a
+                    # silently-dropped document
+                    rows.append((doc_id, 0, 0, None))
                     continue
                 toks = txt.split(" ")
                 enc = encode(toks)
@@ -394,6 +374,38 @@ def bpe_apply_merges(
         f"{id_col} long, n_tok_before long, n_tok_after long, "
         "encoded_fp string",
     )
+
+
+def _make_bpe_encoder(merges):
+    """Build the greedy priority-ordered merge closure shared by the
+    apply and train paths — ONE definition of the overlap/priority
+    semantics, created dynamically so Spark pickles it by value into
+    python workers (no module import needed executor-side)."""
+    merge_list = [(str(left), str(right)) for left, right in merges]
+    ranks = {pair: i for i, pair in enumerate(merge_list)}
+
+    def encode(toks):
+        while True:
+            best = None
+            for a, b in zip(toks, toks[1:]):
+                r = ranks.get((a, b))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                return toks
+            left, right = merge_list[best]
+            out, i = [], 0
+            while i < len(toks):
+                if (i + 1 < len(toks) and toks[i] == left
+                        and toks[i + 1] == right):
+                    out.append(left + " " + right)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            toks = out
+
+    return encode
 
 
 def bpe_train(
@@ -443,39 +455,18 @@ def bpe_train(
 
 
 def _bpe_encoded_text(docs, merges, text_col, id_col):
-    """Encoded corpus as (id, toks array) via the same greedy kernel."""
-    merge_list = [(str(left), str(right)) for left, right in merges]
+    """Encoded corpus as (id, toks array) via the SHARED greedy kernel
+    (``_make_bpe_encoder``) — train and apply cannot desynchronize."""
+    encode = _make_bpe_encoder(merges)
 
     def encode_batches(batches):
         import pandas as _pd
-
-        ranks = {pair: i for i, pair in enumerate(merge_list)}
-
-        def encode(toks):
-            while True:
-                best = None
-                for a, b in zip(toks, toks[1:]):
-                    r = ranks.get((a, b))
-                    if r is not None and (best is None or r < best):
-                        best = r
-                if best is None:
-                    return toks
-                left, right = merge_list[best]
-                out, i = [], 0
-                while i < len(toks):
-                    if (i + 1 < len(toks) and toks[i] == left
-                            and toks[i + 1] == right):
-                        out.append(left + " " + right)
-                        i += 2
-                    else:
-                        out.append(toks[i])
-                        i += 1
-                toks = out
 
         for pdf in batches:
             rows = []
             for doc_id, txt in zip(pdf[id_col], pdf[text_col]):
                 if not isinstance(txt, str):
+                    rows.append((doc_id, []))
                     continue
                 rows.append((doc_id, encode(txt.split(" "))))
             yield _pd.DataFrame(rows, columns=[id_col, "toks"])

@@ -554,9 +554,13 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     )
 
 
-def decontamination_overlap(corpus: DataFrame, benchmark: DataFrame,
+def decontamination_overlap(corpus: DataFrame | None = None,
+                            benchmark: DataFrame | None = None,
                             text_col: str = "text", id_col: str = "doc_id",
-                            n: int = 3, impl: str = "hof") -> DataFrame:
+                            n: int = 3, impl: str = "hof",
+                            hashed: DataFrame | None = None,
+                            benchmark_hashed: DataFrame | None = None,
+                            ) -> DataFrame:
     """Benchmark decontamination: per corpus document, the fraction of its
     distinct n-gram shingles that also appear ANYWHERE in the benchmark
     set — the standard test-set-overlap filter a training-data pipeline
@@ -571,9 +575,15 @@ def decontamination_overlap(corpus: DataFrame, benchmark: DataFrame,
     left-semi-style aggregation join on the hash, never a pair join:
     corpus rows never multiply, so the plan scales to a 100 TB corpus
     against a broadcast-sized benchmark.
+
+    Pass ``hashed`` / ``benchmark_hashed`` to reuse pre-built shingle
+    frames (the stored-index pattern the rest of the family follows)
+    instead of re-shingling from text.
     """
-    c = hashed_shingles(corpus, text_col, id_col, n, impl=impl)
-    b = (hashed_shingles(benchmark, text_col, id_col, n, impl=impl)
+    c = (hashed if hashed is not None
+         else hashed_shingles(corpus, text_col, id_col, n, impl=impl))
+    b = ((benchmark_hashed if benchmark_hashed is not None
+          else hashed_shingles(benchmark, text_col, id_col, n, impl=impl))
          .select("h").distinct())
     flagged = c.join(b.withColumn("_hit", F.lit(1)), "h", "left")
     return (

@@ -88,12 +88,15 @@ def dsir_bucket_lifts(
                    = ((t_cnt[b]+1) * (r_tot+B) * 10000)
                      div ((r_cnt[b]+1) * (t_tot+B))
 
-    Output is the ``n_buckets``-row (bucket, lift_bp) dimension — the
-    STORED model a production pipeline writes once and broadcasts into
-    every subsequent scoring pass (batch or streaming). Product bound:
-    counts × totals × 10⁴ stays under 2⁶³ through ~10⁹ tokens per side;
-    beyond that the production plan switches the numerator to
-    DECIMAL(38,0).
+    Output is the DENSE ``n_buckets``-row (bucket, lift_bp) dimension —
+    buckets unseen in the fit corpus still get a row, carrying the
+    smoothed default lift the ``+1`` terms exist for, so a later scoring
+    pass (over a DIFFERENT corpus, batch or streaming) can inner-join it
+    safely: every possible ``hash64(tok) % n_buckets`` value has a row.
+    This is the STORED model a production pipeline writes once and
+    broadcasts into every subsequent scoring pass. Product bound: counts
+    × totals × 10⁴ stays under 2⁶³ through ~10⁹ tokens per side; beyond
+    that the production plan switches the numerator to DECIMAL(38,0).
     """
     nb = int(n_buckets)
     pdb = _doc_bucket_counts(docs, nb, text_col, id_col, flag=target)
@@ -107,7 +110,17 @@ def dsir_bucket_lifts(
         F.sum("t_cnt").cast("bigint").alias("t_tot"),
         F.sum("r_cnt").cast("bigint").alias("r_tot"),
     )
-    return _scalar_join(stats, totals).select(
+    # densify to all n_buckets rows: unseen buckets get (0, 0) counts —
+    # i.e. the pure-smoothing default lift — so the model is total over
+    # the hash range, not just the fit corpus's occupied buckets
+    all_buckets = docs.sparkSession.range(nb).select(
+        F.col("id").cast("bigint").alias("bucket"))
+    dense = all_buckets.join(F.broadcast(stats), "bucket", "left").select(
+        "bucket",
+        F.coalesce("t_cnt", F.lit(0)).cast("bigint").alias("t_cnt"),
+        F.coalesce("r_cnt", F.lit(0)).cast("bigint").alias("r_cnt"),
+    )
+    return _scalar_join(dense, totals).select(
         "bucket",
         F.expr(
             f"(t_cnt + 1) * (r_tot + {nb}) * 10000"
@@ -131,6 +144,11 @@ def dsir_score(
     engines). The dimension broadcasts, so the corpus is never joined to
     anything its own size. Output: (doc_id, n_tok, importance_bp),
     descending-sortable for top-p resampling.
+
+    The inner join on ``bucket`` is total because ``dsir_bucket_lifts``
+    emits a DENSE model (every ``hash64 % n_buckets`` value has a row,
+    unseen buckets carrying the smoothed default) — score only against a
+    model fit with the same ``n_buckets``.
     """
     pdb = _doc_bucket_counts(docs, n_buckets, text_col, id_col)
     return (

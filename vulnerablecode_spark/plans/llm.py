@@ -1690,7 +1690,8 @@ def q78_curation_pipeline(spark, sf_dir):
         pairs.select(F.col("doc_a").alias("src"),
                      F.col("doc_b").alias("dst")))
     contam = dedup.decontamination_overlap(
-        docs, docs.filter(F.col("doc_id") < 20), impl="arrow"
+        hashed=art["hashed"],
+        benchmark_hashed=art["hashed"].filter(F.col("doc_id") < 20),
     ).select("doc_id", "overlap_bp")
     base = docs.select("doc_id")
     joined = (

@@ -175,6 +175,13 @@ def stream_dsir_score(spark: SparkSession, source_dir: str, lifts_path: str,
     from vulnerablecode_spark.llm.select import dsir_score
 
     lifts = read_table(spark, lifts_path)
+    if lifts is None:
+        # a missing importance model is a configuration error, not an
+        # empty-index cold start (contrast stream_near_dup): fail before
+        # the stream starts, with the path named
+        raise FileNotFoundError(
+            f"stream_dsir_score: no lifts model at {lifts_path!r} — "
+            "fit one with llm.select.dsir_bucket_lifts and write it first")
 
     def score_batch(batch: DataFrame, _batch_id: int) -> None:
         if not batch.head(1):
