@@ -99,20 +99,23 @@ def main() -> None:
         reps = []
         for r in range(args.k):
             cols = {}
+            # remap once per replica: text and n_chars derive from the
+            # SAME pass (the string rewrite dominates the documents
+            # scale-up — no reason to run it twice)
+            remapped = ([remap_tokens(t, r) for t in
+                         src["text"].to_pylist()]
+                        if tab == "documents" and r > 0 else None)
             for name in schema.names:
                 arr = src[name]
                 if name in KEY_COLS.get(tab, {}):
                     shift = r * spaces[KEY_COLS[tab][name]]
                     vals = arr.to_numpy(zero_copy_only=False) + shift
                     cols[name] = pa.array(vals, type=schema.field(name).type)
-                elif tab == "documents" and name == "text" and r > 0:
-                    texts = [remap_tokens(t, r) for t in arr.to_pylist()]
-                    cols[name] = pa.array(texts, type=pa.string())
-                elif tab == "documents" and name == "n_chars" and r > 0:
+                elif remapped is not None and name == "text":
+                    cols[name] = pa.array(remapped, type=pa.string())
+                elif remapped is not None and name == "n_chars":
                     # recomputed after token remap (kept consistent with text)
-                    texts = [remap_tokens(t, r)
-                             for t in src["text"].to_pylist()]
-                    cols[name] = pa.array([len(t) for t in texts],
+                    cols[name] = pa.array([len(t) for t in remapped],
                                           type=pa.int64())
                 elif tab == "embeddings" and name == "embedding" and r > 0:
                     mat = np.array(arr.to_pylist(), dtype=np.float32)

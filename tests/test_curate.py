@@ -320,3 +320,24 @@ class TestBpeEncodeTrain:
         assert (out[2].n_tok_before, out[2].n_tok_after) == (0, 0)
         assert out[2].encoded_fp is None
         assert out[1].n_tok_after == 1
+
+
+class TestStratifiedSampleNullStrata:
+    def test_null_stratum_docs_gate_deterministically(self, spark):
+        # NULL strata must form their own stratum with a well-defined
+        # gate key (coalesced to ''), matching the SQL oracle's coalesce
+        # — not silently collapse into a neighboring key via concat_ws
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [(i, "t", None if i % 2 else "en", "web") for i in range(40)],
+            "doc_id bigint, text string, lang string, source string")
+        out = {r.doc_id: r for r in curate.stratified_sample(
+            docs, target_per_stratum=10).collect()}
+        assert out, "some docs survive the gate"
+        for doc_id, r in out.items():
+            assert r.stratum_n == 20  # 20 en + 20 NULL-lang docs
+            lang = "" if doc_id % 2 else "en"
+            key = f"web:{lang}:{doc_id}"
+            gate = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 10000
+            assert gate < r.rate_bp  # kept rows satisfy the COALESCED key

@@ -317,6 +317,18 @@ class TestConstraintDialects:
         assert sat(">=0.19.0 <0.30.0", "0.24")
         assert not sat(">=1.5,<1.5.2", "2.2")
 
+    def test_spaced_comma_conjunction_keeps_upper_bound(self):
+        # regression: ', '-separated tokens must be stripped before the
+        # operator-prefix parse, or ' <4.3' loses its upper bound and
+        # every version above the lower bound reads as affected
+        from vulnerablecode_spark.federation.base import \
+            gitlab_range_satisfied as sat
+
+        assert not sat(">=4.0, <4.3", "9.9")
+        assert sat(">=4.0, <4.3", "4.2")
+        assert not sat(">=4.0, <4.3 || >=5.0, <5.2", "5.4")
+        assert sat(">=4.0, <4.3 || >=5.0, <5.2", "5.1")
+
 
 class TestFedVersionProperties:
     from hypothesis import given, settings
@@ -372,6 +384,24 @@ class TestSparkStages:
         assert "not-a-purl" not in by_purl  # bad purls drop, never fail
         methods = {(r.datasource_id, r.method) for r in plan}
         assert ("osv", "POST") in methods and ("deps", "GET") in methods
+
+    def test_parse_stage_isolates_error_rows(self, spark):
+        # fetch_stage emits error/404 rows by design; the parse stage must
+        # skip them (and any malformed 200 body) instead of failing the
+        # job inside json.loads
+        from vulnerablecode_spark.federation import deps
+
+        deps_text = (REF / "deps/advisory.json").read_text()
+        frame = spark.createDataFrame(
+            [(GENERIC_PURL, deps_text, "200"),
+             ("pkg:pypi/down@1.0", "HTTPSConnectionPool: Read timed out",
+              "error"),
+             ("pkg:pypi/gone@1.0", "Not Found", "404"),
+             ("pkg:pypi/bad@1.0", "{truncated json", "200")],
+            "purl string, response string, status string")
+        rows = deps.parse(frame).collect()
+        assert rows, "the healthy row must still parse"
+        assert {r.purl for r in rows} == {GENERIC_PURL}
 
     def test_parse_stage_and_compare(self, spark):
         from vulnerablecode_spark.federation import deps, osv

@@ -136,6 +136,7 @@ class TestRound5PlanQuality:
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
 
+class TestRound4bPlanQuality:
     def test_q48_single_window_shuffle(self, spark):
         """Winnowing's window min is one shuffle on doc_id; the argmin
         resolution join reuses the same key."""
@@ -144,8 +145,6 @@ class TestRound5PlanQuality:
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
             or "BroadcastHashJoin" in plan
 
-
-class TestRound4bPlanQuality:
     def test_q55_q56_q57_no_cartesian(self, spark):
         for name in ("q55_repetition_signals", "q56_ann_topk_pq",
                      "q57_decontamination"):

@@ -112,6 +112,11 @@ def _satisfied(version: str, comparator: str, bound: str) -> bool:
 
 def _conjunction_satisfied(constraints: Iterable[str], version: str) -> bool:
     for token in constraints:
+        # strip each subconstraint before parsing (the reference does the
+        # same in gitlab_constraints_satisfied) — a ', '-separated range
+        # like '>=4.0, <4.3' must not lose its upper bound to the
+        # leading-space token defeating the operator prefix match
+        token = token.strip() if token else token
         parsed = split_constraint(token) if token else None
         if not parsed or not parsed[1]:
             continue
@@ -252,10 +257,21 @@ def parse_stage(responses: DataFrame, datasource_id: str,
     response frame, yielding the normalized claims schema plus
     ``datasource_id``. The parser must be self-contained or importable
     on workers (all federation parsers are module-level functions of
-    this package, shipped via ensure_shipped)."""
+    this package, shipped via ensure_shipped).
+
+    Per-row failure isolation mirrors fetch_stage's: when the frame
+    carries a ``status`` column (fetch_stage output), only status-200
+    rows are parsed — the error/404 rows fetch_stage deliberately emits
+    must not feed ``json.loads`` — and a parser raising on one malformed
+    body skips that row instead of failing the job (fixture frames
+    without a status column parse every row, as before)."""
     from vulnerablecode_spark import ensure_shipped
 
     ensure_shipped(responses.sparkSession)
+
+    has_status = "status" in responses.columns
+    cols = [F.col(purl_col), F.col(response_col)] + (
+        [F.col("status")] if has_status else [])
 
     def gen(batches):
         import pandas as _pd
@@ -263,17 +279,28 @@ def parse_stage(responses: DataFrame, datasource_id: str,
         for pdf in batches:
             rows = {"purl": [], "aliases": [], "affected_versions": [],
                     "fixed_versions": []}
-            for purl, text in zip(pdf[purl_col], pdf[response_col]):
+            statuses = pdf["status"] if has_status else [None] * len(pdf)
+            for purl, text, status in zip(
+                    pdf[purl_col], pdf[response_col], statuses):
+                if status is not None and status != "200":
+                    continue
                 if not isinstance(text, str) or not text:
                     continue
-                for vd in row_parser(text, purl):
+                try:
+                    parsed = row_parser(text, purl)
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    continue
+                for vd in parsed:
                     rows["purl"].append(vd["purl"])
                     rows["aliases"].append(vd["aliases"])
                     rows["affected_versions"].append(
                         vd["affected_versions"])
                     rows["fixed_versions"].append(vd["fixed_versions"])
-            yield _pd.DataFrame(rows)
+            # an all-skipped batch yields NOTHING: an empty DataFrame's
+            # numeric-dtype columns fail Arrow's list<string> conversion
+            if rows["purl"]:
+                yield _pd.DataFrame(rows)
 
-    return (responses.select(F.col(purl_col), F.col(response_col))
+    return (responses.select(*cols)
             .mapInPandas(gen, VENDOR_DATA_SCHEMA)
             .withColumn("datasource_id", F.lit(datasource_id)))

@@ -206,7 +206,15 @@ def stratified_sample(
         F.lit(10000).cast("bigint"),
         F.expr(f"{10000 * int(target_per_stratum)} div stratum_n"),
     )
-    gate = hash64(F.concat_ws(":", *strata, F.col(id_col).cast("string"))) % 10000
+    # NULL strata coalesce to '' EXPLICITLY: concat_ws would silently skip
+    # a NULL column (making 'web:123' from (web, NULL, 123)) while the SQL
+    # twin's || propagates NULL — coalescing on both sides keeps the gate
+    # hash engine-identical on dirty strata (both partition NULLs into one
+    # stratum, so only the key text needed aligning)
+    key_cols = [F.coalesce(F.col(c).cast("string"), F.lit(""))
+                for c in strata]
+    gate = hash64(F.concat_ws(
+        ":", *key_cols, F.col(id_col).cast("string"))) % 10000
     return (
         docs.withColumn("stratum_n", F.count("*").over(w).cast("bigint"))
         .withColumn("rate_bp", rate_bp)

@@ -149,12 +149,17 @@ def _cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
     global ROUNDED top-k (quantization step 1e-4, plus the self-match
     the final filter drops) — so the partial selection can never change
     the result."""
-    q_rows = sorted(queries.select(id_col, vec_col).collect(),
-                    key=lambda r: r[0])
-    if len(q_rows) > MAX_TOPK_QUERIES:
+    # enforce the broadcastability cap BEFORE materializing the query set
+    # on the driver: limit(cap+1) bounds the collect itself, so a
+    # corpus-sized queries frame fails fast instead of OOMing the driver
+    # on the way to the error
+    probe = queries.select(id_col, vec_col).limit(
+        MAX_TOPK_QUERIES + 1).collect()
+    if len(probe) > MAX_TOPK_QUERIES:
         raise ValueError(
             f"cosine_topk: query set exceeds {MAX_TOPK_QUERIES}; "
             "use the ANN paths for query-set-scale search")
+    q_rows = sorted(probe, key=lambda r: r[0])
     import numpy as np
 
     q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)

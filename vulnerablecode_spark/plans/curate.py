@@ -19,9 +19,12 @@ _SQL_HASH64 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 # Stopword / boilerplate stripping — cleaned-text fingerprints + counts.
 # ---------------------------------------------------------------------------
 
+# generated from the canonical list so the oracle can never drift from
+# the Spark operator's STOPWORDS
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in curate.STOPWORDS)
 _SQL_KEPT = (
     "list_filter(string_split(text, ' '), "
-    "t -> t NOT IN ('the', 'a', 'of', 'and'))"
+    f"t -> t NOT IN ({_SQL_STOPLIST}))"
 )
 
 
@@ -45,13 +48,12 @@ def q66_stopword_strip(spark, sf_dir):
 # PII / secret redaction — typed-placeholder scrub + per-class hit counts.
 # ---------------------------------------------------------------------------
 
-# keep in sync with llm/curate.py PII_PATTERNS (order defines the scrub)
-_PII = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("longnum", r"\b\d{12,19}\b", "<NUM>"),
-    ("hexsecret", r"\b[0-9a-f]{32,}\b", "<HEX>"),
-)
+# the ONE pattern table (llm/curate.py PII_PATTERNS — order defines the
+# scrub); the oracle SQL below is generated from it, so an edited pattern
+# can never grade against a stale oracle. Patterns are RE2-safe by that
+# table's contract, and the single quotes the SQL embedding would need
+# escaping never appear in character-class regexes.
+_PII = curate.PII_PATTERNS
 
 _redacted = "text"
 for _, _pat, _ph in _PII:
@@ -124,8 +126,11 @@ def q67_sequence_packing(spark, sf_dir):
 # Deterministic stratified sampling — per-(source, lang) equalizing rates.
 # ---------------------------------------------------------------------------
 
+# coalesce matches the Spark gate's explicit NULL-stratum handling
+# (llm/curate.py stratified_sample) — plain || would propagate NULL
 _SQL_STRATUM_KEY = (
-    "source || ':' || lang || ':' || CAST(doc_id AS VARCHAR)"
+    "coalesce(source, '') || ':' || coalesce(lang, '') || ':' "
+    "|| CAST(doc_id AS VARCHAR)"
 )
 
 
