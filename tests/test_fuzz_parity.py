@@ -123,3 +123,27 @@ def test_embedding_queries_match_oracle_on_random_vectors(
     for name in EMB_QUERIES:
         ok, detail = compare_query(spark, name, str(d))
         assert ok, f"{name} seed={seed}: {detail}"
+
+
+def test_stratified_sample_parity_on_null_strata(spark, tmp_path):
+    """Dirty-data cross-engine check the random generator doesn't cover:
+    NULL stratum values must gate identically on both engines (the Spark
+    gate coalesces explicitly; concat_ws's silent NULL-skip and SQL's
+    NULL-propagating || would each diverge)."""
+    import numpy as np
+    import pandas as pd
+
+    d = tmp_path / "nulls"
+    d.mkdir()
+    rng = np.random.default_rng(7)
+    langs = [None if i % 3 == 0 else ("en" if i % 2 else "fr")
+             for i in range(90)]
+    pd.DataFrame({
+        "doc_id": np.arange(90, dtype=np.int64),
+        "text": ["w a b" for _ in range(90)],
+        "lang": langs,
+        "source": rng.choice(["web", None, "paper"], size=90),
+        "n_chars": np.int64(5),
+    }).to_parquet(f"{d}/documents.parquet")
+    ok, detail = compare_query(spark, "q68_stratified_sample", str(d))
+    assert ok, detail
