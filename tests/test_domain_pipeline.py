@@ -133,6 +133,47 @@ class TestIngest:
         assert a.join(b, "advisory_id").filter(
             a.unique_content_id != b.unique_content_id).count() == 0
 
+    def test_content_id_normalizes_null_and_whitespace(self, parsed, spark):
+        """compute_content_id_v2 parity: null-vs-'' summary and
+        whitespace variance must hash EQUAL (utils.py:694-726 normalizes
+        text and lists) — or SCD2 appends a spurious content version for
+        the same content."""
+        from vulnerablecode_spark.operators.ingest import with_content_id
+
+        base = with_content_id(parsed).select(
+            "advisory_id", "unique_content_id")
+        ws = with_content_id(parsed.withColumn(
+            "summary", F.concat(F.lit("  "), F.regexp_replace(
+                "summary", " ", "   "), F.lit(" ")))).select(
+            "advisory_id", F.col("unique_content_id").alias("ws_id"))
+        assert base.join(ws, "advisory_id").filter(
+            F.col("unique_content_id") != F.col("ws_id")).count() == 0
+        nulled = with_content_id(
+            parsed.withColumn("summary", F.lit(None).cast("string"))
+            .withColumn("aliases", F.lit(None).cast("array<string>")))
+        emptied = with_content_id(
+            parsed.withColumn("summary", F.lit(""))
+            .withColumn("aliases", F.array().cast("array<string>")))
+        n = nulled.select("advisory_id",
+                          F.col("unique_content_id").alias("n_id"))
+        e = emptied.select("advisory_id",
+                           F.col("unique_content_id").alias("e_id"))
+        assert n.join(e, "advisory_id").filter(
+            F.col("n_id") != F.col("e_id")).count() == 0
+
+    def test_content_id_matches_kernel_on_flat_record(self, spark):
+        from vulnerablecode_spark.kernel import contentid
+        from vulnerablecode_spark.operators.ingest import with_content_id
+        from vulnerablecode_spark.schemas import ADVISORY_PARSED
+
+        rec = {"advisory_id": "X-1", "aliases": ["CVE-2024-1"],
+               "summary": "a  summary", "affected_packages": [],
+               "references": [], "severities": [], "weaknesses": [7],
+               "date_published": None, "url": "https://x"}
+        df = spark.createDataFrame([rec], ADVISORY_PARSED)
+        got = with_content_id(df).select("unique_content_id").first()[0]
+        assert got == contentid.content_id(rec)
+
     def test_scd2_merge_flips_latest(self, advisories, parsed, spark):
         """FIXTURES.md §4.1: exactly one is_latest per avid, old rows kept."""
         from vulnerablecode_spark.operators.ingest import (
@@ -270,6 +311,26 @@ class TestRiskAndLookup:
                  if a.advisory_id == "PYSEC-2024-1"][0]
         assert fixed == ["pkg:pypi/sample@1.2.0"]
 
+    def test_lookup_key_matches_raw_storage_form(self, spark):
+        """Regression: stored package_url rows are raw-concatenated
+        ('pkg:npm/@babel/traverse@7.23.2'); the request normalizer must
+        produce that SAME key for both the raw and the percent-encoded
+        request spelling, or encodable purls never match."""
+        from vulnerablecode_spark.operators.lookup import \
+            normalize_request_purls
+
+        req = {r.requested: r.lookup_purl for r in normalize_request_purls(
+            spark, ["pkg:npm/@babel/traverse@7.23.2",
+                    "pkg:npm/%40babel/traverse@7.23.2",
+                    "pkg:deb/debian/curl@7.50.3-1+deb9u1?arch=i386",
+                    ]).collect()}
+        assert req["pkg:npm/@babel/traverse@7.23.2"] == \
+            "pkg:npm/@babel/traverse@7.23.2"
+        assert req["pkg:npm/%40babel/traverse@7.23.2"] == \
+            "pkg:npm/@babel/traverse@7.23.2"
+        assert req["pkg:deb/debian/curl@7.50.3-1+deb9u1?arch=i386"] == \
+            "pkg:deb/debian/curl@7.50.3-1+deb9u1?arch=i386"
+
     def test_with_is_vulnerable(self, tables):
         from vulnerablecode_spark.operators.lookup import with_is_vulnerable
 
@@ -280,7 +341,63 @@ class TestRiskAndLookup:
         assert by_url["pkg:pypi/sample@1.2.0"] is False
 
 
+class TestBulkDetailsDedupe:
+    def test_multi_impact_advisory_appears_once(self, spark):
+        """api_v3.py bulk details: an advisory reaching a package through
+        TWO impacts (two version ranges) must appear ONCE per purl, with
+        its ranges and fixed-by sets merged — not consume two cap slots
+        and duplicate the struct."""
+        from vulnerablecode_spark.operators.lookup import (
+            advisories_for_purls, normalize_request_purls)
+
+        request = normalize_request_purls(spark, ["pkg:pypi/x@1.0"])
+        packages = spark.createDataFrame(
+            [(10, "pkg:pypi/x@1.0"), (11, "pkg:pypi/x@2.0")],
+            "package_pk bigint, package_url string")
+        affecting = spark.createDataFrame(
+            [(100, 10), (101, 10)], "impact_pk bigint, package_pk bigint")
+        fixed_by = spark.createDataFrame(
+            [(100, 11), (101, 11)], "impact_pk bigint, package_pk bigint")
+        impacts = spark.createDataFrame(
+            [(100, 1, "vers:pypi/<1.5"), (101, 1, "vers:pypi/>=0.9|<1.2")],
+            "impact_pk bigint, advisory_pk bigint, affecting_vers string")
+        advisories = spark.createDataFrame(
+            [(1, "ADV-1", "x/ADV-1", "s", ["CVE-1"], True, None)],
+            "advisory_pk bigint, advisory_id string, avid string, "
+            "summary string, aliases array<string>, is_latest boolean, "
+            "risk_score string")
+        out = advisories_for_purls(
+            request, packages, affecting, fixed_by, impacts, advisories
+        ).collect()
+        assert len(out) == 1
+        row = out[0]
+        assert row.advisory_count == 1  # ONE advisory, not per-impact rows
+        assert len(row.advisories) == 1
+        adv = row.advisories[0]
+        assert adv.fixed_by_purls == ["pkg:pypi/x@2.0"]
+        assert "vers:pypi/<1.5" in adv.affecting_vers
+        assert "vers:pypi/>=0.9|<1.2" in adv.affecting_vers
+
+
 class TestGrouping:
+    def test_identifierless_advisory_is_singleton_group(self, spark):
+        """group_advisories.py: an advisory with no advisory_id and no
+        aliases still belongs to the output — as its own group — instead
+        of being dropped by the identifier join."""
+        from vulnerablecode_spark.operators.grouping import group_advisories
+
+        membership = spark.createDataFrame(
+            [(10, "affecting", 1), (10, "affecting", 2)],
+            "package_pk bigint, relation_type string, advisory_pk bigint")
+        advisories = spark.createDataFrame(
+            [(1, "", [], None), (2, "ADV-2", ["CVE-2"], None)],
+            "advisory_pk bigint, advisory_id string, "
+            "aliases array<string>, precedence int")
+        got = group_advisories(membership, advisories).collect()
+        by_member = {r.member_advisory_pk: r for r in got}
+        assert set(by_member) == {1, 2}  # advisory 1 NOT dropped
+        assert by_member[1].group_id != by_member[2].group_id
+
     def test_shared_alias_groups(self, spark, advisories):
         """FIXTURES.md §4.3: advisories sharing an alias group together."""
         from vulnerablecode_spark.operators.grouping import group_advisories
@@ -468,6 +585,31 @@ class TestGhost:
         assert flagged[1] is False
         assert flagged[2] is True    # 9.9.9 absent upstream
         assert flagged[3] is False   # leading v stripped before compare
+
+    def test_unfetchable_ecosystem_is_never_ghost(self, spark,
+                                                  package_versions):
+        """flag_ghost_packages.py:74-77: a purl with NO fetchable upstream
+        version list (unsupported ecosystem / fetch failure) is SKIPPED,
+        not flagged — else a whole ecosystem reads as ghost and its
+        fixed-by packages vanish from API answers."""
+        from vulnerablecode_spark.operators.ghost import flag_ghost_packages
+
+        pkgs = spark.createDataFrame(
+            [(1, "generic", "", "blob", "1.0", "", "",
+              "pkg:generic/blob@1.0", "pkg:generic/blob@1.0",
+              False, None, 0),
+             (2, "pypi", "", "sample", "9.9.9", "", "",
+              "pkg:pypi/sample@9.9.9", "pkg:pypi/sample@9.9.9",
+              False, None, 0)],
+            "package_pk bigint, type string, namespace string, name string, "
+            "version string, qualifiers string, subpath string, "
+            "package_url string, plain_package_url string, is_ghost boolean, "
+            "risk_score string, version_rank int",
+        )
+        flagged = {r.package_pk: r.is_ghost
+                   for r in flag_ghost_packages(pkgs, package_versions).collect()}
+        assert flagged[1] is False  # no dim coverage → skipped, not ghost
+        assert flagged[2] is True   # covered purl, absent version → ghost
 
 
 class TestVersionOps:
@@ -861,3 +1003,40 @@ class TestMarkUnfurled:
         assert got[3]._all_impacts_unfurled_successfully_at is not None
         # 4: not latest → untouched
         assert got[4]._all_impacts_unfurled_at is None
+
+    def test_zero_impact_advisory_marks_vacuously(self, spark):
+        """mark_unfurl_version_range.py:79-116: the rule is NOT-Exists(an
+        impact missing its watermark), vacuously TRUE for an advisory
+        with zero impacts — it must be marked once, not re-selected on
+        every run forever."""
+        from vulnerablecode_spark.operators.unfurl import (
+            mark_all_impacts_unfurled)
+
+        advisories = spark.createDataFrame(
+            [(9, True)], "advisory_pk long, is_latest boolean")
+        impacts = spark.createDataFrame(
+            [], "advisory_pk long, last_range_unfurl_at timestamp, "
+                "last_successful_range_unfurl_at timestamp")
+        got = mark_all_impacts_unfurled(advisories, impacts).collect()[0]
+        assert got._all_impacts_unfurled_at is not None
+        assert got._all_impacts_unfurled_successfully_at is not None
+
+    def test_source_claims_datasource_override_without_column(self, spark):
+        """The datasource_id parameter exists for corpora LACKING the
+        column — it must label the claims, not raise on an unresolved
+        name."""
+        from vulnerablecode_spark.operators.compare import source_claims
+        from vulnerablecode_spark.operators.ingest import extract_impacts
+
+        advisories = spark.createDataFrame(
+            [(1, ["CVE-2024-9999"], True,
+              [{"package": "pkg:pypi/x",
+                "affected_version_range": "vers:pypi/<1.0",
+                "fixed_version": "1.0"}])],
+            "advisory_pk bigint, aliases array<string>, is_latest boolean, "
+            "affected_packages array<struct<package:string,"
+            "affected_version_range:string,fixed_version:string>>")
+        claims = source_claims(advisories, extract_impacts(advisories),
+                               datasource_id="osv")
+        rows = claims.collect()
+        assert rows and all(r.datasource_id == "osv" for r in rows)

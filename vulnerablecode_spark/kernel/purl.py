@@ -46,6 +46,29 @@ class Purl:
             parts.append("#" + self.subpath.strip("/"))
         return "".join(parts)
 
+    def to_raw_string(self) -> str:
+        """The engine's STORAGE join-key form: canonical field order,
+        case/type normalization and qualifier sorting like
+        ``to_string``, but segments UNENCODED — matching how sources
+        and materialize_packages build ``package_url`` by plain
+        concatenation. Requests in either encoding parse (and unquote)
+        to the same raw key, so the lookup join is encoding-insensitive.
+        """
+        parts = [f"pkg:{self.type}/"]
+        if self.namespace:
+            parts.append(self.namespace + "/")
+        parts.append(self.name)
+        if self.version:
+            parts.append("@" + self.version)
+        if self.qualifiers:
+            pairs = "&".join(f"{k}={v}" for k, v in
+                             sorted(self.qualifiers.items()) if v)
+            if pairs:
+                parts.append("?" + pairs)
+        if self.subpath:
+            parts.append("#" + self.subpath.strip("/"))
+        return "".join(parts)
+
     @property
     def plain(self) -> "Purl":
         """purl minus qualifiers and subpath (utils.py:410-423)."""
@@ -115,6 +138,17 @@ def normalize_purl(purl: str) -> str:
 def plain_purl(purl: str) -> str:
     """Canonical purl without qualifiers/subpath (utils.py:410-423)."""
     return parse_purl(purl).plain.to_string()
+
+
+def raw_purl(purl: str) -> str:
+    """Storage join-key form of a possibly messy/encoded input — see
+    ``Purl.to_raw_string``."""
+    return parse_purl(purl).to_raw_string()
+
+
+def plain_raw_purl(purl: str) -> str:
+    """Storage join-key form without qualifiers/subpath."""
+    return parse_purl(purl).plain.to_raw_string()
 
 
 def purl_to_dict(purl: str) -> dict:

@@ -21,6 +21,11 @@ def source_claims(advisories: DataFrame, impacts: DataFrame,
     """(datasource_id, base_purl, cve, affecting_vers) claims from one
     advisory corpus — CVE taken from aliases."""
     latest = advisories.filter(F.col("is_latest"))
+    # apply the override BEFORE selecting it: the parameter exists for
+    # corpora that LACK a datasource_id column, where selecting first
+    # would raise on the unresolved name
+    if datasource_id:
+        latest = latest.withColumn("datasource_id", F.lit(datasource_id))
     cves = latest.select(
         "advisory_pk", "datasource_id",
         F.explode("aliases").alias("cve"),
@@ -29,8 +34,6 @@ def source_claims(advisories: DataFrame, impacts: DataFrame,
         impacts.select("advisory_pk", "base_purl", "affecting_vers"),
         "advisory_pk",
     )
-    if datasource_id:
-        claims = claims.withColumn("datasource_id", F.lit(datasource_id))
     return claims.select("datasource_id", "base_purl", "cve",
                          "affecting_vers").distinct()
 

@@ -43,8 +43,11 @@ def group_advisories(membership: DataFrame, advisories: DataFrame) -> DataFrame:
     Precedence primary: max (precedence, advisory_pk) member
     (group_advisories.py:247-285)."""
     idents = advisory_identifiers(advisories)
+    # LEFT join: an advisory with no non-empty advisory_id and no aliases
+    # still groups — as its own singleton (null identifier row) — instead
+    # of silently vanishing from the output
     enriched = (
-        membership.join(idents, "advisory_pk")
+        membership.join(idents, "advisory_pk", "left")
         .join(
             advisories.select("advisory_pk",
                               F.coalesce("precedence", F.lit(0)).alias("precedence")),
@@ -68,7 +71,10 @@ def group_advisories(membership: DataFrame, advisories: DataFrame) -> DataFrame:
                 parent[rb] = ra
 
         for adv, ident in zip(pdf["advisory_pk"], pdf["identifier"]):
-            union(("a", adv), ("i", ident))
+            if isinstance(ident, str):
+                union(("a", adv), ("i", ident))
+            else:  # identifier-less advisory: register as its own node
+                find(("a", adv))
 
         roots: dict = {}
         rows = []

@@ -44,14 +44,40 @@ def content_id_udf(canonical_json: pd.Series) -> pd.Series:
     return canonical_json.map(cid)
 
 
+def _norm_text(col: "F.Column") -> "F.Column":
+    """normalize_text semantics (utils.py:612-616 / kernel.contentid
+    normalize_whitespace): null → '', trim, collapse whitespace runs —
+    so 'a  b', ' a b ' and a null-vs-'' summary hash identically."""
+    return F.regexp_replace(F.trim(F.coalesce(col, F.lit(""))), r"\s+", " ")
+
+
 def with_content_id(parsed: DataFrame) -> DataFrame:
     """Attach unique_content_id (compute_content_id_v2 fields,
-    utils.py:694-726)."""
+    utils.py:694-726): text fields whitespace-normalized, null lists as
+    empty lists, and the constant empty ``patches`` key the reference
+    always includes (ADVISORY_PARSED carries no patches — no shipped
+    source emits them) — so content-equal advisories hash equal
+    regardless of null-vs-empty or whitespace variance, matching
+    kernel.contentid.content_id on flat records."""
     payload = F.to_json(
         F.struct(
-            F.col("advisory_id"), F.col("aliases"), F.col("summary"),
-            F.col("affected_packages"), F.col("references"),
-            F.col("severities"), F.col("weaknesses"), F.col("url"),
+            _norm_text(F.col("advisory_id")).alias("advisory_id"),
+            F.coalesce(F.col("aliases"),
+                       F.array().cast("array<string>")).alias("aliases"),
+            _norm_text(F.col("summary")).alias("summary"),
+            F.coalesce(F.col("affected_packages"), F.array().cast(
+                parsed.schema["affected_packages"].dataType.simpleString()))
+            .alias("affected_packages"),
+            F.coalesce(F.col("references"), F.array().cast(
+                parsed.schema["references"].dataType.simpleString()))
+            .alias("references"),
+            F.coalesce(F.col("severities"), F.array().cast(
+                parsed.schema["severities"].dataType.simpleString()))
+            .alias("severities"),
+            F.coalesce(F.col("weaknesses"),
+                       F.array().cast("array<int>")).alias("weaknesses"),
+            F.array().cast("array<string>").alias("patches"),
+            F.coalesce(F.col("url"), F.lit("")).alias("url"),
         )
     )
     return parsed.withColumn("unique_content_id", content_id_udf(payload))

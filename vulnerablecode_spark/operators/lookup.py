@@ -14,21 +14,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vulnerablecode_spark.kernel.purl import PurlError, plain_purl
+from vulnerablecode_spark.kernel.purl import (PurlError, plain_raw_purl,
+                                              raw_purl)
 
 
 def normalize_request_purls(spark, purls: list[str],
                             ignore_qualifiers_subpath: bool = False) -> DataFrame:
     """Validate/normalize the request purls driver-side (they are request
     payload, not data) — bad purls are rejected like the serializer does
-    (api_v3.py:45-70, 276-288)."""
-    from vulnerablecode_spark.kernel.purl import normalize_purl
-
+    (api_v3.py:45-70, 276-288). The lookup key is the RAW (unencoded)
+    canonical form, the convention stored package_url rows follow
+    (sources + materialize_packages concatenate raw segments) — so
+    'pkg:npm/@babel/traverse@7' and its percent-encoded spelling both
+    normalize to the same key and the equality join matches storage."""
     rows = []
     for p in purls:
         try:
-            rows.append((p, plain_purl(p) if ignore_qualifiers_subpath
-                         else normalize_purl(p)))
+            rows.append((p, plain_raw_purl(p) if ignore_qualifiers_subpath
+                         else raw_purl(p)))
         except PurlError:
             continue
     return spark.createDataFrame(rows or [("", "")], "requested string, lookup_purl string") \
@@ -91,10 +94,27 @@ def advisories_for_purls(request: DataFrame, packages: DataFrame,
         .join(latest, "advisory_pk")
         .join(fixes, "impact_pk", "left")
     )
+    # one row per (purl, ADVISORY), like the reference endpoint: an
+    # advisory reaching the package through several impacts merges its
+    # ranges and fixed-by sets instead of consuming several cap slots
+    # and duplicating the advisory struct in the payload
+    per_adv = hits.groupBy("requested", "advisory_pk").agg(
+        F.first("advisory_id").alias("advisory_id"),
+        F.first("avid").alias("avid"),
+        F.first("summary").alias("summary"),
+        F.first("aliases").alias("aliases"),
+        F.first("risk_score").alias("risk_score"),
+        F.concat_ws(",", F.array_sort(F.collect_set("affecting_vers")))
+        .alias("affecting_vers"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(
+            F.coalesce("fixed_by_purls",
+                       F.array().cast("array<string>"))))))
+        .alias("fixed_by_purls"),
+    )
     w = Window.partitionBy("requested").orderBy(
         F.col("risk_score").desc_nulls_last(), F.col("advisory_id").asc()
     )
-    capped = hits.withColumn("rk", F.row_number().over(w)).filter(
+    capped = per_adv.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= max_advisories
     )
     return capped.groupBy(F.col("requested").alias("purl")).agg(

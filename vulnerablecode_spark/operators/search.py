@@ -50,7 +50,10 @@ def search_packages(packages: DataFrame, query: str) -> DataFrame:
     otherwise substring-match on package_url. Ordered output."""
     q = (query or "").strip()
     try:
-        canonical = parse_purl(q).to_string() if q.startswith("pkg:") else None
+        # raw (unencoded) form — the storage join-key convention, see
+        # kernel.purl.Purl.to_raw_string / operators/lookup.py
+        canonical = (parse_purl(q).to_raw_string()
+                     if q.startswith("pkg:") else None)
     except PurlError:
         canonical = None
     if canonical:
@@ -58,7 +61,9 @@ def search_packages(packages: DataFrame, query: str) -> DataFrame:
             "package_url"
         ).startswith(canonical)
     else:
-        cond = F.col("package_url").contains(q.lower())
+        # icontains semantics: both sides lowered, or mixed-case stored
+        # purls (nuget, gem, …) never substring-match
+        cond = F.lower(F.col("package_url")).contains(q.lower())
     return packages.filter(cond).orderBy("type", "namespace", "name", "version_rank")
 
 

@@ -174,17 +174,21 @@ def mark_all_impacts_unfurled(advisories: DataFrame, impacts: DataFrame,
         # withColumns would otherwise re-evaluate it against the column
         # the first update just wrote
         .withColumn("_eligible", eligible)
+        # coalesce(True): the reference's rule is NOT-Exists(impact still
+        # missing a watermark) — vacuously TRUE for an advisory with zero
+        # impacts (scoring-only advisories), which must be marked once
+        # rather than re-selected forever
         .withColumn(
             "_all_impacts_unfurled_at",
             F.when(F.col("_eligible")
-                   & F.coalesce("_all_attempted", F.lit(False)),
+                   & F.coalesce("_all_attempted", F.lit(True)),
                    F.current_timestamp())
             .otherwise(F.col("_all_impacts_unfurled_at")),
         )
         .withColumn(
             "_all_impacts_unfurled_successfully_at",
             F.when(F.col("_eligible")
-                   & F.coalesce("_all_succeeded", F.lit(False)),
+                   & F.coalesce("_all_succeeded", F.lit(True)),
                    F.current_timestamp())
             .otherwise(F.col("_all_impacts_unfurled_successfully_at")),
         )

@@ -32,9 +32,6 @@ def with_non_vulnerable_versions(packages: DataFrame) -> DataFrame:
         .orderBy("version_rank")
         .rangeBetween(1, Window.unboundedFollowing)
     )
-    candidate_rank = F.when(
-        (~F.col("is_vulnerable")) & (~F.col("is_ghost")), F.col("version_rank")
-    )
     candidate_version = F.when(
         (~F.col("is_vulnerable")) & (~F.col("is_ghost")),
         F.struct("version_rank", "version"),

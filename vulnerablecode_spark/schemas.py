@@ -9,9 +9,9 @@ nested columns (ArrayType/StructType), not blobs
 
 from __future__ import annotations
 
-from pyspark.sql.types import (ArrayType, BooleanType, IntegerType, LongType,
-                               StringType, StructField, StructType,
-                               TimestampType)
+from pyspark.sql.types import (ArrayType, BooleanType, DoubleType,
+                               IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampType)
 
 REFERENCE = StructType([
     StructField("reference_id", StringType()),
@@ -43,9 +43,13 @@ ADVISORY = StructType([
     StructField("is_latest", BooleanType()),
     StructField("status", IntegerType()),
     StructField("precedence", IntegerType()),
-    StructField("weighted_severity", StringType()),
-    StructField("exploitability", StringType()),
-    StructField("risk_score", StringType()),
+    # numeric in storage (reference DecimalField, models.py:3256;
+    # to_canonical_advisories/the risk pipeline compute doubles) — the
+    # API layer renders them decimal-as-string at the boundary, see the
+    # PACKAGE/API structs below
+    StructField("weighted_severity", DoubleType()),
+    StructField("exploitability", DoubleType()),
+    StructField("risk_score", DoubleType()),
     StructField("aliases", ArrayType(StringType())),
     StructField("weaknesses", ArrayType(IntegerType())),
     StructField("references", ArrayType(REFERENCE)),
