@@ -151,9 +151,41 @@ class TestJpegGifHeaders:
         assert (meta["width"], meta["height"]) == (200, 120)
         assert meta["n_channels"] == 3 and meta["bit_depth"] == 8
 
-    def test_jpeg_without_sof_raises(self):
-        with pytest.raises(M.MediaError):
-            M.parse_media_header(b"\xff\xd8\xff\xda" + struct.pack(">H", 2))
+    def test_jpeg_without_sof_degrades_to_bin(self):
+        # header parsing is TOTAL over mixed binary columns: corrupt
+        # payloads degrade to the opaque row, they never raise
+        meta = M.parse_media_header(b"\xff\xd8\xff\xda" + struct.pack(">H", 2))
+        assert meta["media_format"] == "bin"
+        assert meta["width"] is None
+
+    def test_truncated_headers_never_raise(self):
+        for blob in (b"GIF89a", b"BM" + b"\x00" * 25,
+                     b"RIFF\x04\x00\x00\x00WAVE", M.PNG_SIG + b"trunc"):
+            M.parse_media_header(blob)  # total: any outcome but a raise
+
+    def test_decoders_raise_media_error_on_truncation(self):
+        blobs = [
+            (M.decode_png, M.PNG_SIG + b"\x00\x00\x00\x0dIHDR" + b"\x00" * 6),
+            (M.decode_wav, b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+             + struct.pack("<I", 16)
+             + struct.pack("<HHIIHH", 1, 0, 0, 0, 0, 16)
+             + b"data" + struct.pack("<I", 0)),
+            (M.decode_bmp, M.encode_bmp(
+                __import__("numpy").zeros((4, 4, 3), "uint8"))[:40]),
+        ]
+        for fn, blob in blobs:
+            with pytest.raises(M.MediaError):  # never struct.error/ValueError
+                fn(blob)
+
+    def test_rle8_long_skip_roundtrip(self):
+        # regression: a >255-pixel unchanged span before a late change
+        # must not desynchronize encoder x from the decoder canvas
+        np = __import__("numpy")
+        f0 = np.zeros((3, 600), np.uint8)
+        f1 = f0.copy(); f1[2, 500] = 77
+        frames, _ = M.decode_avi_rle8(M.encode_avi_rle8(np.stack([f0, f1])))
+        assert (frames[1][..., 0] == f1).all()
+        assert (frames[0][..., 0] == f0).all()
 
     def _gif(self, n_frames, local_ct=False, gct=True):
         packed = 0x80 | 0x01 if gct else 0x00  # GCT flag, size 2<<1

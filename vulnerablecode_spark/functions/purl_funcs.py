@@ -41,6 +41,28 @@ def plain_purl(purls: pd.Series) -> pd.Series:
 
 
 @pandas_udf("string")
+def raw_purl(purls: pd.Series) -> pd.Series:
+    """Storage join-key form (unencoded segments) — the convention the
+    engine's package_url column follows; see kernel.purl.Purl.to_raw_string."""
+    def raw(s):
+        try:
+            return _purl.raw_purl(s) if s else None
+        except _purl.PurlError:
+            return None
+    return purls.map(raw)
+
+
+@pandas_udf("string")
+def plain_raw_purl(purls: pd.Series) -> pd.Series:
+    def plain_raw(s):
+        try:
+            return _purl.plain_raw_purl(s) if s else None
+        except _purl.PurlError:
+            return None
+    return purls.map(plain_raw)
+
+
+@pandas_udf("string")
 def versionless_purl(purls: pd.Series) -> pd.Series:
     def base(s):
         try:
@@ -67,12 +89,16 @@ def purl_struct(purls: pd.Series) -> pd.DataFrame:
 
 
 def with_purl_columns(df, purl_col: str = "package_url"):
-    """Attach the denormalized purl columns the engine joins on."""
+    """Attach the denormalized purl columns the engine joins on — in the
+    RAW (unencoded) storage convention every join site uses
+    (materialize_packages concatenation, operators/lookup raw keys,
+    search prefix matches). The percent-encoded spec form stays available
+    via ``normalize_purl`` for API rendering."""
     from vulnerablecode_spark import ensure_shipped
 
     ensure_shipped(df.sparkSession)
     return (
-        df.withColumn("package_url", normalize_purl(F.col(purl_col)))
-        .withColumn("plain_package_url", plain_purl(F.col(purl_col)))
+        df.withColumn("package_url", raw_purl(F.col(purl_col)))
+        .withColumn("plain_package_url", plain_raw_purl(F.col(purl_col)))
         .withColumn("purl", purl_struct(F.col(purl_col)))
     )

@@ -71,9 +71,10 @@ def rank_versions(df: DataFrame, group_cols: tuple[str, ...] = ("type", "namespa
         ranks = [0] * len(pdf)
         rank = 0
         prev_key = None
-        for pos, i in enumerate(order):
+        for i in order:
             if prev_key is None or keys.iloc[i] != prev_key:
-                rank = pos + 1
+                rank += 1  # DENSE rank: ties share, no gaps (the
+                # documented 1..N contract rank+1 adjacency joins rely on)
                 prev_key = keys.iloc[i]
             ranks[i] = rank
         out = pdf.copy()

@@ -51,6 +51,7 @@ operators that the build brief adds beyond reference scope.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -64,6 +65,23 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 class MediaError(ValueError):
     """Raised for malformed or unsupported media payloads."""
+
+
+def _total(fn):
+    """Make a decoder total over corrupt input: stray parse errors on
+    truncated/malformed payloads (struct.error, numpy ValueError, index
+    overruns, zlib.error) surface as MediaError, so callers implementing
+    the drop-corrupt-rows policy with ``except MediaError``
+    (llm/multimodal.py) never lose a whole Arrow batch to one bad blob."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MediaError:
+            raise
+        except (struct.error, ValueError, IndexError, zlib.error) as exc:
+            raise MediaError(f"{fn.__name__}: corrupt payload ({exc})") from exc
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +159,13 @@ def parse_media_header(b: bytes) -> dict:
             meta.update(_parse_wav_fmt(b))
         elif fmt == "avi":
             meta.update(_parse_avi_header(b))
-    except (struct.error, IndexError) as exc:
-        raise MediaError(f"truncated {fmt} header") from exc
+    except (struct.error, IndexError, ValueError, MediaError):
+        # magic matched but the header is truncated/corrupt: degrade to
+        # the opaque-binary row — the function's documented contract is
+        # TOTAL over a mixed 100 TB binary column, never a failed batch
+        return {"media_format": "bin", "width": None, "height": None,
+                "n_frames": None, "sample_rate": None, "n_channels": None,
+                "bit_depth": None, "n_samples": None}
     return meta
 
 
@@ -303,6 +326,7 @@ def _unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray
     return out
 
 
+@_total
 def decode_png(b: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to a (height, width, channels)
     uint8 array. Palette images are expanded through PLTE."""
@@ -369,6 +393,7 @@ def encode_png(arr: np.ndarray) -> bytes:
 # BMP decode / encode (24-bit uncompressed)
 # ---------------------------------------------------------------------------
 
+@_total
 def decode_bmp(b: bytes) -> np.ndarray:
     """Decode a 24-bit uncompressed BMP to (height, width, 3) uint8 RGB."""
     if sniff_format(b) != "bmp":
@@ -410,6 +435,7 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 # WAV decode / encode (PCM 16-bit)
 # ---------------------------------------------------------------------------
 
+@_total
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     """Decode PCM-16 WAV → ((n_samples, n_channels) int16 array, rate)."""
     if sniff_format(b) != "wav":
@@ -417,6 +443,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     meta = _parse_wav_fmt(b)
     if meta.get("bit_depth") != 16:
         raise MediaError(f"wav: unsupported bit depth {meta.get('bit_depth')}")
+    if not meta.get("n_channels") or not meta.get("sample_rate"):
+        # a fmt chunk declaring 0 channels would crash reshape below, and
+        # rate=0 would "decode" only to divide-by-zero in audio_features
+        raise MediaError("wav: invalid fmt chunk (channels/rate = 0)")
     for cid, off, size in _riff_chunks(b):
         if cid == b"data":
             samples = np.frombuffer(b, dtype="<i2", count=size // 2,
@@ -564,6 +594,7 @@ def _lzw_encode(mcs: int, pixels) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@_total
 def decode_gif(b: bytes) -> np.ndarray:
     """Decode a GIF to an (n_frames, height, width, 3) uint8 RGB array.
 
@@ -993,6 +1024,7 @@ def encode_jpeg(arr: np.ndarray, subsampling: str = "444") -> bytes:
     return bytes(out)
 
 
+@_total
 def decode_jpeg(b: bytes) -> np.ndarray:
     """Decode a baseline JPEG: gray → (h, w, 1); YCbCr 4:4:4 → (h, w, 3)
     RGB via the JFIF transform.
@@ -1267,11 +1299,16 @@ def _rle8_encode_frame(cur: np.ndarray, prev: np.ndarray | None) -> bytes:
                     run += 1
                 if x + run >= w:
                     break  # unchanged to row end: EOL below skips it
+                # advance by the FULL run: the >255 splits below consume
+                # `run` in place, and advancing by the remainder would
+                # desynchronize encoder x from the decoder's canvas
+                # position for any skip of 256+ pixels
+                total = run
                 while run > 255:
                     out += bytes((0, 2, 255, 0))
                     run -= 255
                 out += bytes((0, 2, run, 0))
-                x += run
+                x += total
                 continue
             # changed span: literal RLE runs of equal indices
             val = row[x]
@@ -1355,6 +1392,7 @@ def _avi_strf(b: bytes) -> tuple[int, np.ndarray | None]:
     raise MediaError("avi: no video strf")
 
 
+@_total
 def decode_avi_rle8(b: bytes) -> tuple[np.ndarray, int]:
     """Decode a BI_RLE8 AVI to ((n, h, w, 3) uint8 RGB frames, fps) —
     the canvas persists across frames, so skip escapes reproduce the

@@ -107,8 +107,12 @@ def parse_purl(purl: str) -> Purl:
                 qualifiers[k.lower()] = unquote(v)
 
     version = ""
-    if "@" in rest:
-        rest, version = rest.rsplit("@", 1)
+    # only an '@' in the FINAL segment separates a version: a scope
+    # marker like npm's raw 'pkg:npm/@babel/traverse' (no version) must
+    # not be consumed as the delimiter
+    at = rest.rfind("@")
+    if at > rest.rfind("/"):
+        rest, version = rest[:at], rest[at + 1:]
         version = unquote(version)
 
     segments = [unquote(seg) for seg in rest.split("/") if seg]

@@ -128,9 +128,15 @@ def ssvc_vector_and_decision(content: dict) -> tuple[str, str]:
             opts[k] = str(v).lower()
     opts.setdefault("Mission Prevalence", "minimal")
     opts.setdefault("Public Well-being Impact", "material")
-    opts["Mission & Well-being"] = MISSION_WELLBEING_TABLE[
-        (opts["Mission Prevalence"], opts["Public Well-being Impact"])
-    ]
+    # guarded lookups: the reference's unguarded table access runs under
+    # per-advisory exception isolation in its pipeline loop; here a
+    # KeyError inside a UDF would fail the whole Spark task, so invalid
+    # feed values yield the empty result instead
+    mw = MISSION_WELLBEING_TABLE.get(
+        (opts["Mission Prevalence"], opts["Public Well-being Impact"]))
+    if mw is None:
+        return "", ""
+    opts["Mission & Well-being"] = mw
 
     vector = "SSVCv2/"
     for key, value in opts.items():
@@ -138,7 +144,10 @@ def ssvc_vector_and_decision(content: dict) -> tuple[str, str]:
         if point is None:
             continue
         letter, codes = point
-        vector += f"{letter}:{codes.get(value)}/"
+        code = codes.get(value)
+        if code is None:  # unknown option value: skip, never emit 'None'
+            continue
+        vector += f"{letter}:{code}/"
 
     decision = DECISION_TABLE.get(
         (opts.get("Exploitation"), opts.get("Automatable"),

@@ -51,12 +51,18 @@ def _generic_key(version: str) -> tuple:
         if tok.isdigit():
             key.append((1, int(tok)))
         elif tok in _POST_TAGS:
-            key.append((2, 0))  # post-release: after the final marker
+            # post sorts ABOVE the final-release terminator (-2) but
+            # BELOW any numeric segment (>= 0): 1.0 < 1.0.post1 < 1.0.1
+            # (the old (2, 0) kind outranked numerics, wrongly placing
+            # 1.0.post1 after 1.0.1 — a false 'affected' hazard in
+            # >=x.y.z range containment)
+            key.append((1, -1))
         else:
             key.append((0, _PRE_RANKS.get(tok, -5), tok))
     # final-release terminator: a bare "1.0" must sort AFTER "1.0rc1"
-    # (which continues with a (0, …) pre segment) and BEFORE "1.0.1".
-    key.append((1, -1) if not key or key[-1][0] != 2 else (3, 0))
+    # (which continues with a (0, …) pre segment) and BEFORE "1.0.post1"
+    # and "1.0.1" (which continue with (1, -1) / (1, n) segments).
+    key.append((1, -2))
     return tuple(_pad(k) for k in key)
 
 
