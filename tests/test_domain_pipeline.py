@@ -116,6 +116,52 @@ class TestOsvParsing:
         assert row.weaknesses == [502]
         assert row.references[0].reference_type == "advisory"
 
+    def test_git_only_ranges_use_enumerated_versions(self, spark):
+        """The dominant OSS-Fuzz shape: GIT ranges (commit shas) plus an
+        enumerated versions list. The advisory must claim ONLY the
+        enumerated versions — not 'vers:…/*' — and the GIT 'fixed' sha
+        must not leak into fixed_version."""
+        import json
+
+        from vulnerablecode_spark.sources.osv import OSV_SCHEMA, parse_osv
+
+        rec = {
+            "id": "OSV-2023-1", "summary": "s", "aliases": [],
+            "affected": [{
+                "package": {"ecosystem": "OSS-Fuzz", "name": "zlib",
+                            "purl": None},
+                "ranges": [{"type": "GIT", "events": [
+                    {"introduced": "3a0386e"},
+                    {"fixed": "0dd8ae2f7662ab2f2b66ba1e764c2c19c6d9a3b2"}]}],
+                "versions": ["1.2.0", "1.2.1"],
+                "database_specific": None,
+            }],
+            "references": [], "severity": [],
+            "published": "2023-01-01T00:00:00Z",
+        }
+        raw = spark.createDataFrame([(json.dumps(rec),)], "value string")
+        parsed = parse_osv(raw.select(
+            F.from_json("value", OSV_SCHEMA).alias("o")).select("o.*"))
+        ap = parsed.first().affected_packages[0]
+        assert ap.affected_version_range == "vers:generic/=1.2.0|=1.2.1"
+        assert ap.fixed_version is None  # the commit sha is NOT a version
+
+    def test_cwe_noinfo_yields_null_not_cast_error(self, spark):
+        """ANSI mode is the session default: a non-matching cwe id must
+        null out, never CAST('' AS INT) the job to death."""
+        import json
+
+        from vulnerablecode_spark.sources.osv import OSV_SCHEMA, parse_osv
+
+        rec = {"id": "X-1", "summary": "s", "aliases": [], "affected": [],
+               "references": [], "severity": [],
+               "database_specific": {"cwe_ids": ["CWE-noinfo", "CWE-79"]},
+               "published": "2023-01-01T00:00:00Z"}
+        raw = spark.createDataFrame([(json.dumps(rec),)], "value string")
+        parsed = parse_osv(raw.select(
+            F.from_json("value", OSV_SCHEMA).alias("o")).select("o.*"))
+        assert parsed.first().weaknesses == [79]
+
 
 class TestIngest:
     def test_avid_and_latest(self, advisories):

@@ -44,8 +44,11 @@ def reference_id_from_url(col: Column) -> Column:
 
 
 def cwe_number(col: Column) -> Column:
-    """'CWE-79' → 79 (utils.py:431-444)."""
-    return F.regexp_extract(col, r"(?i)CWE-(\d+)", 1).cast("int")
+    """'CWE-79' → 79 (utils.py:431-444); non-matching values (e.g.
+    'NVD-CWE-noinfo') yield null instead of an ANSI cast error — the
+    session default is ansi.enabled, where CAST('' AS INT) throws."""
+    return F.nullif(
+        F.regexp_extract(col, r"(?i)CWE-(\d+)", 1), F.lit("")).cast("int")
 
 
 def alias_url(col: Column) -> Column:

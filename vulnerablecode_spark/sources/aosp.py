@@ -39,8 +39,9 @@ def parse_aosp(files: DataFrame) -> DataFrame:
     ).filter(F.col("cveId").isNotNull())
     d = d.select(
         "*",
-        F.explode(F.filter(F.split(F.col("cveId"), ","),
-                           lambda x: x != "")).alias("vuln_id"),
+        F.explode(F.filter(
+            F.transform(F.split(F.col("cveId"), ","), F.trim),
+            lambda x: x != "")).alias("vuln_id"),
     )
 
     refs = F.filter(

@@ -138,7 +138,8 @@ def parse_github(raw: DataFrame) -> DataFrame:
         F.transform(
             F.coalesce(F.col("cwes.nodes"),
                        F.array().cast("array<struct<cweId:string>>")),
-            lambda c: F.regexp_extract(c["cweId"], r"(?i)CWE-(\d+)", 1).cast("int"),
+            lambda c: F.nullif(F.regexp_extract(c["cweId"], r"(?i)CWE-(\d+)", 1),
+                   F.lit("")).cast("int"),
         ),
         lambda x: x.isNotNull(),
     )

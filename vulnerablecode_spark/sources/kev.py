@@ -38,9 +38,10 @@ def read_kev(spark: SparkSession, path: str) -> DataFrame:
         F.to_timestamp("dateAdded").alias("date_added"),
         F.col("requiredAction").alias("required_action"),
         F.to_timestamp("dueDate").alias("due_date"),
-        (F.col("knownRansomwareCampaignUse") == "Known").alias(
-            "known_ransomware_campaign_use"
-        ),
+        # absent/odd feed values read as false, not null — consumers
+        # filter on this flag directly
+        F.coalesce(F.col("knownRansomwareCampaignUse") == "Known",
+                   F.lit(False)).alias("known_ransomware_campaign_use"),
         F.concat(
             F.lit("https://www.cisa.gov/known-exploited-vulnerabilities-catalog#"),
             F.col("cveID"),

@@ -107,8 +107,11 @@ def parse_nginx(files: DataFrame) -> DataFrame:
                 affected_text = affected_text.replace("nginx/Windows", "").strip()
             affected = []
             vers = to_vers(affected_text)
+            # 'Not vulnerable: none' means NO fixed version exists —
+            # 'none' must not survive as a literal version string
             fixed_list = [v.strip().rstrip("+") for v in
-                          not_vulnerable.split(",") if v.strip()]
+                          not_vulnerable.split(",")
+                          if v.strip() and v.strip().lower() != "none"]
             if vers or fixed_list:
                 affected.append({
                     "package": "pkg:nginx/nginx" + qualifiers,

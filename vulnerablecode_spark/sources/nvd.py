@@ -107,7 +107,7 @@ def _range_from_match(m: F.Column, uri: str = "cpe23Uri") -> F.Column:
         ),
         lambda c: c.isNotNull(),
     )
-    exact = F.element_at(F.split(m[uri], ":"), 6)
+    exact = F.try_element_at(F.split(m[uri], ":"), F.lit(6))
     return (
         F.when(F.size(constraints) > 0,
                F.concat(F.lit("vers:generic/"), F.array_join(constraints, "|")))
@@ -120,9 +120,9 @@ def _range_from_match(m: F.Column, uri: str = "cpe23Uri") -> F.Column:
 def parse_nvd(raw: DataFrame) -> DataFrame:
     item = raw.select(F.explode("CVE_Items").alias("it")).select("it.*")
     cve_id = F.col("cve.CVE_data_meta.ID")
-    summary = F.element_at(
+    summary = F.try_element_at(
         F.filter(F.col("cve.description.description_data"),
-                 lambda d: d["lang"] == "en"), 1)["value"]
+                 lambda d: d["lang"] == "en"), F.lit(1))["value"]
     matches = F.flatten(F.filter(
         F.transform(
             F.coalesce(F.col("configurations.nodes"),
@@ -164,12 +164,12 @@ def parse_nvd(raw: DataFrame) -> DataFrame:
     # CPE format: cpe:2.3:<part>:<vendor>:<product>:… — part 'h' marks
     # hardware (is_related_to_hardware, nvd_importer.py:326-332)
     is_hardware = F.exists(
-        cpes, lambda c: F.element_at(F.split(c, ":"), 3) == "h")
+        cpes, lambda c: F.try_element_at(F.split(c, ":"), F.lit(3)).eqNullSafe("h"))
     affected = F.transform(
         F.filter(matches,
                  lambda m: m["vulnerable"]
-                 & ~F.element_at(F.split(m["cpe23Uri"], ":"), 4).isin("*", "-")
-                 & ~F.element_at(F.split(m["cpe23Uri"], ":"), 5).isin("*", "-")),
+                 & ~F.try_element_at(F.split(m["cpe23Uri"], ":"), F.lit(4)).isin("*", "-")
+                 & ~F.try_element_at(F.split(m["cpe23Uri"], ":"), F.lit(5)).isin("*", "-")),
         lambda m: F.struct(
             _cpe_product_purl(m["cpe23Uri"]).alias("package"),
             _range_from_match(m).alias("affected_version_range"),
@@ -249,7 +249,8 @@ def parse_nvd(raw: DataFrame) -> DataFrame:
                     p["description"],
                     F.array().cast("array<struct<value:string>>")),
             )),
-            lambda d: F.regexp_extract(d["value"], r"(?i)CWE-(\d+)", 1).cast("int"),
+            lambda d: F.nullif(F.regexp_extract(d["value"], r"(?i)CWE-(\d+)", 1),
+                   F.lit("")).cast("int"),
         ),
         lambda x: x.isNotNull(),
     )
@@ -422,12 +423,12 @@ def parse_nvd_api2(raw: DataFrame) -> DataFrame:
         F.transform(matches, lambda m: m["criteria"]),
         lambda c: c.isNotNull()))
     is_hardware = F.exists(
-        cpes, lambda c: F.element_at(F.split(c, ":"), 3) == "h")
+        cpes, lambda c: F.try_element_at(F.split(c, ":"), F.lit(3)).eqNullSafe("h"))
     affected = F.transform(
         F.filter(matches,
                  lambda m: m["vulnerable"] & m["criteria"].isNotNull()
-                 & ~F.element_at(F.split(m["criteria"], ":"), 4).isin("*", "-")
-                 & ~F.element_at(F.split(m["criteria"], ":"), 5).isin("*", "-")),
+                 & ~F.try_element_at(F.split(m["criteria"], ":"), F.lit(4)).isin("*", "-")
+                 & ~F.try_element_at(F.split(m["criteria"], ":"), F.lit(5)).isin("*", "-")),
         lambda m: F.struct(
             _cpe_product_purl(m["criteria"]).alias("package"),
             _range_from_match(m, uri="criteria")
@@ -449,7 +450,8 @@ def parse_nvd_api2(raw: DataFrame) -> DataFrame:
             )),
             lambda d: F.when(
                 ~d["value"].isin("NVD-CWE-Other", "NVD-CWE-noinfo"),
-                F.regexp_extract(d["value"], r"(?i)CWE-(\d+)", 1).cast("int")),
+                F.nullif(F.regexp_extract(d["value"], r"(?i)CWE-(\d+)", 1),
+                         F.lit("")).cast("int")),
         ),
         lambda x: x.isNotNull()))
     detail_url = F.concat(F.lit("https://nvd.nist.gov/vuln/detail/"), cve_id)

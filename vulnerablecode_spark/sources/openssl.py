@@ -89,9 +89,11 @@ def parse_openssl(files: DataFrame) -> DataFrame:
             "array<struct<name:string,url:string,tags:array<string>>>")),
         lambda r: F.struct(
             r["name"].alias("reference_id"),
-            F.when(F.lower(F.try_element_at(
+            # 'patch' may appear at ANY tag position (secjson tags
+            # arrays are multi-entry, e.g. ['vendor-advisory','patch'])
+            F.when(F.exists(
                 F.coalesce(r["tags"], F.array().cast("array<string>")),
-                F.lit(1))) == "patch", F.lit("commit"))
+                lambda t: F.lower(t) == "patch"), F.lit("commit"))
             .otherwise(F.lit("")).alias("reference_type"),
             r["url"].alias("url"),
         ),

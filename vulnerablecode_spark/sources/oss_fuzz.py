@@ -37,8 +37,12 @@ def parse_oss_fuzz(files: DataFrame) -> DataFrame:
             out = []
             for content in pdf["value"]:
                 try:
-                    out.append(json.dumps(yaml.safe_load(content)))
-                except yaml.YAMLError:
+                    # default=str: safe_load turns unquoted OSV
+                    # 'modified:'/'published:' timestamps into datetime
+                    # objects, which plain json.dumps rejects
+                    out.append(json.dumps(yaml.safe_load(content),
+                                          default=str))
+                except (yaml.YAMLError, TypeError):
                     continue
             yield pd.DataFrame({"json": out})
 

@@ -124,14 +124,24 @@ def _affected_packages(affected: Column) -> Column:
             F.concat(F.lit("pkg:"), scheme, F.lit("/"),
                      F.lower(a["package"]["name"]))
         )
-        ecosystem_events = F.flatten(
-            F.transform(
-                F.filter(a["ranges"], lambda r: r["type"] != "GIT"),
-                lambda r: r["events"],
-            )
+        # coalesce to an empty events array: null ranges must read as
+        # "no events" (size 0), not propagate NULL through the explicit-
+        # versions gate below
+        ecosystem_events = F.coalesce(
+            F.flatten(
+                F.transform(
+                    F.filter(a["ranges"], lambda r: r["type"] != "GIT"),
+                    lambda r: r["events"],
+                )
+            ),
+            F.array().cast("array<map<string,string>>"),
         )
+        # explicit enumeration applies whenever there are no ECOSYSTEM/
+        # SEMVER events — a record with only GIT ranges plus a versions
+        # list (the dominant OSS-Fuzz shape) must use the enumerated
+        # versions, not fall through to the match-everything 'vers:…/*'
         explicit_versions = F.when(
-            (F.size(F.coalesce(a["ranges"], F.array())) == 0)
+            (F.size(ecosystem_events) == 0)
             & (F.size(F.coalesce(a["versions"], F.array())) > 0),
             F.concat(F.lit("vers:"), scheme, F.lit("/"),
                      F.array_join(F.transform(a["versions"],
@@ -140,10 +150,15 @@ def _affected_packages(affected: Column) -> Column:
         vers_range = F.coalesce(
             explicit_versions, _events_to_vers(ecosystem_events, scheme)
         )
+        # fixed versions come from non-GIT ranges only: a GIT range's
+        # 'fixed' event is a commit sha, not a package version (same
+        # filter the range walk above applies; curl.py:64 guards alike)
+        non_git = F.filter(F.coalesce(a["ranges"], F.array()),
+                           lambda r: r["type"] != "GIT")
         return F.struct(
             base_purl.alias("package"),
             vers_range.alias("affected_version_range"),
-            _fixed_version(F.coalesce(a["ranges"], F.array())).alias("fixed_version"),
+            _fixed_version(non_git).alias("fixed_version"),
         )
 
     return F.transform(affected, one)
@@ -172,7 +187,8 @@ def parse_osv(raw: DataFrame, datasource_id: str = "osv") -> DataFrame:
     weaknesses = F.filter(
         F.transform(
             F.coalesce(F.col("database_specific.cwe_ids"), F.array()),
-            lambda c: F.regexp_extract(c, r"(?i)CWE-(\d+)", 1).cast("int"),
+            lambda c: F.nullif(F.regexp_extract(c, r"(?i)CWE-(\d+)", 1),
+                   F.lit("")).cast("int"),
         ),
         lambda x: x.isNotNull(),
     )

@@ -131,6 +131,10 @@ def parse_ruby_yaml(files: DataFrame) -> DataFrame:
             if d.get("cve"):
                 aliases.append(f"CVE-{d['cve']}")
             if d.get("osvdb"):
+                # the 'OSV-' (not 'OSVDB-') prefix is the reference's own
+                # convention, ruby_importer.py:205-206 — kept verbatim
+                # for alias parity even though it shadows Google's OSV
+                # id namespace
                 aliases.append(f"OSV-{d['osvdb']}")
             if d.get("ghsa"):
                 aliases.append(f"GHSA-{d['ghsa']}")
