@@ -859,3 +859,25 @@ class TestLeakageSafeSplits:
             want = ("train" if r.gate < 9000
                     else "val" if r.gate < 9500 else "test")
             assert r.split == want
+
+
+class TestZeroNormCosine:
+    def test_all_tiers_exclude_zero_norm_vectors_identically(self, spark):
+        from vulnerablecode_spark.llm.similarity import cosine_topk
+
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+                (2, [0.0, 0.0, 0.0]),  # zero-norm: undefined cosine
+                (3, [0.5, 0.5, 0.0]), (4, [0.1, 0.9, 0.0])]
+        corpus = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+        queries = corpus.filter("vec_id = 0")
+        outs = {}
+        for impl in ("hof", "arrow", "partial"):
+            got = [(r.neighbor_id, r.cosine_sim, r.rk) for r in
+                   cosine_topk(corpus, queries, k=4, impl=impl)
+                   .orderBy("rk").collect()]
+            outs[impl] = got
+            # the zero vector never appears — neither as NaN rank-1
+            # (the old arrow tier) nor as a trailing null row
+            assert all(n != 2 for n, _, _ in got), (impl, got)
+        assert outs["hof"] == outs["arrow"] == outs["partial"]

@@ -407,3 +407,97 @@ class TestStreamDsirMissingModel:
                               str(tmp_path / "nope"),
                               str(tmp_path / "out"),
                               str(tmp_path / "ckpt"))
+
+
+class TestSnapshotSwapRecovery:
+    def test_crash_mid_swap_restores_from_backup(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.incremental import (read_table,
+                                                                write_table)
+
+        path = str(tmp_path / "t")
+        write_table(spark.range(5).toDF("n"), path)
+        # simulate a crash BETWEEN the two renames: table moved to .old,
+        # staging never landed
+        import os
+        os.replace(path, path + ".old")
+        assert read_table(spark, path).count() == 5  # restored, not lost
+
+    def test_stale_backup_never_wedges_next_write(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.incremental import (read_table,
+                                                                write_table)
+
+        path = str(tmp_path / "t")
+        write_table(spark.range(3).toDF("n"), path)
+        # simulate a crash AFTER the swap but before backup cleanup
+        import shutil
+        shutil.copytree(path, path + ".old")
+        write_table(spark.range(7).toDF("n"), path)  # must not raise
+        assert read_table(spark, path).count() == 7
+
+
+class TestSessionizeLateEvents:
+    def test_late_event_joins_open_session_without_moving_end(
+            self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.stateful import sessionize
+
+        src = tmp_path / "events"; src.mkdir()
+        out = str(tmp_path / "sessions")
+        ckpt = str(tmp_path / "ckpt")
+
+        def run_batch():
+            stream = (spark.readStream
+                      .schema("user_id bigint, ts timestamp")
+                      .json(str(src)))
+            (sessionize(stream, gap_seconds=60)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start().awaitTermination())
+
+        with open(src / "b1.json", "w") as f:
+            f.write('{"user_id": 1, "ts": "2024-01-01T00:00:00"}\n')
+            f.write('{"user_id": 1, "ts": "2024-01-01T00:00:40"}\n')  # t=40
+        run_batch()
+        # batch 2: a LATE t=20 event (inside the open session) plus an
+        # on-time t=80 — 40s after the true latest event t=40, so the
+        # session must NOT split (the old code rewound last to 20, making
+        # 80-20=60s look like a boundary case and corrupting the end)
+        with open(src / "b2.json", "w") as f:
+            f.write('{"user_id": 1, "ts": "2024-01-01T00:00:20"}\n')
+            f.write('{"user_id": 1, "ts": "2024-01-01T00:01:20"}\n')
+        run_batch()
+        assert spark.read.parquet(out).count() == 0  # still one open session
+        # close it with a far-future event; the closed session holds all 4
+        with open(src / "b3.json", "w") as f:
+            f.write('{"user_id": 1, "ts": "2024-01-01T01:00:00"}\n')
+        run_batch()
+        s = spark.read.parquet(out).collect()[0]
+        assert s.n_events == 4
+        assert (s.session_end - s.session_start).total_seconds() == 80
+
+
+class TestPackStreamNullText:
+    def test_null_text_does_not_shift_offsets(self, spark, tmp_path):
+        from vulnerablecode_spark.streaming.stateful import \
+            pack_sequences_stream
+
+        src = tmp_path / "docs"; src.mkdir()
+        out = str(tmp_path / "packed")
+        ckpt = str(tmp_path / "ckpt")
+        with open(src / "b1.json", "w") as f:
+            f.write('{"doc_id": 1, "source": "s", "text": "a b c"}\n')
+            f.write('{"doc_id": 2, "source": "s", "text": null}\n')
+            f.write('{"doc_id": 3, "source": "s", "text": "d e"}\n')
+        stream = (spark.readStream
+                  .schema("doc_id bigint, source string, text string")
+                  .json(str(src)))
+        (pack_sequences_stream(stream, seq_len=4)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+        rows = {(r.doc_id, r.seq_id, r.tok_begin, r.tok_end)
+                for r in spark.read.parquet(out).collect()}
+        assert not any(r[0] == 2 for r in rows)  # no row for the null doc
+        # doc 3 (2 tokens) starts at stream offset 3, not 4: the null doc
+        # advanced nothing, so it spans seqs 0 and 1 exactly like the
+        # batch manifest would
+        assert rows == {(1, 0, 0, 2), (3, 0, 0, 0), (3, 1, 1, 1)}

@@ -55,7 +55,9 @@ def strip_stopwords(
     """
     toks = F.split(F.col(text_col), " ")
     sw = list(stopwords)
-    kept = F.filter(toks, lambda t: ~t.isin(sw))
+    # lowercased match, like the marker/quality operators that share
+    # STOPWORDS: sentence-initial 'The' is the same boilerplate as 'the'
+    kept = F.filter(toks, lambda t: ~F.lower(t).isin(sw))
     return docs.select(
         F.col(id_col),
         F.md5(F.array_join(kept, " ")).alias("clean_fp"),
@@ -78,7 +80,9 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("longnum", r"\b\d{12,19}\b", "<NUM>"),
-    ("hexsecret", r"\b[0-9a-f]{32,}\b", "<HEX>"),
+    # case-insensitive: uppercase/mixed-case credentials (API keys, SHA
+    # digests) must not pass the privacy scrub unredacted
+    ("hexsecret", r"\b[0-9a-fA-F]{32,}\b", "<HEX>"),
 )
 
 
@@ -527,9 +531,15 @@ def epoch_upsample(
             F.expr("(max_tokens + src_tokens - 1) div src_tokens"),
         ),
     )
+    # null-safe join key: docs with a NULL group form their own source
+    # slice (per_src aggregates them into a NULL-group row) and must not
+    # silently vanish from the manifest on a plain equi-join
+    left = docs.select(F.col(id_col), F.col(group_col).alias("grp"))
+    dim = F.broadcast(per_src.select(
+        F.col("grp").alias("_grp"), "src_tokens", "epochs"))
     return (
-        docs.select(F.col(id_col), F.col(group_col).alias("grp"))
-        .join(F.broadcast(per_src.select("grp", "src_tokens", "epochs")), "grp")
+        left.join(dim, left["grp"].eqNullSafe(F.col("_grp")))
+        .drop("_grp")
         .withColumn(
             "copy_idx",
             F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("epochs"))),

@@ -112,10 +112,14 @@ def extract_media_meta_real(df: DataFrame, id_col: str = "doc_id",
         cols = ("media_format", "width", "height", "n_frames",
                 "sample_rate", "n_channels", "bit_depth", "n_samples")
         for pdf in batches:
-            metas = [_media.parse_media_header(bytes(b))
-                     for b in pdf[payload_col]]
+            # NULL payloads read as empty bytes → media_format 'bin',
+            # byte_len 0 — the stage stays total over dirty columns
+            payloads = [bytes(b) if b is not None else b""
+                        for b in pdf[payload_col]]
+            metas = [_media.parse_media_header(b) for b in payloads]
             out = {"doc_id": pdf[id_col].astype("int64"),
-                   "byte_len": pdf[payload_col].map(len).astype("int64")}
+                   "byte_len": _pd.Series([len(b) for b in payloads],
+                                          dtype="int64")}
             for c in cols:
                 out[c] = _pd.Series([m[c] for m in metas])
             yield _pd.DataFrame(out)
@@ -152,7 +156,8 @@ def extract_media_meta(df: DataFrame, id_col: str = "doc_id",
                     byte_len % 16 + 1)
 
         for pdf in batches:
-            byte_len = pdf[payload_col].map(len).astype("int64")
+            byte_len = pdf[payload_col].map(
+                lambda b: len(b) if b is not None else 0).astype("int64")
             meta = byte_len.map(fake_meta)
             yield _pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
@@ -232,7 +237,7 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224,
                 ids, payloads = [], []
                 for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
                     try:
-                        px = _media.decode_image(bytes(b))
+                        px = _media.decode_image(bytes(b or b""))
                     except _media.MediaError:
                         continue  # undecodable media row: drop
                     resized = _media.resize_nearest(px, w, h)
@@ -296,7 +301,7 @@ def audio_features(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    samples, rate = _media.decode_wav(bytes(b))
+                    samples, rate = _media.decode_wav(bytes(b or b""))
                 except _media.MediaError:
                     continue
                 mono = samples.astype(_np.float64).mean(axis=1)
@@ -401,6 +406,9 @@ def byte_histogram_features(df: DataFrame, bins: int = 16,
     batch, no per-byte Python. Closure self-contained (pickled by value).
     """
     nb = int(bins)
+    if not 1 <= nb <= 256:
+        raise ValueError(f"byte_histogram_features: bins must be 1..256, "
+                         f"got {nb}")
     out_schema = StructType([
         StructField("doc_id", LongType()),
         StructField("features", ArrayType(DoubleType())),
@@ -410,12 +418,15 @@ def byte_histogram_features(df: DataFrame, bins: int = 16,
         import numpy as _np
         import pandas as _pd
 
-        shift = 8 - (nb - 1).bit_length()  # 256 values → nb buckets
-
         def one(b: bytes):
             if not b:
                 return [0.0] * nb
-            arr = _np.frombuffer(b, dtype=_np.uint8) >> shift
+            # value*nb//256 maps 0..255 onto exactly nb buckets for ANY
+            # nb (a power-of-two shift produced 2^ceil(log2 nb) buckets
+            # — ragged feature vectors for e.g. nb=10); identical to the
+            # old shift for power-of-two nb
+            arr = (_np.frombuffer(b, dtype=_np.uint8)
+                   .astype(_np.int32) * nb) >> 8
             counts = _np.bincount(arr, minlength=nb).astype(_np.float64)
             return list(counts / counts.sum())
 
@@ -476,7 +487,7 @@ def audio_spectral_features(df: DataFrame, id_col: str = "doc_id",
             rows = []
             for doc_id, b in zip(pdf[id_col], pdf[payload_col]):
                 try:
-                    samples, rate = _media.decode_wav(bytes(b))
+                    samples, rate = _media.decode_wav(bytes(b or b""))
                 except _media.MediaError:
                     continue
                 mono = samples.astype(_np.float64).mean(axis=1)

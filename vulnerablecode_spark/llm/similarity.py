@@ -83,7 +83,10 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     a, b = _as_double(a), _as_double(b)
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm vector yields NULL (excluded downstream)
+    # — plain '/' THROWS DIVIDE_BY_ZERO under the session's default ANSI
+    # mode, killing the whole scan on one degenerate vector
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_arrow(q_col: Column, c_col: Column) -> Column:
@@ -120,7 +123,14 @@ def cosine_arrow(q_col: Column, c_col: Column) -> Column:
             dot += qd * cd
             nq += qd * qd
             nc += cd * cd
-        return _pd.Series(dot / (_np.sqrt(nq) * _np.sqrt(nc)))
+        with _np.errstate(invalid="ignore", divide="ignore"):
+            res = dot / (_np.sqrt(nq) * _np.sqrt(nc))
+        # zero-norm side → NULL, matching the HOF tier (Spark's Divide
+        # yields null on a zero divisor); NaN would instead sort ABOVE
+        # every real cosine and poison top-k
+        out = _pd.array(res, dtype="Float64")
+        out[~_np.isfinite(res)] = _pd.NA
+        return _pd.Series(out)
 
     return cos(q_col, c_col)
 
@@ -190,7 +200,12 @@ def _cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
                 cd = C[:, d]
                 dot += Q[None, :, d] * cd[:, None]
                 nc += cd * cd
-            cos = dot / (sq_nq[None, :] * _np.sqrt(nc)[:, None])
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                cos = dot / (sq_nq[None, :] * _np.sqrt(nc)[:, None])
+            # zero-norm rows/queries: undefined cosine → -inf so the kth
+            # cut stays NaN-free, then dropped from the emitted rows —
+            # the same exclusion the other tiers apply via null cosines
+            cos[~_np.isfinite(cos)] = -_np.inf
             out_q, out_n, out_c = [], [], []
             for qi in range(len(ids)):
                 col = cos[:, qi]
@@ -199,6 +214,7 @@ def _cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
                     sel = _np.nonzero(col >= kth - 2e-4)[0]
                 else:
                     sel = _np.arange(n)
+                sel = sel[_np.isfinite(col[sel])]
                 out_q.append(_np.full(len(sel), ids[qi]))
                 out_n.append(cids[sel])
                 out_c.append(col[sel])
@@ -253,6 +269,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        # zero-norm vectors have no defined cosine: excluded in every
+        # tier (HOF divide-by-zero null, arrow NULL, partial drop)
+        .filter(F.col("cosine_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()

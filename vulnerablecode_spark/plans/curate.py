@@ -24,7 +24,7 @@ _SQL_HASH64 = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 _SQL_STOPLIST = ", ".join(f"'{w}'" for w in curate.STOPWORDS)
 _SQL_KEPT = (
     "list_filter(string_split(text, ' '), "
-    f"t -> t NOT IN ({_SQL_STOPLIST}))"
+    f"t -> lower(t) NOT IN ({_SQL_STOPLIST}))"
 )
 
 
@@ -253,7 +253,7 @@ def q74_bpe_merge_stats(spark, sf_dir):
     )
     SELECT d.doc_id, f.grp AS source, f.epochs,
            CAST(UNNEST(range(1, f.epochs + 1)) AS BIGINT) AS copy_idx
-    FROM documents d JOIN f ON d.source = f.grp
+    FROM documents d JOIN f ON d.source IS NOT DISTINCT FROM f.grp
     """,
 )
 def q70_epoch_upsample(spark, sf_dir):

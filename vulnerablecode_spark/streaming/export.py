@@ -41,6 +41,16 @@ def export_advisories(advisories: DataFrame, out_dir: str,
     With a checkpoint: only advisories collected after the watermark
     (incremental export, federate_vulnerabilities.py:78-88); the watermark
     advances to the batch max afterwards. Returns exported row count.
+
+    The batch is materialized ONCE (localCheckpoint) so the count, the
+    write, and the watermark max all see the same snapshot — without it a
+    concurrent table swap between actions could advance the checkpoint
+    past rows never written. The strict ``>`` watermark itself assumes
+    the sequential scheduler (streaming/runlog.py): merge runs stamp
+    monotone ``date_collected`` values, so no later merge can introduce
+    rows at-or-before an exported watermark; a concurrent-writer
+    deployment replaces the watermark with Delta table versions (the
+    module docstring's note).
     """
     batch = advisories.filter(F.col("is_latest"))
     watermark = load_checkpoint(checkpoint_path) if checkpoint_path else None
@@ -49,7 +59,7 @@ def export_advisories(advisories: DataFrame, out_dir: str,
     batch = batch.withColumn(
         "export_path",
         F.concat_ws("/", "datasource_id", "advisory_id"),
-    )
+    ).localCheckpoint(eager=True)
     count = batch.count()
     if count:
         (

@@ -32,13 +32,32 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
     )
 
 
+def _recover_snapshot(path: str) -> None:
+    """Crash recovery for the snapshot swap: a run that died between the
+    two renames leaves the data only under ``.old`` — restore it before
+    reading or swapping, so a crash never loses the table or wedges the
+    next write (os.replace onto a surviving non-empty backup raises)."""
+    backup = path.rstrip("/") + ".old"
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.replace(backup, path)  # crash mid-swap: restore
+        else:
+            import shutil
+
+            shutil.rmtree(backup, ignore_errors=True)  # crash post-swap
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame | None:
+    _recover_snapshot(path)
     return spark.read.parquet(path) if _table_exists(spark, path) else None
 
 
 def write_table(df: DataFrame, path: str) -> None:
-    """Snapshot-swap write: materialize to a staging dir, then atomically
-    replace. (Delta/Iceberg would make this a transactional commit.)"""
+    """Snapshot-swap write: materialize to a staging dir, then swap.
+    The swap window (between the two renames) is recovered by
+    ``_recover_snapshot`` on the next read/write; Delta/Iceberg would
+    make this a transactional commit."""
+    _recover_snapshot(path)
     staging = path.rstrip("/") + ".staging"
     df.write.mode("overwrite").parquet(staging)
     backup = path.rstrip("/") + ".old"

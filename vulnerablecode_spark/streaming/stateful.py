@@ -32,7 +32,9 @@ def sessionize(events: DataFrame, gap_seconds: int = 60,
 
         times = []
         for pdf in pdfs:
-            times.extend(int(t.value // 1000) for t in pd.to_datetime(pdf[ts_col]))
+            times.extend(int(t.value // 1000)
+                         for t in pd.to_datetime(pdf[ts_col])
+                         if not pd.isna(t))  # NaT.value is -2^63: skip
         times.sort()
         if state.exists:
             start_us, last_us, n = state.get
@@ -43,11 +45,22 @@ def sessionize(events: DataFrame, gap_seconds: int = 60,
         for t in times:
             if last_us is None:
                 start_us, last_us, n = t, t, 1
-            elif t - last_us <= gap_us:
-                last_us, n = t, n + 1
-            else:
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+            elif t >= last_us:
+                if t - last_us <= gap_us:
+                    last_us, n = t, n + 1
+                else:
+                    closed.append((start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+            elif last_us - t <= gap_us:
+                # cross-batch LATE event inside the open session's gap:
+                # count it (extending start backwards if needed) but
+                # never move last_us backwards — that would mis-split
+                # the session on the next on-time event
+                n += 1
+                if t < start_us:
+                    start_us = t
+            # else: later than the state horizon (older than gap before
+            # the open session) — watermark semantics, dropped
         if start_us is not None:
             state.update((start_us, last_us, n))
         if closed:
@@ -100,7 +113,14 @@ def pack_sequences_stream(docs: DataFrame, seq_len: int = 128,
         incoming = []
         for pdf in pdfs:
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                incoming.append((int(doc_id), len(str(text).split(" "))))
+                if not isinstance(text, str):
+                    # NULL text: the batch twin's size(split(NULL)) is
+                    # NULL → explode emits nothing and the window sum
+                    # skips it — emitting a 1-token 'None' row here
+                    # would shift every later offset off the batch
+                    # manifest
+                    continue
+                incoming.append((int(doc_id), len(text.split(" "))))
         incoming.sort()
         rows = []
         for doc_id, n_tok in incoming:
