@@ -327,10 +327,28 @@ _Q43_ORACLE = f"""
 """
 
 
-@query("q43_cvss4_macrovector", oracle=_Q43_ORACLE)
-def q43_cvss4_macrovector(spark, sf_dir):
+# session-scoped MacroVector score dimension (the same pattern as
+# relational.py's _weights_dim: a static 270-row config table is created
+# once per application and broadcast, never re-parallelized per call)
+_MACRO_DIM_CACHE: dict[str, object] = {}
+
+
+def _macro_dim(spark):
     from vulnerablecode_spark.kernel.cvss4 import MACRO_LOOKUP
 
+    app = spark.sparkContext.applicationId
+    dim = _MACRO_DIM_CACHE.get(app)
+    if dim is None:
+        _MACRO_DIM_CACHE.clear()
+        dim = spark.createDataFrame(
+            sorted(MACRO_LOOKUP.items()), "macro string, score double"
+        ).localCheckpoint(eager=True)
+        _MACRO_DIM_CACHE[app] = dim
+    return dim
+
+
+@query("q43_cvss4_macrovector", oracle=_Q43_ORACLE)
+def q43_cvss4_macrovector(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
 
@@ -379,8 +397,7 @@ def q43_cvss4_macrovector(spark, sf_dir):
     macro = F.concat(eq1.cast("string"), eq2.cast("string"),
                      eq3.cast("string"), eq4.cast("string"),
                      F.lit("0"), eq6.cast("string"))
-    lookup = spark.createDataFrame(
-        sorted(MACRO_LOOKUP.items()), "macro string, score double")
+    lookup = _macro_dim(spark)
     eq = m.select(
         "o_orderkey", vector.alias("vector"), macro.alias("macro"),
         zero.alias("zero_impact"),

@@ -42,14 +42,20 @@ _SQL_BANDS = f"""
     bands AS (
         SELECT doc_id, CAST(j // {{band_rows}} AS INT) AS band,
                (('0x' || substr(md5(CONCAT_WS('-',
-                   MAX(CASE WHEN j % 4 = 0 THEN minhash END),
-                   MAX(CASE WHEN j % 4 = 1 THEN minhash END),
-                   MAX(CASE WHEN j % 4 = 2 THEN minhash END),
-                   MAX(CASE WHEN j % 4 = 3 THEN minhash END))), 1, 15))::BIGINT)
+                   {{sig_arms}})), 1, 15))::BIGINT)
                    AS band_sig
         FROM m GROUP BY doc_id, band
     )
-""".format(n_hashes=dedup.N_HASHES, band_rows=dedup.BAND_ROWS)
+""".format(
+    n_hashes=dedup.N_HASHES,
+    band_rows=dedup.BAND_ROWS,
+    # one CASE arm per in-band lane, GENERATED from BAND_ROWS — a
+    # hardcoded arm count would silently corrupt every near-dup oracle
+    # if the banding parameters ever change
+    sig_arms=",\n                   ".join(
+        f"MAX(CASE WHEN j % {dedup.BAND_ROWS} = {i} THEN minhash END)"
+        for i in range(dedup.BAND_ROWS)),
+)
 
 
 # ---------------------------------------------------------------------------
@@ -66,6 +72,25 @@ _SQL_BANDS = f"""
 # ---------------------------------------------------------------------------
 
 _ARTIFACTS: dict[tuple[str, str], dict] = {}
+_MAX_ARTIFACT_DIRS = 4
+
+
+def _evict_stale(app: str, sf_dir: str) -> None:
+    """Bound the registry: drop entries of stopped applications AND cap
+    the number of distinct sf_dirs held for the live one (a long-lived
+    session grading many corpora — the fuzz harness — would otherwise
+    pin one checkpointed artifact set per directory forever; evicted
+    frames release their blocks via ContextCleaner once unreferenced)."""
+    for stale in [k for k in _ARTIFACTS if k[0] != app]:
+        del _ARTIFACTS[stale]
+    dirs: list[str] = []
+    for k in _ARTIFACTS:
+        if k[1] not in dirs and k[1] != sf_dir:
+            dirs.append(k[1])
+    while len(dirs) >= _MAX_ARTIFACT_DIRS:
+        victim = dirs.pop(0)  # insertion order = oldest first
+        for k in [k for k in _ARTIFACTS if k[1] == victim]:
+            del _ARTIFACTS[k]
 
 
 def _near_dup_artifacts(spark, sf_dir: str) -> dict:
@@ -73,8 +98,7 @@ def _near_dup_artifacts(spark, sf_dir: str) -> dict:
     key = (app, sf_dir)
     art = _ARTIFACTS.get(key)
     if art is None:
-        for stale in [k for k in _ARTIFACTS if k[0] != app]:
-            del _ARTIFACTS[stale]
+        _evict_stale(app, sf_dir)
         docs = _load(spark, sf_dir, "documents")
         # TWO materialization barriers, one per reuse point. The shingle
         # index feeds both the signature build and the verify stage; the
@@ -130,8 +154,7 @@ def _embedding_artifacts(spark, sf_dir: str, bucketed: bool = False):
     key = (app, sf_dir, "emb")
     art = _ARTIFACTS.get(key)
     if art is None:
-        for stale in [k for k in _ARTIFACTS if k[0] != app]:
-            del _ARTIFACTS[stale]
+        _evict_stale(app, sf_dir)
         art = {"cast": dedup.spread(
             _load(spark, sf_dir, "embeddings").select(
                 "vec_id",
@@ -343,8 +366,7 @@ def _incremental_index_artifacts(spark, sf_dir: str) -> dict:
     key = (app, sf_dir, "incidx")
     art = _ARTIFACTS.get(key)
     if art is None:
-        for stale in [k for k in _ARTIFACTS if k[0] != app]:
-            del _ARTIFACTS[stale]
+        _evict_stale(app, sf_dir)
         old = _load(spark, sf_dir, "documents").filter(
             ~(F.col("doc_id") % 10 == 0))
         hashed = dedup.hashed_shingles(
@@ -833,8 +855,7 @@ def _payload_artifact(spark, sf_dir: str):
     key = (app, sf_dir, "payload")
     art = _ARTIFACTS.get(key)
     if art is None:
-        for stale in [k for k in _ARTIFACTS if k[0] != app]:
-            del _ARTIFACTS[stale]
+        _evict_stale(app, sf_dir)
         docs = _load(spark, sf_dir, "documents")
         art = dedup.spread(
             multimodal.with_binary_payload(docs).select("doc_id", "payload")

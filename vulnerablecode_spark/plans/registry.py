@@ -53,6 +53,16 @@ def _load_one(spark, sf_dir: str, name: str):
         return df
     for stale in [k for k in _TABLES if k[0] != app]:
         del _TABLES[stale]
+    # cap distinct sf_dirs (a session grading many corpora — the fuzz
+    # harness — would otherwise grow the handle cache without bound)
+    dirs = []
+    for k in _TABLES:
+        if k[1] not in dirs and k[1] != sf_dir:
+            dirs.append(k[1])
+    while len(dirs) >= 8:
+        victim = dirs.pop(0)
+        for k in [k for k in _TABLES if k[1] == victim]:
+            del _TABLES[k]
     _TABLES[key] = df = _load_one_uncached(spark, sf_dir, name)
     return df
 

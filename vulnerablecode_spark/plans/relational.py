@@ -737,13 +737,17 @@ def q22_asof_join(spark, sf_dir):
     "q41_sessionization",
     oracle="""
     WITH marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
                     THEN 0 ELSE 1 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
+        -- (ts, event_id) ordering like the Spark side: a ts-only ROWS
+        -- frame visits tied timestamps in arbitrary order, so a tie at a
+        -- session boundary would assign rows nondeterministically
         SELECT user_id, ts,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM marked
     )

@@ -57,7 +57,11 @@ def get_spark(app_name: str = "vulnerablecode-spark", master: str | None = None,
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
-    """Load the driver's parquet tables as a dict of DataFrames."""
+    """Load the driver's parquet tables as a dict of DataFrames —
+    delegates to the registry's cached loader, which also handles the
+    nanosecond-timestamp events table."""
+    from vulnerablecode_spark.plans.registry import _load_one
+
     names = names or ("region", "nation", "customer", "supplier", "part",
                       "orders", "lineitem", "events", "documents", "embeddings")
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {n: _load_one(spark, sf_dir, n) for n in names}

@@ -34,9 +34,19 @@ def duckdb_conn(sf_dir: str):
 def _norm_value(v):
     if v is None:
         return "NULL"
+    # numpy scalars/arrays (what toPandas()/duckdb .df() actually hand
+    # back) normalize through their Python equivalents: np.ndarray would
+    # otherwise fall to str(), whose >1000-element '...' truncation is a
+    # FALSE-PASS channel (two different long arrays stringify equal)
+    if hasattr(v, "tolist") and not isinstance(v, (bytes, str)):
+        v = v.tolist()
+        if isinstance(v, list):
+            return "[" + ",".join(_norm_value(x) for x in v) + "]"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if math.isinf(v):  # before int(v): OverflowError otherwise
+            return "Inf" if v > 0 else "-Inf"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(round(v, 9))
