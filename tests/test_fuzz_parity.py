@@ -52,6 +52,8 @@ DOC_QUERIES = [
     "q78_curation_pipeline",
     # planted near-dup chains make multi-size clusters
     "q79_cluster_size_histogram",
+    # random bigram multiplicity exercises the count-ratio arithmetic
+    "q80_stupid_backoff_lm",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

@@ -163,3 +163,49 @@ class TestSelectPlanQuality:
         assert "Join" not in plan
         # one shuffle for the stream-key aggregate (+ AQE reads)
         assert plan.count("Exchange") <= 2
+
+
+class TestStupidBackoff:
+    def test_leave_one_out_separates_formulaic_from_novel(self, spark):
+        # docs 1/2 share the "new york" continuation, so each is
+        # predictable from the other; doc 3's transitions exist nowhere
+        # else in the corpus → leave-one-out scores them 0
+        docs = _docs(spark, [
+            (1, "new york new york new york", "en", "s"),
+            (2, "new york is big", "en", "s"),
+            (3, "zebra quantum pickle", "en", "s"),
+        ])
+        out = {r.doc_id: r for r in
+               select.stupid_backoff_score(docs).collect()}
+        assert out[1].fluency_bp > out[3].fluency_bp
+        assert out[3].fluency_bp == 0  # fully novel under LOO
+        assert out[1].n_bigrams == 5 and out[3].n_bigrams == 2
+
+    def test_single_token_docs_have_no_row(self, spark):
+        docs = _docs(spark, [(1, "only", "en", "s"),
+                             (2, "two words", "en", "s")])
+        out = select.stupid_backoff_score(docs).collect()
+        assert {r.doc_id for r in out} == {2}
+
+    def test_exact_loo_arithmetic(self, spark):
+        # corpus: doc1 "a b a b", doc2 "a c"; T=6
+        # doc1 (a,b)×2: c12-d12=0 → backoff, c(b)-d(b)=0 → 0
+        # doc1 (b,a)×1: c12-d12=0 → backoff: (c(a)-d(a))=1, T-n=2
+        #   → 4000*(1*10000//2)//10000 = 2000
+        # weighted mean: (2*0 + 1*2000)//3 = 666
+        docs = _docs(spark, [(1, "a b a b", "en", "s"),
+                             (2, "a c", "en", "s")])
+        out = {r.doc_id: r.fluency_bp for r in
+               select.stupid_backoff_score(docs).collect()}
+        assert out[1] == 666
+        assert out[2] == 0  # (a,c) exists only in doc2
+
+    def test_shared_phrase_hits_seen_branch(self, spark):
+        # (x,y) occurs in BOTH docs: LOO seen-branch gives each
+        # (c12-d12)/(c1-d1) = 1/1 = 10000 for that bigram
+        docs = _docs(spark, [(1, "x y z", "en", "s"),
+                             (2, "x y w", "en", "s")])
+        out = {r.doc_id: r.fluency_bp for r in
+               select.stupid_backoff_score(docs).collect()}
+        # per doc: bigrams (x,y)=10000 and (y,·)=0 → mean 5000
+        assert out[1] == 5000 and out[2] == 5000

@@ -249,6 +249,106 @@ def surprisal_partition(
 
 
 # ---------------------------------------------------------------------------
+# Stupid Backoff bigram LM scoring
+# ---------------------------------------------------------------------------
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    alpha_bp: int = 4000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LEAVE-ONE-OUT fluency under a corpus bigram LM with
+    Stupid Backoff (Brants et al. 2007 — the smoothing designed for
+    MapReduce-scale LMs precisely because it needs only COUNTS, no
+    discount normalization). Each document is scored against the corpus
+    MINUS ITSELF — naive same-corpus scoring awards singleton contexts a
+    perfect conditional probability (a unique bigram predicts itself),
+    so only held-out counts measure how predictable a document is from
+    the REST of the corpus::
+
+        S(w2|w1) = (c12 - d12) / (c1 - d1)          if both > 0
+                 = alpha * (c2 - d2) / (T - n_doc)   else (0 if empty)
+
+    where c* are corpus counts, d* the document's own counts, T the
+    corpus token total — all integer basis points (``alpha_bp`` =
+    alpha·10⁴). High = built from transitions frequent ELSEWHERE
+    (formulaic/duplicated text), low = novel token transitions; the
+    fluency/novelty axis CCNet gets from an external KenLM, derived from
+    the corpus's own counts. Documents with fewer than 2 tokens have no
+    row.
+
+    Scale shape: bigram/unigram count tables are vocabulary-sized,
+    partial-aggregated map-side; the per-(doc, bigram) frame joins them
+    on token keys — shuffle joins on key-partitioned aggregates, never a
+    broadcast of anything corpus-sized. Product bound: count × 10⁴
+    stays under 2⁶³ through ~10¹⁴ tokens.
+    """
+    toks = F.split(F.col(text_col), " ")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bigrams = docs.select(
+        F.col(id_col), F.explode(pairs).alias("p")
+    ).select(id_col, "p.w1", "p.w2")
+    # per-(doc, bigram) multiplicity: the document's own contribution,
+    # subtracted for leave-one-out and used as the mean weight
+    per_doc = doc_bigrams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d12"))
+    bigram_counts = per_doc.groupBy("w1", "w2").agg(
+        F.sum("d12").cast("bigint").alias("c12"))
+
+    doc_unis = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"))
+    uni_counts = doc_unis.groupBy("w").agg(
+        F.sum("d").cast("bigint").alias("c"))
+    doc_len = doc_unis.groupBy(id_col).agg(
+        F.sum("d").cast("bigint").alias("n_doc"))
+    total = uni_counts.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+
+    scored = (
+        per_doc
+        .join(bigram_counts, ["w1", "w2"])
+        .join(uni_counts.select(F.col("w").alias("w1"),
+                                F.col("c").alias("c1")), "w1")
+        .join(uni_counts.select(F.col("w").alias("w2"),
+                                F.col("c").alias("c2")), "w2")
+        .join(doc_unis.select(F.col(id_col), F.col("w").alias("w1"),
+                              F.col("d").alias("d1")), [id_col, "w1"])
+        .join(doc_unis.select(F.col(id_col), F.col("w").alias("w2"),
+                              F.col("d").alias("d2")), [id_col, "w2"])
+        .join(doc_len, id_col)
+    )
+    scored = _scalar_join(scored, total).withColumn(
+        "score_bp",
+        F.when(
+            (F.col("c12") - F.col("d12") > 0) & (F.col("c1") - F.col("d1") > 0),
+            F.expr("(c12 - d12) * 10000 div (c1 - d1)"),
+        ).when(
+            (F.col("c2") - F.col("d2") > 0)
+            & (F.col("total_tokens") - F.col("n_doc") > 0),
+            F.expr(f"{int(alpha_bp)} * ((c2 - d2) * 10000"
+                   " div (total_tokens - n_doc)) div 10000"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("d12").cast("bigint").alias("n_bigrams"),
+        F.expr("sum(d12 * score_bp) div sum(d12)").cast("bigint")
+        .alias("fluency_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Packing-efficiency report
 # ---------------------------------------------------------------------------
 

@@ -142,3 +142,63 @@ def q76_surprisal_partition(spark, sf_dir):
 def q77_packing_efficiency(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return select.packing_efficiency(docs, seq_len=128)
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff bigram fluency — corpus-trained LM scoring.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_stupid_backoff_lm",
+    # leave-one-out: each doc scores against corpus counts minus its own
+    # contribution (llm/select.py stupid_backoff_score docstring)
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    db AS (
+        SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+        FROM t, UNNEST(range(0, greatest(len(toks) - 1, 0))) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    pd AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS d12
+           FROM db GROUP BY doc_id, w1, w2),
+    bc AS (SELECT w1, w2, CAST(SUM(d12) AS BIGINT) AS c12
+           FROM pd GROUP BY w1, w2),
+    du AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        GROUP BY doc_id, w
+    ),
+    uni AS (SELECT w, CAST(SUM(d) AS BIGINT) AS c FROM du GROUP BY w),
+    dl AS (SELECT doc_id, CAST(SUM(d) AS BIGINT) AS n_doc
+           FROM du GROUP BY doc_id),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM uni),
+    scored AS (
+        SELECT pd.doc_id, pd.d12,
+               CASE WHEN bc.c12 - pd.d12 > 0 AND u1.c - du1.d > 0
+                    THEN (bc.c12 - pd.d12) * 10000 // (u1.c - du1.d)
+                    WHEN u2.c - du2.d > 0
+                         AND tot.total_tokens - dl.n_doc > 0
+                    THEN 4000 * ((u2.c - du2.d) * 10000
+                                 // (tot.total_tokens - dl.n_doc)) // 10000
+                    ELSE 0
+               END AS score_bp
+        FROM pd
+        JOIN bc USING (w1, w2)
+        JOIN uni u1 ON u1.w = pd.w1
+        JOIN uni u2 ON u2.w = pd.w2
+        JOIN du du1 ON du1.doc_id = pd.doc_id AND du1.w = pd.w1
+        JOIN du du2 ON du2.doc_id = pd.doc_id AND du2.w = pd.w2
+        JOIN dl ON dl.doc_id = pd.doc_id, tot
+    )
+    SELECT doc_id,
+           CAST(SUM(d12) AS BIGINT) AS n_bigrams,
+           CAST(SUM(d12 * score_bp) // SUM(d12) AS BIGINT) AS fluency_bp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q80_stupid_backoff_lm(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return select.stupid_backoff_score(docs)
