@@ -585,6 +585,93 @@ class TestTodos:
         got = {r.alias for r in conflicting_weakness_issues(advisories).collect()}
         assert got == {"CVE-1"}  # CVE-2 sources agree
 
+    def test_fixed_only_claims_conflict_as_fixed_not_both(self, spark):
+        """Regression: entries with a NULL affected range (fixed-only
+        claims, the distro-tracker shape) must not enter the affected
+        hash via concat_ws's null-skip — two such advisories disagreeing
+        on fixes are CONFLICTING_FIXED, not CONFLICTING_BOTH."""
+        from vulnerablecode_spark.operators.todos import \
+            conflicting_package_issues
+
+        ap = ("array<struct<package:string,affected_version_range:string,"
+              "fixed_version:string>>")
+        advisories = spark.createDataFrame(
+            [(1, ["CVE-1"], [{"package": "pkg:gen/a",
+                              "affected_version_range": None,
+                              "fixed_version": "1.0"}], True),
+             (2, ["CVE-1"], [{"package": "pkg:gen/b",
+                              "affected_version_range": None,
+                              "fixed_version": "2.0"}], True)],
+            f"advisory_pk bigint, aliases array<string>, "
+            f"affected_packages {ap}, is_latest boolean",
+        ).withColumn("weaknesses", F.array().cast("array<int>"))
+        got = conflicting_package_issues(advisories).collect()
+        assert len(got) == 1
+        assert got[0].issue_type == "CONFLICTING_FIXED_BY_PACKAGES"
+
+    def test_single_advisory_dual_vectors_not_a_conflict(self, spark):
+        """One advisory carrying NVD-primary + CNA-secondary vectors for
+        the same system is not a CROSS-source conflict."""
+        from vulnerablecode_spark.operators.todos import \
+            conflicting_severity_issues
+
+        sev = ("array<struct<system:string,value:string,"
+               "scoring_elements:string,published_at:timestamp,url:string>>")
+        advisories = spark.createDataFrame(
+            [(1, ["CVE-9"],
+              [{"system": "cvssv3.1", "value": "9.8",
+                "scoring_elements": "CVSS:3.1/AV:N", "published_at": None,
+                "url": None},
+               {"system": "cvssv3.1", "value": "8.8",
+                "scoring_elements": "CVSS:3.1/AV:A", "published_at": None,
+                "url": None}], True)],
+            f"advisory_pk bigint, aliases array<string>, severities {sev}, "
+            "is_latest boolean")
+        assert conflicting_severity_issues(advisories).count() == 0
+
+    def test_null_vectors_never_outvote_real_consensus(self, spark):
+        from vulnerablecode_spark.operators.todos import consensus_severity
+
+        sev = ("array<struct<system:string,value:string,"
+               "scoring_elements:string,published_at:timestamp,url:string>>")
+        rows = [(i, ["CVE-8"],
+                 [{"system": "cvssv3.1", "value": "5.0",
+                   "scoring_elements": None, "published_at": None,
+                   "url": None}], True) for i in (1, 2)]
+        rows.append((3, ["CVE-8"],
+                     [{"system": "cvssv3.1", "value": "9.8",
+                       "scoring_elements": "CVSS:3.1/AV:N",
+                       "published_at": None, "url": None}], True))
+        advisories = spark.createDataFrame(
+            rows, f"advisory_pk bigint, aliases array<string>, "
+                  f"severities {sev}, is_latest boolean")
+        got = consensus_severity(advisories).collect()
+        assert len(got) == 1
+        assert got[0].consensus_vector == "CVSS:3.1/AV:N"
+
+    def test_partially_stated_metric_is_not_consensus(self, spark):
+        """A metric only SOME vectors state is not agreement — every
+        reporting vector must carry it with the identical value."""
+        from vulnerablecode_spark.operators.todos import \
+            consensus_cvss_metrics
+
+        sev = ("array<struct<system:string,value:string,"
+               "scoring_elements:string,published_at:timestamp,url:string>>")
+        advisories = spark.createDataFrame(
+            [(1, ["CVE-7"],
+              [{"system": "cvssv3.1", "value": "9",
+                "scoring_elements": "CVSS:3.1/AV:N/AC:L/E:H",
+                "published_at": None, "url": None}], True),
+             (2, ["CVE-7"],
+              [{"system": "cvssv3.1", "value": "7",
+                "scoring_elements": "CVSS:3.1/AV:N/AC:H",
+                "published_at": None, "url": None}], True)],
+            f"advisory_pk bigint, aliases array<string>, severities {sev}, "
+            "is_latest boolean")
+        got = {(r.metric, r.value)
+               for r in consensus_cvss_metrics(advisories).collect()}
+        assert got == {("AV", "N")}  # AC disagrees; E stated by one only
+
     def test_consensus_cvss_metrics_agreement_subset(self, spark):
         from vulnerablecode_spark.operators.todos import consensus_cvss_metrics
 

@@ -133,3 +133,33 @@ class TestSummaryBackfill:
                for r in backfill_summaries(vulns, advisories, bridge).collect()}
         assert got[1] == "a much longer summary"
         assert got[2] == "already has one"
+
+
+class TestVcsNormalizerRegressions:
+    def test_git_suffix_with_trailing_slash(self, spark):
+        # '.git/' must canonicalize like '.git' and bare — one repo,
+        # one canonical URL
+        from vulnerablecode_spark.operators.commits import normalize_vcs_url
+
+        urls = ["https://github.com/org/repo.git/",
+                "git@github.com:org/repo.git/",
+                "https://github.com/org/repo.git",
+                "https://github.com/org/repo"]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {r[0] for r in
+               df.select(normalize_vcs_url(F.col("url"))).collect()}
+        assert got == {"https://github.com/org/repo"}
+
+    def test_cgit_view_segment_stripped_from_repo_url(self, spark):
+        from vulnerablecode_spark.operators.commits import collect_fix_commits
+
+        advisories = spark.createDataFrame(
+            [(1, [{"reference_id": None, "reference_type": "",
+                   "url": ("https://git.kernel.org/pub/scm/linux.git/"
+                           "commit/?id=deadbeefcafe")}])],
+            "advisory_pk bigint, references array<struct<"
+            "reference_id:string,reference_type:string,url:string>>")
+        got = collect_fix_commits(advisories).collect()
+        assert len(got) == 1
+        assert got[0].repo_url == "https://git.kernel.org/pub/scm/linux"
+        assert got[0].commit_hash == "deadbeefcafe"

@@ -31,8 +31,10 @@ def normalize_vcs_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^git\+", "")
     u = F.regexp_replace(u, r"^git@([^:/]+)[:/]", r"https://$1/")
     u = F.regexp_replace(u, r"^git://", "https://")
-    u = F.regexp_replace(u, r"\.git$", "")
-    return F.regexp_replace(u, r"/+$", "")
+    # trailing slashes FIRST, then .git — 'repo.git/' must canonicalize
+    # like 'repo.git' and 'repo', not keep its suffix
+    u = F.regexp_replace(u, r"/+$", "")
+    return F.regexp_replace(u, r"\.git$", "")
 
 
 def collect_fix_commits(advisories: DataFrame) -> DataFrame:
@@ -45,11 +47,17 @@ def collect_fix_commits(advisories: DataFrame) -> DataFrame:
     )
     out = None
     for pattern, repo_group, sha_group in _COMMIT_PATTERNS:
+        # strip the cgit/gitweb '/commit[s]' view segment before
+        # normalizing: the second pattern captures the whole pre-'?'
+        # path, which is a VIEW URL, not the repo root — without this a
+        # kernel.org-style reference lands under a different repo_url
+        # than the same repo's hosting-style references
+        repo_col = F.regexp_replace(
+            F.regexp_extract(F.col("url"), pattern, repo_group),
+            r"/commits?/?$", "")
         hit = refs.filter(F.col("url").rlike(pattern)).select(
             "advisory_pk",
-            normalize_vcs_url(
-                F.regexp_extract(F.col("url"), pattern, repo_group)
-            ).alias("repo_url"),
+            normalize_vcs_url(repo_col).alias("repo_url"),
             F.regexp_extract(F.col("url"), pattern, sha_group).alias("commit_hash"),
             F.col("url").alias("source_url"),
         )

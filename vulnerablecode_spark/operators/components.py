@@ -82,6 +82,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             .limit(1)
             .count()
         )
+        # the rebind below drops the ONLY reference to the previous
+        # round's checkpointed frame — Spark's ContextCleaner then
+        # reclaims its blocks via GC, so rounds hold at most two label
+        # frames (current + new), never one per iteration
         labels = new_mat
         if changed == 0:
             converged = True

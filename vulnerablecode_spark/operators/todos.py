@@ -97,9 +97,18 @@ def _alias_set_hashes(advisories: DataFrame) -> DataFrame:
     set, fixed-version set, and weakness set."""
     latest = advisories.filter(F.col("is_latest"))
     packages = F.coalesce("affected_packages", F.array().cast(_AP_EMPTY))
-    affected_set = F.array_sort(F.array_distinct(F.transform(
-        packages, lambda p: F.concat_ws("@", p["package"],
-                                        p["affected_version_range"]))))
+    # same null guard as the fixed set below: an entry with no affected
+    # range (a fixed-only claim, common for distro trackers) must not
+    # collapse to its bare package name via concat_ws's null-skip and
+    # pollute the affected hash — the reference's affected sets hold
+    # actual range claims only
+    affected_set = F.array_sort(F.array_distinct(F.filter(
+        F.transform(
+            packages,
+            lambda p: F.when(p["affected_version_range"].isNotNull(),
+                             F.concat_ws("@", p["package"],
+                                         p["affected_version_range"]))),
+        lambda x: x.isNotNull())))
     # Guard the null fixed_version case explicitly: concat_ws SKIPS nulls,
     # so without the when() a package with no fixed version would collapse
     # to its bare name (non-null) and pollute the fixed-set hash — the
@@ -122,7 +131,8 @@ def _alias_set_hashes(advisories: DataFrame) -> DataFrame:
     )
 
 
-def conflicting_package_issues(advisories: DataFrame) -> DataFrame:
+def conflicting_package_issues(advisories: DataFrame,
+                               hashes: DataFrame | None = None) -> DataFrame:
     """Sources sharing an alias but disagreeing on package sets
     (check_conflicting_affected_and_fixed_by_packages_for_alias
     :933-1062): affected-only → CONFLICTING_AFFECTED_PACKAGES,
@@ -130,7 +140,8 @@ def conflicting_package_issues(advisories: DataFrame) -> DataFrame:
     CONFLICTING_AFFECTED_AND_FIXED_BY_PACKAGES. Set disagreement
     (union != intersection) is equivalent to "not all per-advisory sets
     identical", i.e. countDistinct(set hash) > 1."""
-    hashes = _alias_set_hashes(advisories)
+    hashes = (_alias_set_hashes(advisories)
+              if hashes is None else hashes)
     agg = hashes.groupBy("alias").agg(
         F.countDistinct("affected_hash").alias("n_affected"),
         F.countDistinct("fixed_hash").alias("n_fixed"),
@@ -146,11 +157,13 @@ def conflicting_package_issues(advisories: DataFrame) -> DataFrame:
     return agg.select("alias", "n_advisories", issue.alias("issue_type"))
 
 
-def conflicting_weakness_issues(advisories: DataFrame) -> DataFrame:
+def conflicting_weakness_issues(advisories: DataFrame,
+                                hashes: DataFrame | None = None) -> DataFrame:
     """Sources sharing an alias but disagreeing on the CWE set
     (check_conflicting_weaknesses_for_alias :590-657 /
     compute_cwe_disagreement :577-588)."""
-    hashes = _alias_set_hashes(advisories)
+    hashes = (_alias_set_hashes(advisories)
+              if hashes is None else hashes)
     return (
         hashes.groupBy("alias")
         .agg(F.countDistinct("weakness_hash").alias("n_variants"),
@@ -161,24 +174,35 @@ def conflicting_weakness_issues(advisories: DataFrame) -> DataFrame:
     )
 
 
-def conflicting_severity_issues(advisories: DataFrame) -> DataFrame:
-    """Across sources sharing an alias: distinct CVSS vectors for the same
-    scoring system → conflict (compute_advisory_todo.py:658-759)."""
-    latest = advisories.filter(F.col("is_latest"))
-    sev = latest.select(
+def _sev_by_alias(latest: DataFrame) -> DataFrame:
+    """(alias, advisory_pk, system, vector) — the shared alias×severity
+    assembly every severity detector builds on; null/empty vectors (value-
+    only severities) are dropped here once."""
+    return latest.select(
         "advisory_pk",
         F.explode("aliases").alias("alias"),
     ).join(
         latest.select("advisory_pk", F.explode("severities").alias("s")),
         "advisory_pk",
     ).select(
-        "alias", F.col("s.system").alias("system"),
+        "alias", "advisory_pk",
+        F.col("s.system").alias("system"),
         F.col("s.scoring_elements").alias("vector"),
     ).filter(F.col("vector").isNotNull() & (F.col("vector") != ""))
+
+
+def conflicting_severity_issues(advisories: DataFrame) -> DataFrame:
+    """Across SOURCES sharing an alias: distinct CVSS vectors for the same
+    scoring system → conflict (compute_advisory_todo.py:658-759). Like
+    the package/weakness detectors, a conflict needs >1 advisory — one
+    advisory carrying two vectors for a system (NVD primary + CNA
+    secondary) is not a cross-source disagreement."""
+    sev = _sev_by_alias(advisories.filter(F.col("is_latest")))
     conflicts = (
         sev.groupBy("alias", "system")
-        .agg(F.countDistinct("vector").alias("n_vectors"))
-        .filter(F.col("n_vectors") > 1)
+        .agg(F.countDistinct("vector").alias("n_vectors"),
+             F.countDistinct("advisory_pk").alias("n_advisories"))
+        .filter((F.col("n_vectors") > 1) & (F.col("n_advisories") > 1))
     )
     return conflicts.select(
         "alias", "system", "n_vectors",
@@ -192,9 +216,12 @@ def all_todo_issues(advisories: DataFrame) -> DataFrame:
     the ComputeToDo pipeline's complete output surface."""
     per_adv = per_advisory_issues(advisories).select(
         F.col("avid").alias("subject"), "issue_type")
-    pkg = conflicting_package_issues(advisories).select(
+    # ONE hash frame feeds both set-conflict detectors — the corpus is
+    # scanned and hashed once, not once per detector
+    hashes = _alias_set_hashes(advisories)
+    pkg = conflicting_package_issues(advisories, hashes=hashes).select(
         F.col("alias").alias("subject"), "issue_type")
-    weak = conflicting_weakness_issues(advisories).select(
+    weak = conflicting_weakness_issues(advisories, hashes=hashes).select(
         F.col("alias").alias("subject"), "issue_type")
     sev = conflicting_severity_issues(advisories).select(
         F.col("alias").alias("subject"), "issue_type")
@@ -203,13 +230,11 @@ def all_todo_issues(advisories: DataFrame) -> DataFrame:
 
 def consensus_severity(advisories: DataFrame) -> DataFrame:
     """Majority-vote vector per (alias, system) with deterministic
-    tie-break — the consensus the todo pipeline compares against."""
-    latest = advisories.filter(F.col("is_latest"))
-    sev = latest.select(F.explode("aliases").alias("alias"), "advisory_pk").join(
-        latest.select("advisory_pk", F.explode("severities").alias("s")),
-        "advisory_pk",
-    ).select("alias", F.col("s.system").alias("system"),
-             F.col("s.scoring_elements").alias("vector"))
+    tie-break — the consensus the todo pipeline compares against.
+    Null/empty vectors never vote (``_sev_by_alias`` drops them): two
+    value-only severities must not outvote the one real vector into a
+    NULL consensus."""
+    sev = _sev_by_alias(advisories.filter(F.col("is_latest")))
     counts = sev.groupBy("alias", "system", "vector").agg(
         F.count(F.lit(1)).alias("votes")
     )
@@ -230,18 +255,15 @@ def consensus_cvss_metrics(advisories: DataFrame) -> DataFrame:
     a majority vote. Output: (alias, system, metric, value) rows.
 
     Spark shape: explode the vector into metric key/value pairs, then one
-    aggregation counting distinct values per (alias, system, metric) —
-    keys with exactly one distinct value survive.
+    aggregation per (alias, system, metric) — a metric agrees only when
+    its value is single AND every reporting vector carries it (a metric
+    one vector states and the others omit is not consensus).
     """
-    latest = advisories.filter(F.col("is_latest"))
-    sev = latest.select(F.explode("aliases").alias("alias"), "advisory_pk").join(
-        latest.select("advisory_pk", F.explode("severities").alias("s")),
-        "advisory_pk",
-    ).select("alias", F.col("s.system").alias("system"),
-             F.col("s.scoring_elements").alias("vector"))
+    sev = _sev_by_alias(advisories.filter(F.col("is_latest")))
+    n_vectors = sev.groupBy("alias", "system").agg(
+        F.count(F.lit(1)).alias("n_vectors"))
     pairs = (
-        sev.filter(F.col("vector").isNotNull() & (F.col("vector") != ""))
-        .select(
+        sev.select(
             "alias", "system",
             F.explode(F.split(
                 F.regexp_replace(F.col("vector"), r"^CVSS:[0-9.]+/", ""),
@@ -257,7 +279,10 @@ def consensus_cvss_metrics(advisories: DataFrame) -> DataFrame:
     return (
         pairs.groupBy("alias", "system", "metric")
         .agg(F.countDistinct("value").alias("n_values"),
+             F.count(F.lit(1)).alias("n_stated"),
              F.min("value").alias("value"))
-        .filter(F.col("n_values") == 1)
+        .join(n_vectors, ["alias", "system"])
+        .filter((F.col("n_values") == 1)
+                & (F.col("n_stated") == F.col("n_vectors")))
         .select("alias", "system", "metric", "value")
     )
