@@ -50,7 +50,7 @@ _REGRADE_PRIORITY = [
     # q46 yields its window slot: its changed centroid arithmetic is
     # verified through q64/q65 (identical embedded CTEs) and the full
     # oracle-parity pytest gate. The round-5 curation/substring/split/BPE
-    # additions (q66–q74) and the selection/pipeline additions (q75–q79)
+    # additions (q66–q74) and the selection/pipeline additions (q75–q80)
     # sort after the window by design and are gated by the same pytest
     # oracle sweep (plus randomized-corpus fuzz parity and an sf1 hash
     # verification, tests/test_fuzz_parity.py).

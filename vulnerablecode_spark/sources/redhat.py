@@ -76,7 +76,10 @@ def parse_redhat_csaf(files: DataFrame) -> DataFrame:
     # advisory URL re-derives the reference's urljoin(base, parent/name)
     url = F.concat(
         F.lit(BASE_URL),
-        F.element_at(F.split(F.col("path"), "/"), -2), F.lit("/"),
+        # try_element_at: a single-segment path must not throw the
+        # ANSI out-of-bounds error (the -2 parent access)
+        F.try_element_at(F.split(F.col("path"), "/"), F.lit(-2)),
+        F.lit("/"),
         F.element_at(F.split(F.col("path"), "/"), -1),
     )
 
