@@ -432,3 +432,104 @@ class TestSparkStages:
         assert both, "deps and osv share advisories for the same purl"
         assert all(r.agreement in ("agree", "conflict", "single_source")
                    for r in matrix.values())
+
+
+class TestFederationHardening:
+    def test_snyk_rejects_untagged_page(self):
+        # a raw HTML page (no snyk_id tag prefix) must yield NO rows —
+        # not garbage aliases built from its first two markup lines
+        from vulnerablecode_spark.federation import snyk
+
+        html = (REF / "snyk/html/0.html").read_text()
+        assert snyk.parse_response(html, "pkg:pypi/x@1.0") == []
+
+    def test_snyk_filters_ranges_against_version(self):
+        from vulnerablecode_spark.federation import snyk
+
+        html = "line\n" * 5  # enough lines to look like a page body
+        tagged = "SNYK-TEST-1\n[1.0.0,2.0.0)\n" + html
+        # 1.5 inside the chip range → a row; 9.9 outside → filtered out
+        assert snyk.parse_response(tagged, "pkg:pypi/x@1.5")
+        assert snyk.parse_response(tagged, "pkg:pypi/x@9.9") == []
+        # '*' chip keeps every version
+        star = "SNYK-TEST-1\n*\n" + html
+        assert snyk.parse_response(star, "pkg:pypi/x@9.9")
+
+    def test_github_null_range_edge_is_skipped_not_fatal(self):
+        from vulnerablecode_spark.federation import github
+
+        edges = [
+            {"node": {"vulnerableVersionRange": None,
+                      "advisory": {"identifiers": []}}},
+            {"node": {"vulnerableVersionRange": ">= 1.0, < 2.0",
+                      "firstPatchedVersion": {"identifier": "2.0"},
+                      "advisory": {"identifiers": [
+                          {"type": "CVE", "value": "CVE-1"}]}}},
+        ]
+        kept = github.interesting_edges(edges, "pkg:pypi/x@1.5")
+        assert len(kept) == 1  # the null edge skips, the real one stays
+
+    def test_safetydb_missing_specs_confined_to_entry(self):
+        from vulnerablecode_spark.federation import safetydb
+
+        db = {"x": [{"cve": "CVE-1", "id": "pyup.io-1"},  # no 'specs'
+                    {"cve": "CVE-2", "id": "pyup.io-2",
+                     "specs": ["<2.0"]}]}
+        rows = safetydb.parse_response(json.dumps(db), "pkg:pypi/x@1.0")
+        assert len(rows) == 2
+        assert rows[0]["affected_versions"] == []
+        assert rows[1]["affected_versions"] == ["<2.0"]
+
+    def test_gitlab_slug_skips_empty_namespace_segment(self):
+        from vulnerablecode_spark.federation import gitlab
+
+        assert gitlab.package_slug("pkg:golang/gopls") == "go/gopls"
+        assert gitlab.package_slug(
+            "pkg:golang/github.com/x/y") == "go/github.com/x/y"
+
+    def test_osv_composer_keeps_vendor_namespace(self):
+        from vulnerablecode_spark.federation import osv
+
+        payload = osv.query_payload("pkg:composer/symfony/http-kernel@4.4.0")
+        assert payload["package"]["name"] == "symfony/http-kernel"
+        assert payload["package"]["ecosystem"] == "Packagist"
+
+    def test_two_phase_bridges_derive_next_plan(self, spark):
+        from vulnerablecode_spark.federation import deps, gitlab
+
+        meta = (REF / "deps/advisories_metadata.txt").read_text()
+        resp = spark.createDataFrame(
+            [("pkg:pypi/jinja2@2.4.1", meta, "200")],
+            "purl string, response string, status string")
+        plan = deps.phase2_plan(resp).collect()
+        assert plan and all(r.method == "GET" for r in plan)
+        # one request per advisory descriptor in the metadata
+        meta_advisories = deps.advisories_from_meta(json.loads(meta))
+        assert len(plan) == len(meta_advisories)
+        assert all("advisor" in r.url for r in plan)
+        listing = json.dumps([
+            {"path": "pypi/jinja2/CVE-2019-10906.yml", "type": "blob"},
+            {"path": "pypi/jinja2/README.md", "type": "blob"}])
+        resp = spark.createDataFrame(
+            [("pkg:pypi/jinja2@2.4.1", listing, "200")],
+            "purl string, response string, status string")
+        plan = gitlab.phase2_plan(resp).collect()
+        assert len(plan) == 1  # only the .yml advisory file
+        assert plan[0].url.endswith("pypi/jinja2/CVE-2019-10906.yml")
+
+    def test_github_pagination_bridge(self, spark):
+        from vulnerablecode_spark.federation import github
+
+        page1 = json.dumps({"data": {"securityVulnerabilities": {
+            "edges": [], "pageInfo": {"hasNextPage": True,
+                                      "endCursor": "abc123"}}}})
+        done = json.dumps({"data": {"securityVulnerabilities": {
+            "edges": [], "pageInfo": {"hasNextPage": False,
+                                      "endCursor": None}}}})
+        resp = spark.createDataFrame(
+            [("pkg:pypi/jinja2@2.4.1", page1, "200"),
+             ("pkg:pypi/semver@1.0", done, "200")],
+            "purl string, response string, status string")
+        plan = github.next_page_plan(resp).collect()
+        assert len(plan) == 1  # only the hasNextPage row continues
+        assert "abc123" in plan[0].body

@@ -48,6 +48,10 @@ REQUEST_SCHEMA = StructType([
     StructField("method", StringType()),   # GET | POST
     StructField("url", StringType()),
     StructField("body", StringType()),     # JSON payload for POSTs, else null
+    # JSON object of HTTP headers, else null — authenticated sources
+    # (GitHub GraphQL, VulnerableCode.io) emit Authorization here from
+    # their env tokens; fetch_stage forwards them per request
+    StructField("headers", StringType()),
 ])
 
 
@@ -171,11 +175,13 @@ def request_plan(purls: DataFrame, sources: dict[str, Callable],
     items = sorted(sources.items())
 
     def gen(batches):
+        import json as _json
+
         import pandas as _pd
 
         for pdf in batches:
             rows = {"purl": [], "datasource_id": [], "method": [],
-                    "url": [], "body": []}
+                    "url": [], "body": [], "headers": []}
             for purl in pdf[purl_col]:
                 for source_id, request_for in items:
                     try:
@@ -189,6 +195,9 @@ def request_plan(purls: DataFrame, sources: dict[str, Callable],
                     rows["method"].append(req.get("method", "GET"))
                     rows["url"].append(req.get("url"))
                     rows["body"].append(req.get("body"))
+                    rows["headers"].append(
+                        _json.dumps(req["headers"])
+                        if req.get("headers") else None)
             yield _pd.DataFrame(rows)
 
     return (purls.select(F.col(purl_col))
@@ -228,14 +237,19 @@ def fetch_stage(plan: DataFrame, timeout: float = 30.0) -> DataFrame:
 
         for pdf in batches:
             status, text = [], []
-            for method, url, body in zip(pdf["method"], pdf["url"],
-                                         pdf["body"]):
+            hdr_col = (pdf["headers"] if "headers" in pdf.columns
+                       else [None] * len(pdf))
+            for method, url, body, hdrs in zip(pdf["method"], pdf["url"],
+                                               pdf["body"], hdr_col):
                 try:
+                    headers = (_json.loads(hdrs)
+                               if isinstance(hdrs, str) and hdrs else None)
                     if method == "POST":
                         resp = _rq.post(url, json=_json.loads(body or "{}"),
-                                        timeout=timeout)
+                                        headers=headers, timeout=timeout)
                     else:
-                        resp = _rq.get(url, timeout=timeout)
+                        resp = _rq.get(url, headers=headers,
+                                       timeout=timeout)
                     status.append(str(resp.status_code))
                     text.append(resp.text)
                 except Exception as exc:  # noqa: BLE001 — per-row failure
@@ -304,3 +318,64 @@ def parse_stage(responses: DataFrame, datasource_id: str,
     return (responses.select(*cols)
             .mapInPandas(gen, VENDOR_DATA_SCHEMA)
             .withColumn("datasource_id", F.lit(datasource_id)))
+
+
+def next_request_stage(responses: DataFrame, datasource_id: str,
+                       plan_deriver: Callable[[str, str], list[dict]],
+                       purl_col: str = "purl",
+                       response_col: str = "response") -> DataFrame:
+    """Phase bridge for TWO-PHASE datasources (deps.dev metadata →
+    advisory documents, GitLab tree listing → YAML files,
+    VulnerableCode bulk search → vulnerability details): apply a pure
+    per-row deriver ``(response_text, purl) -> [request dicts]`` to a
+    phase-1 response frame, yielding a fresh REQUEST_SCHEMA plan to
+    feed ``fetch_stage`` again. The composed flow is::
+
+        plan1 = request_plan(purls, {id: module.request_for})
+        resp1 = fetch_stage(plan1)
+        plan2 = module.phase2_plan(resp1)      # ← this stage
+        claims = module.parse(fetch_stage(plan2))
+
+    Per-row failure isolation matches parse_stage: only status-200 rows
+    derive (when a status column exists), and a deriver raising on one
+    malformed body skips that row, never the job."""
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(responses.sparkSession)
+
+    has_status = "status" in responses.columns
+    cols = [F.col(purl_col), F.col(response_col)] + (
+        [F.col("status")] if has_status else [])
+
+    def gen(batches):
+        import json as _json
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"purl": [], "datasource_id": [], "method": [],
+                    "url": [], "body": [], "headers": []}
+            statuses = pdf["status"] if has_status else [None] * len(pdf)
+            for purl, text, status in zip(
+                    pdf[purl_col], pdf[response_col], statuses):
+                if status is not None and status != "200":
+                    continue
+                if not isinstance(text, str) or not text:
+                    continue
+                try:
+                    reqs = plan_deriver(text, purl)
+                except Exception:  # noqa: BLE001 — per-row isolation
+                    continue
+                for req in reqs or []:
+                    rows["purl"].append(purl)
+                    rows["datasource_id"].append(datasource_id)
+                    rows["method"].append(req.get("method", "GET"))
+                    rows["url"].append(req.get("url"))
+                    rows["body"].append(req.get("body"))
+                    rows["headers"].append(
+                        _json.dumps(req["headers"])
+                        if req.get("headers") else None)
+            if rows["purl"]:
+                yield _pd.DataFrame(rows)
+
+    return responses.select(*cols).mapInPandas(gen, REQUEST_SCHEMA)

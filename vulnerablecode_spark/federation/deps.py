@@ -75,6 +75,20 @@ def advisories_from_meta(meta: dict) -> list[dict]:
     return out
 
 
+def phase2_requests(text: str, purl: str) -> list[dict]:
+    """Phase-1 metadata response → advisory-document GET requests."""
+    return [{"method": "GET", "url": advisory_url(a)}
+            for a in advisories_from_meta(json.loads(text))]
+
+
+def phase2_plan(responses: DataFrame) -> DataFrame:
+    """Bridge the two-phase flow: metadata responses → the advisory
+    request plan fetch_stage runs next (base.next_request_stage)."""
+    from vulnerablecode_spark.federation.base import next_request_stage
+
+    return next_request_stage(responses, DATASOURCE_ID, phase2_requests)
+
+
 def parse_response(text: str, purl: str) -> list[dict]:
     """One advisory document → VendorData rows: affected/unaffected
     version lists from the first package entry, sorted distinct aliases

@@ -125,17 +125,61 @@ def request_for(purl: str) -> dict | None:
     payload = graphql_payload(purl)
     if payload is None:
         return None
-    return {"method": "POST", "url": GRAPHQL_URL,
-            "body": json.dumps(payload)}
+    req = {"method": "POST", "url": GRAPHQL_URL,
+           "body": json.dumps(payload)}
+    # api.github.com/graphql rejects unauthenticated requests: ship the
+    # bearer token from $GH_TOKEN when present (the reference's
+    # github_response does the same); without it fetch_stage records the
+    # 401 as an error row rather than silently contributing zero claims
+    import os
+
+    token = os.environ.get("GH_TOKEN")
+    if token:
+        req["headers"] = {"Authorization": f"bearer {token}"}
+    return req
+
+
+def next_page_requests(text: str, purl: str) -> list[dict]:
+    """Pagination bridge: a GraphQL response whose
+    ``pageInfo.hasNextPage`` is set derives the NEXT page's request
+    (the reference's end_cursor loop, vulntotal github.py) — compose
+    ``fetch → github.next_page_plan → fetch → …`` until the plan is
+    empty, parsing each round's responses as they arrive."""
+    doc = json.loads(text)
+    info = (((doc.get("data") or {}).get("securityVulnerabilities") or {})
+            .get("pageInfo") or {})
+    if not info.get("hasNextPage") or not info.get("endCursor"):
+        return []
+    payload = graphql_payload(purl, end_cursor=info["endCursor"])
+    if payload is None:
+        return []
+    req = {"method": "POST", "url": GRAPHQL_URL,
+           "body": json.dumps(payload)}
+    import os
+
+    token = os.environ.get("GH_TOKEN")
+    if token:
+        req["headers"] = {"Authorization": f"bearer {token}"}
+    return req and [req]
+
+
+def next_page_plan(responses: DataFrame) -> DataFrame:
+    from vulnerablecode_spark.federation.base import next_request_stage
+
+    return next_request_stage(responses, DATASOURCE_ID, next_page_requests)
 
 
 def interesting_edges(edges: list, purl: str) -> list:
     """Edges whose vulnerableVersionRange the purl's version satisfies
     (github.py:116-121)."""
     version = parse_purl(purl).version
+    # vulnerableVersionRange is nullable in GitHub's GraphQL schema: a
+    # single null edge must skip, not crash the whole response row out
+    # of parse_stage's per-row isolation (losing every valid edge)
     return [e for e in edges
-            if github_range_satisfied(e["node"]["vulnerableVersionRange"],
-                                      version)]
+            if e.get("node", {}).get("vulnerableVersionRange")
+            and github_range_satisfied(e["node"]["vulnerableVersionRange"],
+                                       version)]
 
 
 def parse_edges(edges: list, purl: str) -> list[dict]:

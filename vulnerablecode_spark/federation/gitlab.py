@@ -36,7 +36,10 @@ def package_slug(purl: str) -> str | None:
     if p.type not in SUPPORTED_ECOSYSTEM:
         return None
     name = p.name
-    if p.type in ("maven", "composer", "golang"):
+    # only join a REAL namespace: a namespace-less golang purl would
+    # otherwise produce 'go//name', an empty path segment the GitLab
+    # tree API resolves to nothing (snyk.py/deps.py guard identically)
+    if p.type in ("maven", "composer", "golang") and p.namespace:
         name = f"{p.namespace}/{p.name}"
     return f"{SUPPORTED_ECOSYSTEM[p.type]}/{name}"
 
@@ -50,6 +53,28 @@ def request_for(purl: str) -> dict | None:
 
 def yaml_url(file_path: str) -> str:
     return RAW_URL.format(path=file_path)
+
+
+def phase2_requests(text: str, purl: str) -> list[dict]:
+    """Phase-1 tree listing → raw-YAML GET requests for the advisory
+    files in the package directory."""
+    import json as _json
+
+    listing = _json.loads(text)
+    if not isinstance(listing, list):
+        return []
+    return [{"method": "GET", "url": yaml_url(entry["path"])}
+            for entry in listing
+            if isinstance(entry, dict)
+            and str(entry.get("path", "")).endswith((".yml", ".yaml"))]
+
+
+def phase2_plan(responses: DataFrame) -> DataFrame:
+    """Bridge the two-phase flow: tree listings → the YAML request
+    plan fetch_stage runs next (base.next_request_stage)."""
+    from vulnerablecode_spark.federation.base import next_request_stage
+
+    return next_request_stage(responses, DATASOURCE_ID, phase2_requests)
 
 
 def parse_yaml_advisory(yml_text: str, purl: str) -> list[dict]:

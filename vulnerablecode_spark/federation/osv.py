@@ -53,7 +53,12 @@ def query_payload(purl: str) -> dict | None:
         if not p.namespace:
             return None
         package["name"] = f"{p.namespace}:{p.name}"
-    elif p.type == "packagist":
+    elif p.type in ("composer", "packagist"):
+        # 'composer' is the real purl type for Packagist packages; the
+        # reference's branch tests the literal 'packagist' (osv.py:146),
+        # which no parseable purl carries — a dead branch that silently
+        # dropped every vendor namespace from composer queries. Fixed
+        # here (deliberate deviation, noted for parity auditing).
         if not p.namespace:
             return None
         package["name"] = f"{p.namespace}/{p.name}"

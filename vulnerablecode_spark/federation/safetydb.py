@@ -35,7 +35,10 @@ def parse_response(text: str, purl: str) -> list[dict]:
     return [{
         "purl": base,
         "aliases": [adv.get("cve"), adv.get("id")],
-        "affected_versions": sorted(adv.get("specs")),
+        # `or []`: one advisory entry missing 'specs' must cost that
+        # entry its ranges, not crash the parser and lose the package's
+        # every advisory to parse_stage's per-row isolation
+        "affected_versions": sorted(adv.get("specs") or []),
         "fixed_versions": [],
     } for adv in db.get(p.name, [])]
 

@@ -288,14 +288,34 @@ def parse_cve_advisory_html(cve_advisory_html: str) -> dict[str, str] | None:
 
 
 def parse_response(text: str, purl: str) -> list[dict]:
-    """An advisory page response (tagged ``snyk_id\\naffected\\nhtml`` by
-    the fetch orchestration, or a bare page) → VendorData rows."""
+    """An advisory page response TAGGED ``snyk_id\\naffected\\nhtml`` by
+    the fetch orchestration → VendorData rows.
+
+    The tag prefix is mandatory: an UNTAGGED page (raw HTML straight
+    from fetch_stage) would otherwise misparse its first two markup
+    lines into an alias and an affected range — so anything whose first
+    line does not look like a SNYK id yields no rows. The affected
+    ranges in the tag are version-FILTERED against the purl's version
+    here (the reference's ``"*" in affected or is_purl_in_affected``
+    gate, vulntotal snyk.py) so a package page chip for a range the
+    queried version is outside never becomes a claim."""
+    from vulnerablecode_spark.federation.base import snyk_range_satisfied
+    from vulnerablecode_spark.kernel.purl import PurlError
+
     snyk_id, _, rest = text.partition("\n")
     affected, _, html_text = rest.partition("\n")
-    if not html_text:
+    if not html_text or not snyk_id.startswith("SNYK-"):
         return []
-    return [parse_html_advisory(
-        html_text, snyk_id, affected.split("|") if affected else [], purl)]
+    ranges = affected.split("|") if affected else []
+    try:
+        version = parse_purl(purl).version
+    except PurlError:
+        version = ""
+    if version and ranges:
+        if not any(r.strip() == "*" or snyk_range_satisfied(r, version)
+                   for r in ranges):
+            return []  # the queried version is outside every chip range
+    return [parse_html_advisory(html_text, snyk_id, ranges, purl)]
 
 
 def parse(responses: DataFrame) -> DataFrame:

@@ -30,13 +30,50 @@ def supported_ecosystem() -> dict[str, str]:
     return dict(SUPPORTED_ECOSYSTEM)
 
 
+def _auth_headers() -> dict | None:
+    """Authorization from $VCIO_TOKEN (the reference raises
+    VCIOTokenError without it); None → the request goes out
+    unauthenticated and fetch_stage records the 4xx as an error row."""
+    import os
+
+    token = os.environ.get("VCIO_TOKEN")
+    return {"Authorization": f"Token {token}"} if token else None
+
+
 def request_for(purl: str) -> dict | None:
     p = parse_purl(purl)
     if p.type not in SUPPORTED_ECOSYSTEM or not p.version:
         return None
-    return {"method": "POST",
-            "url": urljoin(GLOBAL_INSTANCE, BULK_SEARCH_PATH),
-            "body": json.dumps({"purls": [purl]})}
+    req = {"method": "POST",
+           "url": urljoin(GLOBAL_INSTANCE, BULK_SEARCH_PATH),
+           "body": json.dumps({"purls": [purl]})}
+    headers = _auth_headers()
+    if headers:
+        req["headers"] = headers
+    return req
+
+
+def phase2_requests(text: str, purl: str) -> list[dict]:
+    """Phase-1 bulk-search response → vulnerability-detail GET requests
+    (each hit's affected_by_vulnerabilities carry their detail URLs)."""
+    doc = json.loads(text)
+    urls: list[str] = []
+    for hit in doc if isinstance(doc, list) else []:
+        for vuln in hit.get("affected_by_vulnerabilities") or []:
+            if vuln.get("url"):
+                urls.append(vuln["url"])
+    headers = _auth_headers()
+    return [{"method": "GET", "url": u,
+             **({"headers": headers} if headers else {})}
+            for u in sorted(set(urls))]
+
+
+def phase2_plan(responses: DataFrame) -> DataFrame:
+    """Bridge the two-phase flow: bulk-search responses → the detail
+    request plan fetch_stage runs next (base.next_request_stage)."""
+    from vulnerablecode_spark.federation.base import next_request_stage
+
+    return next_request_stage(responses, DATASOURCE_ID, phase2_requests)
 
 
 def parse_advisory(fetched_advisory: dict, purl: str) -> dict:
