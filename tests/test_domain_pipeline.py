@@ -235,8 +235,7 @@ class TestIngest:
             F.sum(F.col("is_latest").cast("int")).alias("n_latest"))
         assert per_avid.filter(F.col("n_latest") != 1).count() == 0
         latest = merged.filter(F.col("is_latest")).select("summary").collect()
-        assert all("[updated]" in r.summary or r.summary == " [updated]"
-                   for r in latest)
+        assert all("[updated]" in r.summary for r in latest)
 
     def test_merge_idempotent(self, advisories):
         from vulnerablecode_spark.operators.ingest import merge_advisories

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-SF = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE as SF
 
 
 @pytest.fixture(scope="module")
@@ -537,7 +537,7 @@ class TestMultimodalStages:
         for r in frames:
             by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
         for idxs in by_doc.values():
-            assert sorted(idxs) == idxs or sorted(idxs) == sorted(idxs)
+            assert sorted(idxs) == idxs              # per-doc frame order
             assert all(i % 3 == 0 for i in idxs)     # every_n stride kept
 
     def test_byte_histogram_is_valid_embedding(self, spark, payloads):
@@ -831,7 +831,7 @@ class TestLeakageSafeSplits:
         from vulnerablecode_spark.plans import QUERIES
 
         out = QUERIES["q73_leakage_safe_splits"](
-            spark, "/root/testdata/sf0.001").collect()
+            spark, SF).collect()
         by_cluster: dict[int, set] = {}
         for r in out:
             by_cluster.setdefault(r.cluster_id, set()).add(r.split)
@@ -852,7 +852,7 @@ class TestLeakageSafeSplits:
         from vulnerablecode_spark.plans import QUERIES
 
         out = QUERIES["q73_leakage_safe_splits"](
-            spark, "/root/testdata/sf0.001").limit(20)
+            spark, SF).limit(20)
         chk = out.withColumn(
             "gate", hash64(F.col("cluster_id").cast("string")) % 10000)
         for r in chk.collect():

@@ -604,8 +604,9 @@ class TestMediaProperties:
             meta = M.parse_media_header(b)
         except M.MediaError:
             return
+        # the full documented codomain — 'avi' included (RIFF/'AVI ')
         assert meta["media_format"] in ("png", "jpeg", "gif", "bmp",
-                                        "wav", "bin")
+                                        "wav", "avi", "bin")
 
     @given(st.binary(max_size=2048))
     @settings(max_examples=200, deadline=None)
