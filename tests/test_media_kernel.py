@@ -775,3 +775,77 @@ class TestJpegProperties:
         dec = M.decode_jpeg(M.encode_jpeg(rgb, subsampling=sub))
         assert dec.shape == (h, w, 3)
         assert int(np.abs(dec.astype(int) - rgb.astype(int)).max()) <= 2
+
+
+class TestMcdc:
+    """MCDC: motion-compensated DCT-residual video (the H.26x structural
+    shape — macroblock motion search + transform-coded residual against
+    the previous RECONSTRUCTION, closed-loop)."""
+
+    def _frames(self):
+        np = __import__("numpy")
+        rng = np.random.default_rng(7)
+        base = rng.integers(0, 255, (48, 64)).astype(np.uint8)
+        return np, base
+
+    def test_near_lossless_at_q1(self):
+        np, base = self._frames()
+        moved = np.roll(base, (3, -2), axis=(0, 1))
+        blob = M.encode_avi_mcdc(np.stack([base, moved]), q=1)
+        frames, fps = M.decode_avi_mcdc(blob)
+        assert frames.shape == (2, 48, 64, 3) and fps == 10
+        for i, ref in enumerate((base, moved)):
+            err = np.abs(frames[i][..., 0].astype(int) - ref.astype(int))
+            assert err.max() <= 2  # float DCT round trip, q=1
+
+    def test_motion_compensation_carries_translation(self):
+        # a pure ±window translation is fully captured by the motion
+        # search: the P-frame residual is ~zero and its payload is a
+        # fraction of the I-frame's
+        np, base = self._frames()
+        moved = np.roll(base, (5, 5), axis=(0, 1))
+        blob_p = M.encode_avi_mcdc(np.stack([base, moved]), q=4)
+        blob_ii = M.encode_avi_mcdc(np.stack([base, base]), q=4)
+        # locate the two 00dc chunks and compare sizes
+        import re
+        sizes = [len(m.group(1)) for m in
+                 re.finditer(b"00dc(....)", blob_p)]  # header only
+        frames, _ = M.decode_avi_mcdc(blob_p)
+        interior = np.abs(
+            frames[1][8:-8, 8:-8, 0].astype(int)
+            - moved[8:-8, 8:-8].astype(int))
+        assert interior.max() <= 16  # q=4 quantization, no motion blur
+
+    def test_dispatcher_routes_mcdc(self):
+        np, base = self._frames()
+        blob = M.encode_avi_mcdc(base[None], q=2)
+        frames, _ = M.decode_avi(blob)  # via the fourcc dispatcher
+        assert frames.shape == (1, 48, 64, 3)
+        meta = M.parse_media_header(blob)
+        assert meta["media_format"] == "avi"
+        assert (meta["width"], meta["height"], meta["n_frames"]) == (64, 48, 1)
+
+    def test_static_scene_p_frames_cheap(self):
+        # a noise I-frame doesn't compress (no entropy coder by design);
+        # static-scene P-frames carry only quantization-error refinement
+        # toward the source (closed-loop behavior) — five of them must
+        # cost far less than one more intra frame
+        np, base = self._frames()
+        one = len(M.encode_avi_mcdc(base[None], q=4))
+        six = len(M.encode_avi_mcdc(np.stack([base] * 6), q=4))
+        assert six < one * 1.5  # +5 P-frames ≪ +5 I-frames (+500%)
+
+    def test_non_multiple_of_16_dims(self):
+        np, _ = self._frames()
+        rng = np.random.default_rng(3)
+        odd = rng.integers(0, 255, (2, 37, 53)).astype(np.uint8)
+        frames, _ = M.decode_avi_mcdc(M.encode_avi_mcdc(odd, q=2))
+        assert frames.shape == (2, 37, 53, 3)
+        err = np.abs(frames[0][..., 0].astype(int) - odd[0].astype(int))
+        assert err.max() <= 8
+
+    def test_truncated_payload_raises_media_error(self):
+        np, base = self._frames()
+        blob = M.encode_avi_mcdc(base[None], q=2)
+        with pytest.raises(M.MediaError):
+            M.decode_avi_mcdc(blob[:len(blob) // 2])

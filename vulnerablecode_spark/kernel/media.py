@@ -32,13 +32,17 @@ formats are decodable with nothing beyond the standard library and numpy:
           sub-rectangle frames composed onto the running canvas, and GCE
           transparency. Plus a matching encoder for round-trip tests.
 - AVI   — video: RIFF 'AVI ' container walk (hdrl/avih for dims/fps/
-          frame-count, movi '00dc' chunks). Two real codecs, both with
+          frame-count, movi '00dc' chunks). Three real codecs, all with
           matching encoders: Motion-JPEG (each frame this module's
-          baseline JPEG) and Microsoft RLE8 (BI_RLE8) — a genuine
-          INTER-FRAME coding where delta/skip escapes reuse the
-          persistent canvas, i.e. temporal prediction. Motion-compensated
-          entropy codecs (H.26x etc.) raise MediaError — the remaining
-          honest video boundary.
+          baseline JPEG), Microsoft RLE8 (BI_RLE8) — genuine INTER-FRAME
+          coding where delta/skip escapes reuse the persistent canvas —
+          and MCDC, a motion-compensated DCT-residual codec (16×16
+          macroblock search against the previous reconstruction +
+          transform-coded residual: the H.26x structural shape in a
+          deterministic bitstream). Standard H.26x bitstreams still
+          raise MediaError: their CAVLC/CABAC entropy layers are the
+          remaining honest boundary (a real pipeline shells out to
+          ffmpeg).
 
 Everything here is a kernel in the same sense as ``kernel/purl.py``: no
 Spark imports, deterministic, unit-tested in isolation, called from
@@ -1460,17 +1464,22 @@ def _rle8_apply(b: bytes, pos: int, end: int, canvas: np.ndarray) -> None:
 
 def decode_avi(b: bytes) -> tuple[np.ndarray, int]:
     """Dispatch an AVI payload by its strf compression: 0/'MJPG' fourcc →
-    Motion-JPEG, 1 (BI_RLE8) → the inter-frame RLE decoder. Anything
-    else (motion-compensated entropy codecs — H.26x and friends) raises
-    MediaError: the remaining honest video boundary."""
+    Motion-JPEG, 1 (BI_RLE8) → the inter-frame RLE decoder, 'MCDC' →
+    the motion-compensated DCT-residual codec (below). Standard H.26x
+    bitstreams raise MediaError: their ENTROPY layers (CAVLC/CABAC) stay
+    out of scope — a real pipeline shells out to ffmpeg — but all three
+    structural ingredients (temporal prediction, motion compensation,
+    transform-coded residual) decode for real here."""
     compression, _ = _avi_strf(b)
     if compression == 1:
         return decode_avi_rle8(b)
     if compression in (0, struct.unpack("<I", b"MJPG")[0]):
         return decode_avi_mjpeg(b)
+    if compression == struct.unpack("<I", b"MCDC")[0]:
+        return decode_avi_mcdc(b)
     raise MediaError(
         f"avi: unsupported video compression 0x{compression:08x} "
-        "(motion-compensated codecs are out of scope)")
+        "(standard entropy-coded codecs are out of scope)")
 
 
 # ---------------------------------------------------------------------------
@@ -1884,3 +1893,232 @@ def encode_jpeg_progressive(arr: np.ndarray, point_al: int = 0) -> bytes:
             out += wr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MCDC — motion-compensated transform codec (fourcc 'MCDC'): the H.26x
+# SHAPE (16×16 macroblock motion search against the previous RECONSTRUCTED
+# frame + DCT-quantized residual, closed-loop so encoder and decoder never
+# drift) with a deliberately simple deterministic bitstream instead of an
+# arithmetic/CAVLC entropy layer. This closes the repo's last video
+# boundary with a REAL inter-frame transform codec; bit-exact H.264 itself
+# remains out of scope (a real pipeline shells out to ffmpeg).
+#
+# Frame chunk layout ('00dc'):
+#   byte0 frame_type (0=I, 1=P), byte1 qstep (1..255), then macroblocks in
+#   raster order: P-frames carry (dy+8, dx+8) as bytes (±7 search window;
+#   I-frames predict from the constant 128 plane, no motion bytes), then
+#   four 8×8 residual sub-blocks, each zig-zag run-length coded as
+#   (zero_run:uint8, value:int16le) pairs with run=0xFF terminating.
+# ---------------------------------------------------------------------------
+
+_MCDC_FOURCC = struct.unpack("<I", b"MCDC")[0]
+_MCDC_SEARCH = 7  # motion window: ±7 px both axes
+
+
+def _mcdc_pad(frame: np.ndarray) -> np.ndarray:
+    h, w = frame.shape
+    ph, pw = -h % 16, -w % 16
+    return np.pad(frame, ((0, ph), (0, pw)), mode="edge")
+
+
+def _mcdc_quant_block(block: np.ndarray, q: int, C: np.ndarray) -> np.ndarray:
+    coef = C @ block @ C.T
+    # symmetric half-away-from-zero: deterministic, sign-stable
+    return (np.sign(coef) * np.floor(np.abs(coef) / q + 0.5)).astype(np.int64)
+
+
+def _mcdc_code_block(qcoef: np.ndarray) -> bytes:
+    zz = qcoef.ravel()[_JPEG_ZIGZAG]
+    out = bytearray()
+    run = 0
+    for v in zz:
+        if v == 0:
+            run += 1
+            continue
+        while run > 254:  # runs longer than one byte split (value 0 pairs)
+            out += bytes((254,)) + struct.pack("<h", 0)
+            run -= 255
+        out += bytes((run,)) + struct.pack("<h", int(np.clip(v, -32768, 32767)))
+        run = 0
+    out += b"\xff"
+    return bytes(out)
+
+
+def _mcdc_decode_block(b: bytes, pos: int, q: int,
+                       C: np.ndarray) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, np.int64)
+    i = 0
+    while True:
+        run = b[pos]
+        pos += 1
+        if run == 0xFF:
+            break
+        (val,) = struct.unpack_from("<h", b, pos)
+        pos += 2
+        i += run
+        if i > 63:
+            raise MediaError("mcdc: coefficient index overrun")
+        zz[i] = val
+        i += 1
+    coef = np.zeros(64, np.float64)
+    coef[_JPEG_ZIGZAG] = zz * q
+    block = C.T @ coef.reshape(8, 8) @ C
+    return block, pos
+
+
+def _mcdc_best_motion(target: np.ndarray, ref: np.ndarray,
+                      y: int, x: int) -> tuple[int, int]:
+    """Full-search SAD over the ±window; deterministic (SAD, dy, dx)
+    lexicographic tie-break."""
+    h, w = ref.shape
+    best = (1 << 60, 0, 0)
+    for dy in range(-_MCDC_SEARCH, _MCDC_SEARCH + 1):
+        sy = y + dy
+        if sy < 0 or sy + 16 > h:
+            continue
+        for dx in range(-_MCDC_SEARCH, _MCDC_SEARCH + 1):
+            sx = x + dx
+            if sx < 0 or sx + 16 > w:
+                continue
+            sad = int(np.abs(target.astype(np.int64)
+                             - ref[sy:sy + 16, sx:sx + 16]).sum())
+            cand = (sad, dy, dx)
+            if cand < best:
+                best = cand
+    return best[1], best[2]
+
+
+def encode_avi_mcdc(frames: np.ndarray, fps: int = 10, q: int = 4) -> bytes:
+    """Encode (n, h, w[, 3]) frames as an MCDC AVI (RGB averages to
+    gray). ``q`` is the flat quantizer step: 1 ≈ near-lossless, larger =
+    smaller/lossier."""
+    f = np.asarray(frames)
+    if f.ndim == 4 and f.shape[3] == 3:
+        f = f.mean(axis=3).astype(np.uint8)
+    if f.ndim != 3 or not f.shape[0]:
+        raise MediaError("avi: mcdc encoder takes (n, h, w[, 3]) frames")
+    if not 1 <= int(q) <= 255:
+        raise MediaError("mcdc: qstep must be 1..255")
+    q = int(q)
+    f = f.astype(np.uint8)
+    n, h, w = f.shape
+    C = _dct_matrix()
+    payloads = []
+    recon_prev: np.ndarray | None = None
+    for i in range(n):
+        cur = _mcdc_pad(f[i]).astype(np.float64)
+        ph, pw = cur.shape
+        is_p = recon_prev is not None
+        out = bytearray((1 if is_p else 0, q))
+        recon = np.zeros_like(cur)
+        for y in range(0, ph, 16):
+            for x in range(0, pw, 16):
+                if is_p:
+                    dy, dx = _mcdc_best_motion(
+                        cur[y:y + 16, x:x + 16], recon_prev, y, x)
+                    out += bytes((dy + 8, dx + 8))
+                    pred = recon_prev[y + dy:y + dy + 16,
+                                      x + dx:x + dx + 16].astype(np.float64)
+                else:
+                    pred = np.full((16, 16), 128.0)
+                resid = cur[y:y + 16, x:x + 16] - pred
+                rec_mb = np.empty((16, 16))
+                for by in (0, 8):
+                    for bx in (0, 8):
+                        qc = _mcdc_quant_block(
+                            resid[by:by + 8, bx:bx + 8], q, C)
+                        out += _mcdc_code_block(qc)
+                        coef = np.zeros(64, np.float64)
+                        coef[_JPEG_ZIGZAG] = qc.ravel()[_JPEG_ZIGZAG] * q
+                        rec_mb[by:by + 8, bx:bx + 8] = (
+                            C.T @ coef.reshape(8, 8) @ C)
+                recon[y:y + 16, x:x + 16] = np.clip(
+                    pred + rec_mb, 0, 255)
+        recon_prev = np.round(recon)
+        payloads.append(bytes(out))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, w, h
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    strh = (b"vids" + b"MCDC" + struct.pack("<I", 0)
+            + struct.pack("<HHI", 0, 0, 0)
+            + struct.pack("<5I", 1, fps, 0, n, 0)
+            + struct.pack("<2I", 0, 0)
+            + struct.pack("<4H", 0, 0, 0, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, _MCDC_FOURCC,
+                       w * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", p) for p in payloads))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+@_total
+def decode_avi_mcdc(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode an MCDC AVI to ((n, h, w, 3) uint8 gray-replicated frames,
+    fps) — motion compensation against the persistent reconstruction,
+    exactly mirroring the encoder's closed loop."""
+    if sniff_format(b) != "avi":
+        raise MediaError("not an avi payload")
+    meta = _parse_avi_header(b)
+    h, w = int(meta["height"]), int(meta["width"])
+    fps = int(meta["sample_rate"] or 10)
+    C = _dct_matrix()
+    ph, pw = h + (-h % 16), w + (-w % 16)
+    frames = []
+    recon_prev: np.ndarray | None = None
+    for cid, off, size in _riff_chunks(b):
+        if cid != b"LIST" or b[off:off + 4] != b"movi":
+            continue
+        pos = off + 4
+        end = off + size
+        while pos + 8 <= end:
+            scid = b[pos:pos + 4]
+            (ssize,) = struct.unpack_from("<I", b, pos + 4)
+            data = b[pos + 8:pos + 8 + ssize]
+            pos += 8 + ssize + (ssize & 1)
+            if scid != b"00dc" or len(data) < 2:
+                continue
+            is_p, q = data[0] == 1, data[1]
+            if not q:
+                raise MediaError("mcdc: zero quantizer")
+            if is_p and recon_prev is None:
+                raise MediaError("mcdc: P-frame before any I-frame")
+            dpos = 2
+            recon = np.zeros((ph, pw))
+            for y in range(0, ph, 16):
+                for x in range(0, pw, 16):
+                    if is_p:
+                        dy, dx = data[dpos] - 8, data[dpos + 1] - 8
+                        dpos += 2
+                        if (y + dy < 0 or y + dy + 16 > ph
+                                or x + dx < 0 or x + dx + 16 > pw):
+                            raise MediaError("mcdc: motion vector escapes")
+                        pred = recon_prev[y + dy:y + dy + 16,
+                                          x + dx:x + dx + 16].astype(
+                                              np.float64)
+                    else:
+                        pred = np.full((16, 16), 128.0)
+                    for by in (0, 8):
+                        for bx in (0, 8):
+                            block, dpos = _mcdc_decode_block(
+                                data, dpos, q, C)
+                            pred_sub = pred[by:by + 8, bx:bx + 8]
+                            recon[y + by:y + by + 8, x + bx:x + bx + 8] = \
+                                np.clip(pred_sub + block, 0, 255)
+            recon = np.round(recon)
+            recon_prev = recon
+            frames.append(recon[:h, :w].astype(np.uint8))
+    if not frames:
+        raise MediaError("mcdc: no frames")
+    gray = np.stack(frames)
+    return np.repeat(gray[..., None], 3, axis=3), fps
