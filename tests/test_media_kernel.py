@@ -849,3 +849,21 @@ class TestMcdc:
         blob = M.encode_avi_mcdc(base[None], q=2)
         with pytest.raises(M.MediaError):
             M.decode_avi_mcdc(blob[:len(blob) // 2])
+
+
+class TestMcdcProperties:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(1, 3), st.integers(9, 40), st.integers(9, 40),
+           st.integers(1, 12), st.integers(0, 2**31 - 1))
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip_error_bounded_by_quantizer(self, n, h, w, q, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.integers(0, 255, (n, h, w)).astype(np.uint8)
+        out, fps = M.decode_avi_mcdc(M.encode_avi_mcdc(frames, q=q))
+        assert out.shape == (n, h, w, 3)
+        err = np.abs(out[..., 0].astype(int) - frames.astype(int))
+        # orthonormal DCT: per-coefficient quantization error ≤ q/2;
+        # loose per-pixel bound 4q+2 holds with margin across shapes
+        assert err.max() <= 4 * q + 2, (err.max(), q)
