@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import vulnerablecode_spark.plans.coverage  # noqa: F401,E402 — registers queries
 import vulnerablecode_spark.plans.curate  # noqa: F401,E402
+import vulnerablecode_spark.plans.domain  # noqa: F401,E402
 import vulnerablecode_spark.plans.llm  # noqa: F401,E402
 import vulnerablecode_spark.plans.relational  # noqa: F401,E402
 import vulnerablecode_spark.plans.select  # noqa: F401,E402
@@ -34,36 +35,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver grades the first ~50 registry entries per round. Order the
-# registry so the SURVEY §2 relational/coverage core (q01..q45) always
-# grades first, then queries whose implementation changed this round (and
-# therefore need a fresh driver-issued row), then the remaining stable LLM
-# extras (green in prior rounds and re-verified every run by
-# tests/test_oracle_parity.py, which gates ALL queries regardless of the
-# driver window).
-_REGRADE_PRIORITY = [
-    "q63_incremental_near_dup",  # new this round
-    "q64_ann_topk_ivf_pq",  # new this round (embeds the full q46 IVF build)
-    "q65_semantic_dedup",  # new this round (also embeds the IVF build)
-    "q62_corpus_datacard",  # extended with dedup-rate-by-source
-    "q56_ann_topk_pq",  # centroid arithmetic moved to integer micro-units
-    # q46 yields its window slot: its changed centroid arithmetic is
-    # verified through q64/q65 (identical embedded CTEs) and the full
-    # oracle-parity pytest gate. The round-5 curation/substring/split/BPE
-    # additions (q66–q74) and the selection/pipeline additions (q75–q80)
-    # sort after the window by design and are gated by the same pytest
-    # oracle sweep (plus randomized-corpus fuzz parity and an sf1 hash
-    # verification, tests/test_fuzz_parity.py).
+# The driver grades the first ~50 registry entries per round. Round-6
+# rotation (VERDICT r5 directive #1): q01–q45 now have three consecutive
+# driver-green rounds and remain gated every run by
+# tests/test_oracle_parity.py (which hash-checks ALL queries regardless of
+# the window), so the full relational block no longer needs the window.
+# Order: (0) queries new this round, (1) a sentinel of the relational core
+# — one per §2 family — (2) the 15 round-5 curation/selection queries that
+# have never had a driver-issued row (q66–q80), (3) the r4-graded-only LLM
+# tail (last driver row two rounds ago), (4) everything else by number —
+# the head of which refills the remaining ~16 window slots with more
+# relational coverage.
+_NEW_THIS_ROUND = [
+    "q81_advisory_pipeline",  # composed domain pipeline (VERDICT directive #2)
+]
+_SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
+    "q01_pricing_summary",   # full-scan aggregation
+    "q08_latest_per_key",    # SCD2 / is_latest window
+    "q21_bucketed_range_join",  # version-in-range unfurl join
+    "q38_content_hash_dedup",   # content-id ingest dedup
+    "q45_api_bulk_response",    # serving-path nested payload
+]
+_R4_TAIL = [  # last driver-issued row was round 4; regrade after q66–q80
+    "q46_ann_topk_ivf", "q47_embedding_near_dup",
+    "q48_winnowing_fingerprints", "q51_png_roundtrip", "q52_wav_roundtrip",
+    "q53_gif_roundtrip", "q54_jpeg_roundtrip", "q55_repetition_signals",
+    "q57_decontamination", "q58_char_trigram_diversity",
+    "q59_feature_hashing", "q60_near_dup_dedup", "q61_shared_spans",
 ]
 
 
 def _grade_order(name: str) -> tuple[int, int, str]:
     num = int(name[1:3]) if name[1:3].isdigit() else 99
-    if num <= 45:
-        return (0, num, name)
-    if name in _REGRADE_PRIORITY:
-        return (1, _REGRADE_PRIORITY.index(name), name)
-    return (2, num, name)
+    if name in _NEW_THIS_ROUND:
+        return (0, _NEW_THIS_ROUND.index(name), name)
+    if name in _SENTINELS:
+        return (1, _SENTINELS.index(name), name)
+    if 66 <= num <= 80:  # never driver-graded (added round 5)
+        return (2, num, name)
+    if name in _R4_TAIL:
+        return (3, _R4_TAIL.index(name), name)
+    return (4, num, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -165,3 +165,32 @@ class TestRound4bPlanQuality:
         plan = plan_of(spark, "q57_decontamination")
         assert "CartesianProduct" not in plan
         assert "HashAggregate" in plan
+
+
+class TestQ81PlanQuality:
+    """The composed domain pipeline (q81) must introduce no shuffle shape
+    beyond its stages' own: no cartesian, the package_versions / weight /
+    bulk-member dimensions broadcast, and the exchange count stays bounded
+    (each stage contributes its documented shuffles; a regression that
+    re-shuffles the advisory table between stages would blow past this)."""
+
+    def test_q81_no_cartesian_and_dims_broadcast(self, spark):
+        import vulnerablecode_spark.plans.domain  # noqa: F401
+
+        plan = plan_of(spark, "q81_advisory_pipeline")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan  # pv dim + bulk_members + weights
+
+    def test_q81_exchange_count_bounded(self, spark):
+        import vulnerablecode_spark.plans.domain  # noqa: F401
+
+        plan = plan_of(spark, "q81_advisory_pipeline")
+        # Stage budget (pre-AQE logical shapes): ingest windows partition
+        # on (avid[, content]) — the checkpointed table feeds six branches;
+        # impacts/unfurl/risk/groups/bulk each shuffle on their own keys;
+        # the verdict joins align on advisory_pk. Measured 40 exchanges
+        # after the stored-table checkpoint collapse; a composition
+        # regression (e.g. losing the checkpoint → full ingest re-run per
+        # branch) lands at 160+.
+        assert plan.count("Exchange") <= 60, plan.count("Exchange")
