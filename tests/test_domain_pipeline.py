@@ -1172,3 +1172,169 @@ class TestMarkUnfurled:
                                datasource_id="osv")
         rows = claims.collect()
         assert rows and all(r.datasource_id == "osv" for r in rows)
+
+
+class TestRawPurlAmbiguity:
+    """ADVICE r5: reserved characters in purl segments must not produce
+    ambiguous storage keys — parse(to_raw_string(p)) == p for ALL inputs,
+    while ordinary purls (and npm '@scope' namespaces) stay byte-identical
+    to plain concatenation."""
+
+    def test_ordinary_and_scoped_purls_unchanged(self):
+        from vulnerablecode_spark.kernel.purl import parse_purl
+
+        for raw in ("pkg:pypi/sample@1.2.0",
+                    "pkg:npm/@babel/traverse@7.23.2",
+                    "pkg:deb/debian/curl@7.50.3-1+deb9u1",
+                    "pkg:maven/org.apache/kafka@3.0.0"):
+            assert parse_purl(raw).to_raw_string() == raw
+
+    def test_reserved_characters_round_trip(self):
+        from vulnerablecode_spark.kernel.purl import Purl, parse_purl
+
+        tricky = [
+            Purl("generic", "", "name@odd", "1.0"),       # '@' in name
+            Purl("generic", "", "name", "1.0@beta"),      # '@' in version
+            Purl("generic", "", "what?name", "1.0"),      # '?' in name
+            Purl("generic", "", "hash#name", "1.0"),      # '#' in name
+            Purl("generic", "", "pct%name", "1.0"),       # '%' in name
+            Purl("generic", "", "n", "1.0", {"k": "a&b"}),  # '&' in qualifier
+        ]
+        for p in tricky:
+            raw = p.to_raw_string()
+            assert parse_purl(raw) == p, (p, raw)
+
+    def test_distinct_purls_never_collide_on_raw_key(self):
+        from vulnerablecode_spark.kernel.purl import Purl
+
+        a = Purl("generic", "", "name@1.0", "")   # name contains '@'
+        b = Purl("generic", "", "name", "1.0")    # version is 1.0
+        assert a.to_raw_string() != b.to_raw_string()
+
+    def test_materialized_key_matches_kernel_escape(self, spark):
+        from pyspark.sql import functions as F
+
+        from vulnerablecode_spark.kernel.purl import parse_purl
+        from vulnerablecode_spark.operators.unfurl import \
+            materialize_packages
+
+        unfurled = spark.createDataFrame(
+            [("pkg:generic/lib", "1.0@hotfix"), ("pkg:generic/lib", "2.0")],
+            "base_purl string, version string")
+        keys = {r.version: r.package_url
+                for r in materialize_packages(unfurled).collect()}
+        assert keys["2.0"] == "pkg:generic/lib@2.0"
+        # reserved-char version: key escapes exactly like the kernel and
+        # re-parses to the same (name, version)
+        p = parse_purl(keys["1.0@hotfix"])
+        assert (p.name, p.version) == ("lib", "1.0@hotfix")
+
+
+class TestMergedRangeNullSemantics:
+    def test_rangeless_advisory_merges_to_null(self, spark):
+        """ADVICE r5: an advisory whose every impact has a NULL
+        affecting_vers must report NULL, not '' (lookup.py merged
+        range)."""
+        from pyspark.sql import functions as F
+
+        from vulnerablecode_spark.operators.lookup import (
+            advisories_for_purls, normalize_request_purls)
+
+        request = normalize_request_purls(spark, ["pkg:pypi/x@1.0"])
+        packages = spark.createDataFrame(
+            [(10, "pkg:pypi/x@1.0")], "package_pk long, package_url string")
+        impacts = spark.createDataFrame(
+            [(100, 1, None)],
+            "impact_pk long, advisory_pk long, affecting_vers string")
+        affecting = spark.createDataFrame(
+            [(100, 10)], "impact_pk long, package_pk long")
+        fixed_by = spark.createDataFrame(
+            [], "impact_pk long, package_pk long")
+        advisories = spark.createDataFrame(
+            [(1, "ADV-1", "a/ADV-1", "s", ["CVE-1"], 5.0, True)],
+            "advisory_pk long, advisory_id string, avid string, "
+            "summary string, aliases array<string>, risk_score double, "
+            "is_latest boolean")
+        row = advisories_for_purls(
+            request, packages, affecting, fixed_by, impacts,
+            advisories).collect()[0]
+        assert row.advisories[0].affecting_vers is None
+
+
+class TestAddCvss31ToCves:
+    """Fixture test for the CVSS3.1 backfill composition
+    (reference pipelines/add_cvss31_to_CVEs.py:33-102): stored CVSSv3
+    severities with NVD CVE urls gain cvssv3.1 rows pulled from the
+    NVD-imported advisories sharing the CVE alias."""
+
+    def test_backfill_rows(self, spark):
+        from vulnerablecode_spark.operators.relate import add_cvss31_to_cves
+
+        severities = spark.createDataFrame(
+            [
+                # maps: CVSSv3 + NVD CVE url
+                (1, "cvssv3", "https://nvd.nist.gov/vuln/detail/CVE-2024-0001"),
+                # same CVE, second vulnerability → second output row
+                (2, "cvssv3", "https://nvd.nist.gov/vuln/detail/CVE-2024-0001"),
+                # wrong scoring system → skipped
+                (3, "cvssv2", "https://nvd.nist.gov/vuln/detail/CVE-2024-0001"),
+                # non-NVD url → skipped
+                (4, "cvssv3", "https://example.com/CVE-2024-0001"),
+                # NVD url but no cvss3.1 in any advisory → no output
+                (5, "cvssv3", "https://nvd.nist.gov/vuln/detail/CVE-2024-0002"),
+            ],
+            "vulnerability_id long, scoring_system string, url string")
+        aliases = spark.createDataFrame(
+            [(100, "CVE-2024-0001"), (101, "CVE-2024-0001"),
+             (102, "CVE-2024-0002"), (100, "GHSA-xxxx")],
+            "advisory_pk long, alias string")
+        ref_type = ("array<struct<url:string,severities:array<struct<"
+                    "system:string,value:string,scoring_elements:string>>>>")
+        rows = [
+            # nvd advisory with a cvss3.1 severity → the backfill source
+            (100, "nvd_importer",
+             [("https://nvd.nist.gov/1",
+               [("cvssv3.1", "9.8", "CVSS:3.1/AV:N/AC:L"),
+                ("cvssv2", "7.5", "AV:N")])]),
+            # NOT created by nvd_importer → its cvss3.1 is ignored
+            (101, "github_importer",
+             [("https://github.com/1", [("cvssv3.1", "5.0", "CVSS:3.1/X")])]),
+            # nvd advisory for CVE-2024-0002 with no cvss3.1 entries
+            (102, "nvd_importer",
+             [("https://nvd.nist.gov/2", [("cvssv2", "5.0", "AV:N")])]),
+        ]
+        advisories = spark.createDataFrame(
+            rows, f"advisory_pk long, created_by string, references {ref_type}")
+
+        got = add_cvss31_to_cves(severities, aliases, advisories).collect()
+        assert len(got) == 2
+        assert {r.vulnerability_id for r in got} == {1, 2}
+        for r in got:
+            assert r.cve_id == "CVE-2024-0001"
+            assert r.scoring_system == "cvssv3.1"
+            assert r.url == "https://nvd.nist.gov/vuln/detail/CVE-2024-0001"
+            assert r.value == "9.8"
+            assert r.scoring_elements == "CVSS:3.1/AV:N/AC:L"
+
+    def test_idempotent_under_duplicate_severities(self, spark):
+        """update_or_create semantics: duplicate stored severities or
+        duplicate advisory entries must not multiply output rows."""
+        from vulnerablecode_spark.operators.relate import add_cvss31_to_cves
+
+        severities = spark.createDataFrame(
+            [(1, "cvssv3", "https://nvd.nist.gov/vuln/detail/CVE-2024-0001"),
+             (1, "cvssv3", "https://nvd.nist.gov/vuln/detail/CVE-2024-0001")],
+            "vulnerability_id long, scoring_system string, url string")
+        aliases = spark.createDataFrame(
+            [(100, "CVE-2024-0001"), (101, "CVE-2024-0001")],
+            "advisory_pk long, alias string")
+        ref_type = ("array<struct<url:string,severities:array<struct<"
+                    "system:string,value:string,scoring_elements:string>>>>")
+        advisories = spark.createDataFrame(
+            [(100, "nvd_importer",
+              [("u1", [("cvssv3.1", "9.8", "V")])]),
+             (101, "nvd_importer",
+              [("u2", [("cvssv3.1", "9.8", "V")])])],
+            f"advisory_pk long, created_by string, references {ref_type}")
+        got = add_cvss31_to_cves(severities, aliases, advisories).collect()
+        assert len(got) == 1

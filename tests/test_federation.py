@@ -533,3 +533,76 @@ class TestFederationHardening:
         plan = github.next_page_plan(resp).collect()
         assert len(plan) == 1  # only the hasNextPage row continues
         assert "abc123" in plan[0].body
+
+
+class TestCredentialPlaceholders:
+    """ADVICE r5: auth tokens must never land in request-plan rows —
+    builders emit ${ENV} placeholders; fetch_stage resolves them
+    executor-side from the environment."""
+
+    def test_github_plan_rows_carry_no_token(self, monkeypatch):
+        import json
+
+        from vulnerablecode_spark.federation import github
+
+        monkeypatch.setenv("GH_TOKEN", "sekrit-live-token")
+        req = github.request_for("pkg:pypi/sample@1.0")
+        headers = json.dumps(req.get("headers", {}))
+        assert "sekrit-live-token" not in headers
+        assert "${GH_TOKEN}" in headers
+
+    def test_vcio_plan_rows_carry_no_token(self, monkeypatch):
+        import json
+
+        from vulnerablecode_spark.federation import vulnerablecode_io as vcio
+
+        monkeypatch.setenv("VCIO_TOKEN", "sekrit-live-token")
+        req = vcio.request_for("pkg:pypi/sample@1.0")
+        headers = json.dumps(req.get("headers", {}))
+        assert "sekrit-live-token" not in headers
+        assert "${VCIO_TOKEN}" in headers
+
+    def test_placeholder_resolution(self, monkeypatch):
+        from vulnerablecode_spark.federation.base import \
+            resolve_header_placeholders
+
+        monkeypatch.setenv("GH_TOKEN", "abc123")
+        monkeypatch.delenv("VCIO_TOKEN", raising=False)
+        got = resolve_header_placeholders({
+            "Authorization": "bearer ${GH_TOKEN}",
+            "X-Other": "Token ${VCIO_TOKEN}",   # unresolved → dropped
+            "Accept": "application/json",       # literal → kept
+        })
+        assert got == {"Authorization": "bearer abc123",
+                       "Accept": "application/json"}
+        assert resolve_header_placeholders(None) is None
+        # every header unresolved → None (request goes unauthenticated)
+        assert resolve_header_placeholders(
+            {"Authorization": "Token ${VCIO_TOKEN}"}) is None
+
+
+class TestParse2xx:
+    """ADVICE r5: any 2xx response is parseable — 203/206 from caching
+    proxies must not be silently dropped."""
+
+    def test_parse_stage_accepts_203_and_206(self, spark):
+        import json
+
+        from vulnerablecode_spark.federation import base
+
+        def parser(text, purl):
+            doc = json.loads(text)
+            return [{"purl": purl, "aliases": doc["aliases"],
+                     "affected_versions": [], "fixed_versions": []}]
+
+        body = json.dumps({"aliases": ["CVE-2024-1"]})
+        frame = spark.createDataFrame(
+            [("pkg:pypi/a@1", "s1", "200", body),
+             ("pkg:pypi/b@1", "s1", "203", body),
+             ("pkg:pypi/c@1", "s1", "206", body),
+             ("pkg:pypi/d@1", "s1", "404", body),
+             ("pkg:pypi/e@1", "s1", "error", "connection refused")],
+            "purl string, datasource_id string, status string, response string")
+        got = {r.purl for r in
+               base.parse_stage(frame, "s1", parser).collect()}
+        assert got == {"pkg:pypi/a@1", "pkg:pypi/b@1", "pkg:pypi/c@1"}

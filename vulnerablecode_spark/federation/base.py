@@ -28,6 +28,8 @@ express — the approved UDF tier for source parsing.
 
 from __future__ import annotations
 
+import re
+
 from collections.abc import Callable, Iterable
 
 from pyspark.sql import DataFrame
@@ -49,10 +51,48 @@ REQUEST_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("body", StringType()),     # JSON payload for POSTs, else null
     # JSON object of HTTP headers, else null — authenticated sources
-    # (GitHub GraphQL, VulnerableCode.io) emit Authorization here from
-    # their env tokens; fetch_stage forwards them per request
+    # (GitHub GraphQL, VulnerableCode.io) emit Authorization here as
+    # ``${ENV_NAME}`` placeholders (e.g. "bearer ${GH_TOKEN}"), which
+    # fetch_stage resolves from the EXECUTOR's environment per request.
+    # Credentials therefore never appear in request-plan rows: a plan
+    # that is persisted, checkpointed, or logged carries only the
+    # placeholder. A header whose placeholder has no env value is
+    # dropped (the request goes out unauthenticated and fetch_stage
+    # records the 4xx as an error row).
     StructField("headers", StringType()),
 ])
+
+_ENV_PLACEHOLDER = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def resolve_header_placeholders(headers: dict | None) -> dict | None:
+    """Substitute ``${ENV_NAME}`` in header values from os.environ —
+    executor-side credential injection (headers in REQUEST_SCHEMA rows
+    are placeholders, never secrets). Headers with unresolved
+    placeholders are dropped."""
+    import os
+
+    if not headers:
+        return headers
+    resolved = {}
+    for name, value in headers.items():
+        if not isinstance(value, str) or "${" not in value:
+            resolved[name] = value
+            continue
+        missing = False
+
+        def sub(m):
+            nonlocal missing
+            v = os.environ.get(m.group(1))
+            if v is None:
+                missing = True
+                return ""
+            return v
+
+        value = _ENV_PLACEHOLDER.sub(sub, value)
+        if not missing:
+            resolved[name] = value
+    return resolved or None
 
 
 class FedVersion:
@@ -213,6 +253,10 @@ def fetch_stage(plan: DataFrame, timeout: float = 30.0) -> DataFrame:
     without it. Everything downstream (the parse stages) is pure and
     fixture-tested offline.
     """
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(plan.sparkSession)  # workers import this module for
+    # resolve_header_placeholders (executor-side credential injection)
     try:
         import requests  # noqa: F401
     except ImportError as exc:  # pragma: no cover - env-dependent
@@ -242,8 +286,9 @@ def fetch_stage(plan: DataFrame, timeout: float = 30.0) -> DataFrame:
             for method, url, body, hdrs in zip(pdf["method"], pdf["url"],
                                                pdf["body"], hdr_col):
                 try:
-                    headers = (_json.loads(hdrs)
-                               if isinstance(hdrs, str) and hdrs else None)
+                    headers = resolve_header_placeholders(
+                        _json.loads(hdrs)
+                        if isinstance(hdrs, str) and hdrs else None)
                     if method == "POST":
                         resp = _rq.post(url, json=_json.loads(body or "{}"),
                                         headers=headers, timeout=timeout)
@@ -296,7 +341,7 @@ def parse_stage(responses: DataFrame, datasource_id: str,
             statuses = pdf["status"] if has_status else [None] * len(pdf)
             for purl, text, status in zip(
                     pdf[purl_col], pdf[response_col], statuses):
-                if status is not None and status != "200":
+                if status is not None and not status.startswith("2"):
                     continue
                 if not isinstance(text, str) or not text:
                     continue
@@ -336,7 +381,7 @@ def next_request_stage(responses: DataFrame, datasource_id: str,
         plan2 = module.phase2_plan(resp1)      # ← this stage
         claims = module.parse(fetch_stage(plan2))
 
-    Per-row failure isolation matches parse_stage: only status-200 rows
+    Per-row failure isolation matches parse_stage: only 2xx rows
     derive (when a status column exists), and a deriver raising on one
     malformed body skips that row, never the job."""
     from vulnerablecode_spark import ensure_shipped
@@ -358,7 +403,7 @@ def next_request_stage(responses: DataFrame, datasource_id: str,
             statuses = pdf["status"] if has_status else [None] * len(pdf)
             for purl, text, status in zip(
                     pdf[purl_col], pdf[response_col], statuses):
-                if status is not None and status != "200":
+                if status is not None and not status.startswith("2"):
                     continue
                 if not isinstance(text, str) or not text:
                     continue

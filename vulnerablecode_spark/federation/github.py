@@ -127,15 +127,14 @@ def request_for(purl: str) -> dict | None:
         return None
     req = {"method": "POST", "url": GRAPHQL_URL,
            "body": json.dumps(payload)}
-    # api.github.com/graphql rejects unauthenticated requests: ship the
-    # bearer token from $GH_TOKEN when present (the reference's
-    # github_response does the same); without it fetch_stage records the
+    # api.github.com/graphql rejects unauthenticated requests: emit an
+    # Authorization PLACEHOLDER that fetch_stage resolves from $GH_TOKEN
+    # on the executor (the reference's github_response reads the same
+    # env var). The literal token never enters the request-plan rows —
+    # a persisted/checkpointed/logged plan carries only the placeholder;
+    # without the env var the header drops and fetch_stage records the
     # 401 as an error row rather than silently contributing zero claims
-    import os
-
-    token = os.environ.get("GH_TOKEN")
-    if token:
-        req["headers"] = {"Authorization": f"bearer {token}"}
+    req["headers"] = {"Authorization": "bearer ${GH_TOKEN}"}
     return req
 
 
@@ -154,13 +153,9 @@ def next_page_requests(text: str, purl: str) -> list[dict]:
     if payload is None:
         return []
     req = {"method": "POST", "url": GRAPHQL_URL,
-           "body": json.dumps(payload)}
-    import os
-
-    token = os.environ.get("GH_TOKEN")
-    if token:
-        req["headers"] = {"Authorization": f"bearer {token}"}
-    return req and [req]
+           "body": json.dumps(payload),
+           "headers": {"Authorization": "bearer ${GH_TOKEN}"}}
+    return [req]
 
 
 def next_page_plan(responses: DataFrame) -> DataFrame:

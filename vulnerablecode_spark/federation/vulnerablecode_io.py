@@ -30,14 +30,13 @@ def supported_ecosystem() -> dict[str, str]:
     return dict(SUPPORTED_ECOSYSTEM)
 
 
-def _auth_headers() -> dict | None:
-    """Authorization from $VCIO_TOKEN (the reference raises
-    VCIOTokenError without it); None → the request goes out
-    unauthenticated and fetch_stage records the 4xx as an error row."""
-    import os
-
-    token = os.environ.get("VCIO_TOKEN")
-    return {"Authorization": f"Token {token}"} if token else None
+def _auth_headers() -> dict:
+    """Authorization PLACEHOLDER resolved from $VCIO_TOKEN by
+    fetch_stage on the executor (the reference raises VCIOTokenError
+    without the env var). The literal token never enters request-plan
+    rows; without the env var the header drops and fetch_stage records
+    the 4xx as an error row."""
+    return {"Authorization": "Token ${VCIO_TOKEN}"}
 
 
 def request_for(purl: str) -> dict | None:

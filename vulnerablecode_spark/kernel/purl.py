@@ -16,6 +16,29 @@ from urllib.parse import quote, unquote
 # ecosystems whose namespace/name are case-insensitive per the purl spec
 _LOWERCASE_TYPES = {"pypi", "npm", "deb", "golang", "hex", "composer"}
 
+# characters that make an unencoded storage key ambiguous: '@' in the
+# FINAL segment (name/version) would re-parse as a version delimiter,
+# '?' / '#' anywhere as qualifier/subpath starts, '%' anywhere as an
+# escape introducer ('%' must escape FIRST). '@' inside a NAMESPACE
+# segment is NOT ambiguous (npm scopes: 'pkg:npm/@babel/traverse') and
+# stays literal — parse_purl only takes '@' after the last '/' as the
+# version delimiter.
+_RAW_UNSAFE = ("%", "@", "?", "#")
+_RAW_UNSAFE_NAMESPACE = ("%", "?", "#")
+# qualifier values: '&' splits pairs, '#' is consumed as subpath BEFORE
+# the qualifier split; '@'/'?' are unambiguous there and stay literal
+_RAW_UNSAFE_QUALIFIER = ("%", "&", "#")
+
+
+def _raw_escape(segment: str, unsafe: tuple = _RAW_UNSAFE) -> str:
+    """Minimal percent-escape for ``to_raw_string`` segments — only the
+    delimiter characters, so ordinary purls stay byte-identical to plain
+    concatenation while reserved-character segments stay unambiguous and
+    round-trip through ``parse_purl`` (which unquotes)."""
+    for ch in unsafe:
+        segment = segment.replace(ch, f"%{ord(ch):02X}")
+    return segment
+
 
 class PurlError(ValueError):
     pass
@@ -49,20 +72,32 @@ class Purl:
     def to_raw_string(self) -> str:
         """The engine's STORAGE join-key form: canonical field order,
         case/type normalization and qualifier sorting like
-        ``to_string``, but segments UNENCODED — matching how sources
-        and materialize_packages build ``package_url`` by plain
+        ``to_string``, but segments left human-readable — matching how
+        sources and materialize_packages build ``package_url`` by plain
         concatenation. Requests in either encoding parse (and unquote)
         to the same raw key, so the lookup join is encoding-insensitive.
+
+        Only the characters that would make the key AMBIGUOUS are
+        escaped (``%`` ``@`` ``?`` ``#`` in segments, plus ``&`` in
+        qualifier values): without this, a name containing ``@`` would
+        re-parse with a spurious version and two distinct purls could
+        collide on one storage key. Ordinary purls (the overwhelming
+        corpus) contain none of these and round-trip byte-identical to
+        plain concatenation; ``parse_purl(to_raw_string(p)) == p``
+        holds for ALL inputs.
         """
         parts = [f"pkg:{self.type}/"]
         if self.namespace:
-            parts.append(self.namespace + "/")
-        parts.append(self.name)
+            parts.append("/".join(
+                _raw_escape(seg, _RAW_UNSAFE_NAMESPACE)
+                for seg in self.namespace.split("/")) + "/")
+        parts.append(_raw_escape(self.name))
         if self.version:
-            parts.append("@" + self.version)
+            parts.append("@" + _raw_escape(self.version))
         if self.qualifiers:
-            pairs = "&".join(f"{k}={v}" for k, v in
-                             sorted(self.qualifiers.items()) if v)
+            pairs = "&".join(
+                f"{k}={_raw_escape(str(v), _RAW_UNSAFE_QUALIFIER)}"
+                for k, v in sorted(self.qualifiers.items()) if v)
             if pairs:
                 parts.append("?" + pairs)
         if self.subpath:

@@ -104,8 +104,12 @@ def advisories_for_purls(request: DataFrame, packages: DataFrame,
         F.first("summary").alias("summary"),
         F.first("aliases").alias("aliases"),
         F.first("risk_score").alias("risk_score"),
-        F.concat_ws(",", F.array_sort(F.collect_set("affecting_vers")))
-        .alias("affecting_vers"),
+        # nullif(…, ''): an advisory whose every impact has a NULL
+        # affecting_vers must merge to NULL, not '' — collect_set drops
+        # nulls and concat_ws renders the empty set as '' (ADVICE r5)
+        F.nullif(
+            F.concat_ws(",", F.array_sort(F.collect_set("affecting_vers"))),
+            F.lit("")).alias("affecting_vers"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list(
             F.coalesce("fixed_by_purls",
                        F.array().cast("array<string>"))))))

@@ -52,6 +52,14 @@ def materialize_packages(unfurled: DataFrame) -> DataFrame:
     pkgs = unfurled.select("base_purl", "version").distinct()
     no_prefix = F.regexp_replace("base_purl", r"^pkg:", "")
     segments = F.split(no_prefix, "/")
+    # storage-key version segment mirrors kernel.purl._raw_escape: the
+    # delimiter characters percent-escape ('%' first) so a version
+    # containing '@'/'?'/'#' cannot make the key ambiguous — ordinary
+    # versions stay byte-identical to plain concatenation
+    esc_version = F.col("version")
+    for ch, code in (("%", "%25"), ("@", "%40"), ("?", "%3F"), ("#", "%23")):
+        esc_version = F.replace(esc_version, F.lit(ch), F.lit(code))
+    key = F.concat("base_purl", F.lit("@"), esc_version)
     return pkgs.select(
         F.xxhash64("base_purl", "version").alias("package_pk"),
         segments[0].alias("type"),
@@ -62,8 +70,8 @@ def materialize_packages(unfurled: DataFrame) -> DataFrame:
         F.col("version"),
         F.lit("").alias("qualifiers"),
         F.lit("").alias("subpath"),
-        F.concat("base_purl", F.lit("@"), "version").alias("package_url"),
-        F.concat("base_purl", F.lit("@"), "version").alias("plain_package_url"),
+        key.alias("package_url"),
+        key.alias("plain_package_url"),
         F.lit(False).alias("is_ghost"),
         F.lit(None).cast("string").alias("risk_score"),
         F.lit(0).alias("version_rank"),
