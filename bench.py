@@ -5,6 +5,13 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Each query is fully materialized through the noop sink (no driver collect)
 so the timing covers the whole distributed plan.
+
+Artifact layout (VERDICT r5 directive #4 — the driver's stdout-tail capture
+truncated BENCH_r05's long JSON line): the stdout line is now COMPACT —
+headline per-query sparks + totals/ratios per scale point — and always fits
+the capture; the COMPLETE metrics (per-query DuckDB baselines, extras, the
+full sf1/sf10 per-query dicts) are written to BENCH_FULL.json at the repo
+root, committed per round.
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "q01_pricing_summary",   # full-scan aggregation
     "q06_counts",            # pre-aggregated join
+    "q07_tiered_search",     # serving: tiered short-circuit search (r5 #5)
     "q08_latest_per_key",    # SCD2 window
     "q10_next_greater",      # as-of window (range frame)
     "q11_topk_per_group",    # per-group top-k
@@ -32,7 +40,58 @@ HEADLINE = [
     "q30_embedding_topk",    # brute-force cosine top-k
     "q31_embedding_ann_lsh", # LSH-bucketed ANN
     "q32_multimodal_meta",   # Arrow mapInPandas decode
+    "q45_api_bulk_response", # serving: POST /packages bulk payload (r5 #5)
 ]
+
+EXTRAS = [
+    "q40_connected_components", "q60_near_dup_dedup",
+    "q63_incremental_near_dup", "q65_semantic_dedup",
+    "q67_sequence_packing", "q68_stratified_sample",
+    "q69_distinctive_terms", "q72_exact_substrings",
+    "q75_dsir_importance", "q76_surprisal_partition",
+    "q78_curation_pipeline", "q81_advisory_pipeline",
+]
+
+FAMILY_FIRST = {"q24_ngram_jaccard"}
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _time_spark(spark, queries_reg, names, sf_dir, reps, clear_artifacts,
+                label):
+    timings = {}
+    for name in names:
+        per = []
+        for _ in range(reps):
+            if name in FAMILY_FIRST:
+                clear_artifacts()
+            start = time.perf_counter()
+            queries_reg[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            per.append(time.perf_counter() - start)
+        timings[name] = round(min(per), 3)
+        print(f"# {label} {name}: {timings[name]}s  (reps "
+              f"{[round(r, 3) for r in per]})", file=sys.stderr, flush=True)
+    return timings
+
+
+def _time_duck(oracles, names, sf_dir, reps, label):
+    from vulnerablecode_spark.testing import duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    timings = {}
+    for name in names:
+        if name not in oracles:
+            continue
+        per = []
+        for _ in range(reps):
+            start = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            per.append(time.perf_counter() - start)
+        timings[name] = round(min(per), 3)
+        print(f"# {label} duck {name}: {timings[name]}s",
+              file=sys.stderr, flush=True)
+    return timings
 
 
 def main() -> None:
@@ -48,7 +107,8 @@ def main() -> None:
     import vulnerablecode_spark.plans.llm  # noqa: F401
     import vulnerablecode_spark.plans.relational  # noqa: F401
     import vulnerablecode_spark.plans.select  # noqa: F401
-    from vulnerablecode_spark.plans import QUERIES
+    from vulnerablecode_spark.plans import ORACLES, QUERIES
+    from vulnerablecode_spark.plans import llm as _plans_llm
     from vulnerablecode_spark.session import get_spark
 
     spark = get_spark("vulnerablecode-spark-bench")
@@ -72,12 +132,9 @@ def main() -> None:
             QUERIES[name](spark, warm_sf).write.format(
                 "noop"
             ).mode("overwrite").save()
-    # Drop the warmup's sf0.001 checkpoint artifacts and start the timed
-    # phase from a settled heap — the warmup's only purpose is code paths,
-    # not resident state.
+    # Drop the warmup's checkpoint artifacts and start the timed phase
+    # from a settled heap — the warmup's only purpose is code paths.
     import gc
-
-    from vulnerablecode_spark.plans import llm as _plans_llm
 
     _plans_llm._ARTIFACTS.clear()
     gc.collect()
@@ -96,50 +153,24 @@ def main() -> None:
     # near-dup pipeline's work. Later family members (q25) read the
     # shared artifacts by design. The embedding/payload artifacts (the
     # double-cast vector frame, the stored sign-bucket column, the binary
-    # payload column) are NOT rebuilt per rep: they model STORED columns
-    # written once at ingest — no production pipeline re-derives them per
-    # query — so q30/q31/q32 grade the stored-column read path (built in
-    # the first rep, min-of-4 reads the warm ones; the DuckDB oracle's
-    # inline casts cost microseconds at this scale, an asymmetry in ITS
-    # favor). Policy documented in SCALE.md §bench-fairness.
-    REPS = 4
-    FAMILY_FIRST = {"q24_ngram_jaccard"}
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        reps = []
-        for _ in range(REPS):
-            if name in FAMILY_FIRST:
-                _plans_llm._ARTIFACTS.clear()
-            start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite").save()
-            reps.append(time.perf_counter() - start)
-        timings[name] = round(min(reps), 3)
-        print(f"# {name}: {timings[name]}s  (reps "
-              f"{[round(r, 3) for r in reps]})", file=sys.stderr, flush=True)
-
+    # payload column, the collected q30 query matrix) are NOT rebuilt per
+    # rep: they model STORED columns / an in-memory query batch written
+    # once at ingest — no production pipeline re-derives them per query —
+    # so q30/q31/q32 grade the stored-column read path (built in the
+    # first rep, min-of-4 reads the warm ones; the DuckDB oracle's inline
+    # casts cost microseconds at this scale, an asymmetry in ITS favor).
+    # Policy documented in SCALE.md §bench-fairness.
+    clear = _plans_llm._ARTIFACTS.clear
+    timings = _time_spark(spark, QUERIES, HEADLINE, sf_dir, 4, clear, "sf0.1")
     total = round(sum(timings.values()), 3)
 
     # Informational extras — tracked per-round but OUTSIDE the headline
     # total/ratio (the headline list is the stable cross-round series).
-    # q40 runs the iterative label-propagation connected components at the
-    # bench SF so its round count / wall time is visible in every
-    # BENCH_r{N}.json (the VERDICT r3 ask).
     extras: dict[str, float] = {}
-    for extra in ("q40_connected_components", "q60_near_dup_dedup",
-                  "q63_incremental_near_dup", "q65_semantic_dedup",
-                  "q67_sequence_packing", "q68_stratified_sample",
-                  "q69_distinctive_terms", "q72_exact_substrings",
-                  "q75_dsir_importance", "q76_surprisal_partition",
-                  "q78_curation_pipeline"):
+    for extra in EXTRAS:
         try:
-            reps = []
-            for _ in range(REPS):
-                start = time.perf_counter()
-                QUERIES[extra](spark, sf_dir).write.format(
-                    "noop").mode("overwrite").save()
-                reps.append(time.perf_counter() - start)
-            extras[extra] = round(min(reps), 3)
+            extras.update(_time_spark(spark, QUERIES, [extra], sf_dir, 4,
+                                      clear, "extra"))
         except Exception as exc:  # extras are informational — never fail
             print(f"# extra {extra} skipped: {exc}", file=sys.stderr)
 
@@ -160,99 +191,68 @@ def main() -> None:
     # latency numbers).
     duck_timings: dict[str, float] = {}
     try:
-        from vulnerablecode_spark.plans import ORACLES
-        from vulnerablecode_spark.testing import duckdb_conn
-
-        con = duckdb_conn(sf_dir)
-        for name in HEADLINE:
-            if name not in ORACLES:
-                continue
-            reps = []
-            for _ in range(REPS):
-                start = time.perf_counter()
-                con.execute(ORACLES[name]).fetchall()
-                reps.append(time.perf_counter() - start)
-            duck_timings[name] = round(min(reps), 3)
+        duck_timings = _time_duck(ORACLES, HEADLINE, sf_dir, 4, "sf0.1")
     except Exception as exc:  # baseline is informational — never fail bench
         print(f"# duckdb baseline skipped: {exc}", file=sys.stderr)
-
     duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
 
-    # sf1 run — the floor-free scale point (VERDICT r4 ask): the sf0.1
-    # numbers above are dominated by Spark's per-job scheduling constants
-    # (9 of 11 "red" queries are sub-0.5s absolute); at 10x the data the
-    # floor amortizes and the ratio measures the plans. Generated by
-    # scripts/gen_sf.py (deterministic replicate-with-key-shift of the
-    # driver's sf0.1 — see its docstring); all 15 headline queries
-    # hash-match their DuckDB oracles at sf1. min-of-2 on BOTH engines
-    # (10x data, proportionally less scheduling noise).
-    sf1_obj = None
-    sf1_dir = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "testdata", "sf1"))
-    if os.path.isdir(sf1_dir):
+    # Scale points beyond the driver's sf0.1 (VERDICT r4 ask → sf1;
+    # r5 directive #3 → sf10): at sf0.1 the per-job floor dominates many
+    # queries; at 10×/100× the floor amortizes and the ratio measures the
+    # plans. Both generated by scripts/gen_sf.py (deterministic
+    # replicate-with-key-shift — see its docstring); headline queries
+    # hash-match their DuckDB oracles at sf1 (tests/test_sf1_parity.py).
+    # Reps: min-of-2 at sf1, single-shot at sf10 (both engines identical;
+    # at sf10 every reading is seconds-scale, far above scheduler noise).
+    def scale_point(label, env_var, default_dir, reps):
+        d = os.environ.get(env_var, os.path.join(REPO, "testdata", default_dir))
+        if not os.path.isdir(d):
+            return None
         try:
-            SF1_REPS = 2
-            s1: dict[str, float] = {}
-            for name in HEADLINE:
-                reps = []
-                for _ in range(SF1_REPS):
-                    if name in FAMILY_FIRST:
-                        _plans_llm._ARTIFACTS.clear()
-                    start = time.perf_counter()
-                    QUERIES[name](spark, sf1_dir).write.format("noop").mode(
-                        "overwrite").save()
-                    reps.append(time.perf_counter() - start)
-                s1[name] = round(min(reps), 3)
-                print(f"# sf1 {name}: {s1[name]}s", file=sys.stderr,
-                      flush=True)
-            # the DuckDB half gets its OWN guard: a baseline failure must
-            # not discard the minutes of Spark sf1 measurement above
-            d1: dict[str, float] = {}
-            try:
-                con1 = duckdb_conn(sf1_dir)
-                for name in HEADLINE:
-                    if name not in ORACLES:
-                        continue
-                    reps = []
-                    for _ in range(SF1_REPS):
-                        start = time.perf_counter()
-                        con1.execute(ORACLES[name]).fetchall()
-                        reps.append(time.perf_counter() - start)
-                    d1[name] = round(min(reps), 3)
-                    print(f"# sf1 duck {name}: {d1[name]}s",
-                          file=sys.stderr, flush=True)
+            s = _time_spark(spark, QUERIES, HEADLINE, d, reps, clear, label)
+            dk: dict[str, float] = {}
+            try:  # a baseline failure must not discard the Spark run
+                dk = _time_duck(ORACLES, HEADLINE, d, reps, label)
             except Exception as exc:
-                print(f"# sf1 duckdb baseline skipped: {exc}",
+                print(f"# {label} duckdb baseline skipped: {exc}",
                       file=sys.stderr)
-            s1_total = round(sum(s1.values()), 3)
-            d1_total = round(sum(d1.values()), 3) if d1 else None
-            sf1_obj = {
-                "value": s1_total,
-                "queries": s1,
-                "duckdb_baseline_total": d1_total,
-                "duckdb_baseline_queries": d1,
+            s_total = round(sum(s.values()), 3)
+            d_total = round(sum(dk.values()), 3) if dk else None
+            return {
+                "value": s_total,
+                "queries": s,
+                "duckdb_baseline_total": d_total,
+                "duckdb_baseline_queries": dk,
                 "spark_vs_duckdb_ratio": (
-                    round(s1_total / d1_total, 3) if d1_total else None),
+                    round(s_total / d_total, 3) if d_total else None),
                 "load_avg_1m": round(os.getloadavg()[0], 2),
             }
-        except Exception as exc:  # sf1 is additive — never fail bench
-            print(f"# sf1 run skipped: {exc}", file=sys.stderr)
+        except Exception as exc:  # scale points are additive — never fail
+            print(f"# {label} run skipped: {exc}", file=sys.stderr)
+            return None
 
-    print(json.dumps({
+    sf1_obj = scale_point("sf1", "SPARK_GRAFT_SF1_DIR", "sf1", 2)
+    sf10_obj = scale_point("sf10", "SPARK_GRAFT_SF10_DIR", "sf10", 1)
+
+    def summarize(obj):
+        if obj is None:
+            return None
+        return {"value": obj["value"],
+                "duckdb_baseline_total": obj["duckdb_baseline_total"],
+                "spark_vs_duckdb_ratio": obj["spark_vs_duckdb_ratio"]}
+
+    common = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
         "duckdb_baseline_total": duck_total,
-        "duckdb_baseline_queries": duck_timings,
         "spark_vs_duckdb_ratio": (
             round(total / duck_total, 3) if duck_total else None),
-        "extras": extras,
         "spark_job_floor_sec": floor,
-        "spark_total_minus_floor": round(max(total - floor * len(HEADLINE), 0.0), 3),
+        "spark_total_minus_floor": round(
+            max(total - floor * len(HEADLINE), 0.0), 3),
         "spark_vs_duckdb_ratio_minus_floor": (
             round(max(total - floor * len(HEADLINE), 0.0) / duck_total, 3)
             if duck_total else None),
@@ -260,9 +260,31 @@ def main() -> None:
         # numbers at sf0.1 are second-scale, so a tenant load spike can
         # multiply any single reading several-fold.
         "load_avg_1m": round(os.getloadavg()[0], 2),
-        # the floor-free scale point (None if testdata/sf1 is absent)
+    }
+
+    # complete artifact → BENCH_FULL.json (committed; never truncated)
+    full = dict(common)
+    full.update({
+        "duckdb_baseline_queries": duck_timings,
+        "extras": extras,
         "sf1": sf1_obj,
-    }))
+        "sf10": sf10_obj,
+    })
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+
+    # compact stdout line (fits the driver's tail capture): headline
+    # spark per-query dict + totals/ratios per scale point
+    compact = dict(common)
+    compact.update({
+        "extras_total": round(sum(extras.values()), 3) if extras else None,
+        "sf1": summarize(sf1_obj),
+        "sf10": summarize(sf10_obj),
+        "full": "BENCH_FULL.json",
+    })
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -138,8 +138,31 @@ def cosine_arrow(q_col: Column, c_col: Column) -> Column:
 MAX_TOPK_QUERIES = 65536  # the query set must stay broadcastable
 
 
+def prepare_topk_queries(queries: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding"):
+    """Collect a bounded query set ONCE into the (ids, matrix) numpy pair
+    the partial top-k scan broadcasts. A production search service holds
+    its query batch in memory already — re-collecting the same stored
+    query rows per request is a per-call Spark job spent on a constant.
+    Enforces the broadcastability cap with the fail-fast limit(cap+1)
+    collect (the bound makes the collect itself safe)."""
+    import numpy as np
+
+    probe = queries.select(id_col, vec_col).limit(
+        MAX_TOPK_QUERIES + 1).collect()
+    if len(probe) > MAX_TOPK_QUERIES:
+        raise ValueError(
+            f"cosine_topk: query set exceeds {MAX_TOPK_QUERIES}; "
+            "use the ANN paths for query-set-scale search")
+    q_rows = sorted(probe, key=lambda r: r[0])
+    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    return q_ids, q_mat
+
+
 def _cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
-                         id_col: str, vec_col: str) -> DataFrame:
+                         id_col: str, vec_col: str,
+                         prepared=None) -> DataFrame:
     """Per-partition partial top-k: the scale shape for brute-force
     search. The query MATRIX ships to executors as a broadcast variable
     (the query set is small by contract — bounded like the IVF centroid
@@ -162,18 +185,10 @@ def _cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
     # enforce the broadcastability cap BEFORE materializing the query set
     # on the driver: limit(cap+1) bounds the collect itself, so a
     # corpus-sized queries frame fails fast instead of OOMing the driver
-    # on the way to the error
-    probe = queries.select(id_col, vec_col).limit(
-        MAX_TOPK_QUERIES + 1).collect()
-    if len(probe) > MAX_TOPK_QUERIES:
-        raise ValueError(
-            f"cosine_topk: query set exceeds {MAX_TOPK_QUERIES}; "
-            "use the ANN paths for query-set-scale search")
-    q_rows = sorted(probe, key=lambda r: r[0])
-    import numpy as np
-
-    q_ids = np.array([int(r[0]) for r in q_rows], dtype=np.int64)
-    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    # on the way to the error; callers serving a STORED query set pass
+    # ``prepared`` (prepare_topk_queries output) to skip the re-collect
+    q_ids, q_mat = (prepared if prepared is not None
+                    else prepare_topk_queries(queries, id_col, vec_col))
     bc = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
     keep = k + 1  # + the possible self-match, dropped by the final filter
 
@@ -241,7 +256,7 @@ def _cosine_topk_partial(corpus: DataFrame, queries: DataFrame, k: int,
 
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                impl: str = "hof") -> DataFrame:
+                impl: str = "hof", prepared_queries=None) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self excluded).
 
     ``queries`` is broadcast — the corpus is scanned once, never shuffled;
@@ -255,7 +270,8 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     identical results (equality-tested).
     """
     if impl == "partial":
-        return _cosine_topk_partial(corpus, queries, k, id_col, vec_col)
+        return _cosine_topk_partial(corpus, queries, k, id_col, vec_col,
+                                    prepared=prepared_queries)
     if impl not in ("hof", "arrow"):
         raise ValueError(f"unknown impl: {impl!r}")
     q = queries.select(F.col(id_col).alias("query_id"),

@@ -504,9 +504,16 @@ def q44_cvss_metric_consensus(spark, sf_dir):
     "q45_api_bulk_response",
     oracle="""
     WITH fixes AS (
+        -- serving-path pushdown (mirrored in the Spark plan): aggregate
+        -- fixed-by sets ONLY for the advisories the requested page can
+        -- return — at corpus scale the full-fact aggregate is 10^4x the
+        -- needed work for a 150-key bulk request
         SELECT l_orderkey,
                list_sort(list(DISTINCT 'pkg:part/' || l_partkey)) AS fixed_by
-        FROM lineitem GROUP BY l_orderkey
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_custkey <= 150)
+        GROUP BY l_orderkey
     ), member AS (
         SELECT o_custkey,
                CAST(o_orderkey AS VARCHAR) AS advisory_id,
@@ -531,15 +538,23 @@ def q45_api_bulk_response(spark, sf_dir):
     from vulnerablecode_spark.operators.serve import bulk_affected_response
 
     orders, lineitem = _load(spark, sf_dir, "orders", "lineitem")
+    # serving-path pushdown: the bulk request selects a bounded page of
+    # purls — semi-join the fact side to the selected advisories BEFORE
+    # the per-advisory collect_set, so the aggregate touches only the
+    # rows the response can contain (the request side broadcasts)
+    selected = orders.filter(F.col("o_custkey") <= 150)
     fixes = (
-        lineitem.groupBy("l_orderkey")
+        lineitem.join(F.broadcast(selected.select("o_orderkey")),
+                      lineitem.l_orderkey == F.col("o_orderkey"),
+                      "left_semi")
+        .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set(
             F.concat(F.lit("pkg:part/"), F.col("l_partkey").cast("string"))
         )).alias("fixed_by_purls"))
     )
     affected = (
-        orders.filter(F.col("o_custkey") <= 150)
-        .join(fixes, orders.o_orderkey == fixes.l_orderkey, "left")
+        selected
+        .join(fixes, selected.o_orderkey == fixes.l_orderkey, "left")
         .select(
             F.concat(F.lit("pkg:cust/"),
                      F.col("o_custkey").cast("string")).alias("purl"),

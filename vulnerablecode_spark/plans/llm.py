@@ -170,6 +170,18 @@ def _embedding_artifacts(spark, sf_dir: str, bucketed: bool = False):
     return art
 
 
+def _topk_query_matrix(spark, sf_dir: str):
+    """The q30 probe set (vec_id < 10) as the collected (ids, matrix)
+    pair — a search service holds its stored query batch in memory, so
+    re-collecting it per request is a pure per-call constant (VERDICT r5
+    directive #6). Cached beside the embedding artifacts."""
+    art = _embedding_artifacts(spark, sf_dir)
+    if "topk_queries" not in art:
+        art["topk_queries"] = similarity.prepare_topk_queries(
+            art["cast"].filter(F.col("vec_id") < 10))
+    return art["topk_queries"]
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup — content-fingerprint keep-first
 # (remove_duplicate_advisories.py:17-100; content-id utils.py:694-726).
@@ -797,7 +809,9 @@ _SQL_COSINE = """
 def q30_embedding_topk(spark, sf_dir):
     emb = _embedding_artifacts(spark, sf_dir)["cast"]
     queries_df = emb.filter(F.col("vec_id") < 10)
-    res = similarity.cosine_topk(emb, queries_df, k=5, impl="partial")
+    res = similarity.cosine_topk(
+        emb, queries_df, k=5, impl="partial",
+        prepared_queries=_topk_query_matrix(spark, sf_dir))
     return res.withColumn("rk", F.col("rk").cast("int"))
 
 
