@@ -20,6 +20,7 @@ import pytest
 
 import vulnerablecode_spark.plans.coverage  # noqa: F401 — registers queries
 import vulnerablecode_spark.plans.curate  # noqa: F401
+import vulnerablecode_spark.plans.domain  # noqa: F401
 import vulnerablecode_spark.plans.llm  # noqa: F401
 import vulnerablecode_spark.plans.relational  # noqa: F401
 import vulnerablecode_spark.plans.select  # noqa: F401
@@ -31,6 +32,7 @@ SF1_DIR = os.environ.get(
                  "testdata", "sf1"))
 
 SF1_QUERIES = [
+    "q81_advisory_pipeline",
     "q60_near_dup_dedup",
     "q63_incremental_near_dup",
     "q72_exact_substrings",
