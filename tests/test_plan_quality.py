@@ -194,3 +194,16 @@ class TestQ81PlanQuality:
         # regression (e.g. losing the checkpoint → full ingest re-run per
         # branch) lands at 160+.
         assert plan.count("Exchange") <= 60, plan.count("Exchange")
+
+
+class TestQ45ServingPushdown:
+    def test_q45_fixes_aggregate_is_semi_gated(self, spark):
+        """The bulk response must aggregate fixed-by sets ONLY for the
+        requested page: a broadcast left-semi gate sits under the
+        collect_set aggregate (r6 serving pushdown — without it the
+        aggregate touches the whole fact table; 97s vs sub-second at
+        sf10 on the oracle side)."""
+        plan = plan_of(spark, "q45_api_bulk_response")
+        assert "LeftSemi" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
