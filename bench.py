@@ -202,17 +202,24 @@ def main() -> None:
     # plans. Both generated by scripts/gen_sf.py (deterministic
     # replicate-with-key-shift — see its docstring); headline queries
     # hash-match their DuckDB oracles at sf1 (tests/test_sf1_parity.py).
-    # Reps: min-of-2 at sf1, single-shot at sf10 (both engines identical;
-    # at sf10 every reading is seconds-scale, far above scheduler noise).
-    def scale_point(label, env_var, default_dir, reps):
+    # Reps: spark min-of-2 at both points — the FIRST rep builds the
+    # per-sf_dir stored-column artifacts (ingest-time work the fairness
+    # policy excludes; with a single rep those builds landed inside
+    # q30/q32's timing, the opposite of the documented policy). DuckDB:
+    # min-of-2 at sf1, single-shot at sf10 (no cross-run state to warm,
+    # and its sf10 readings are seconds-to-minutes scale, far above the
+    # 0.03-0.47s scheduler noise that motivates min-of-reps — a second
+    # 8-minute baseline pass buys nothing).
+    def scale_point(label, env_var, default_dir, spark_reps, duck_reps):
         d = os.environ.get(env_var, os.path.join(REPO, "testdata", default_dir))
         if not os.path.isdir(d):
             return None
         try:
-            s = _time_spark(spark, QUERIES, HEADLINE, d, reps, clear, label)
+            s = _time_spark(spark, QUERIES, HEADLINE, d, spark_reps, clear,
+                            label)
             dk: dict[str, float] = {}
             try:  # a baseline failure must not discard the Spark run
-                dk = _time_duck(ORACLES, HEADLINE, d, reps, label)
+                dk = _time_duck(ORACLES, HEADLINE, d, duck_reps, label)
             except Exception as exc:
                 print(f"# {label} duckdb baseline skipped: {exc}",
                       file=sys.stderr)
@@ -230,16 +237,6 @@ def main() -> None:
         except Exception as exc:  # scale points are additive — never fail
             print(f"# {label} run skipped: {exc}", file=sys.stderr)
             return None
-
-    sf1_obj = scale_point("sf1", "SPARK_GRAFT_SF1_DIR", "sf1", 2)
-    sf10_obj = scale_point("sf10", "SPARK_GRAFT_SF10_DIR", "sf10", 1)
-
-    def summarize(obj):
-        if obj is None:
-            return None
-        return {"value": obj["value"],
-                "duckdb_baseline_total": obj["duckdb_baseline_total"],
-                "spark_vs_duckdb_ratio": obj["spark_vs_duckdb_ratio"]}
 
     common = {
         "metric": "headline_queries_total",
@@ -262,18 +259,30 @@ def main() -> None:
         "load_avg_1m": round(os.getloadavg()[0], 2),
     }
 
-    # complete artifact → BENCH_FULL.json (committed; never truncated)
-    full = dict(common)
-    full.update({
-        "duckdb_baseline_queries": duck_timings,
-        "extras": extras,
-        "sf1": sf1_obj,
-        "sf10": sf10_obj,
-    })
-    full_path = os.path.join(REPO, "BENCH_FULL.json")
-    with open(full_path, "w") as fh:
-        json.dump(full, fh, indent=1)
-        fh.write("\n")
+    # incremental artifact writes: a timeout mid-run must not lose the
+    # scale points already measured
+    def write_full(**parts):
+        full = dict(common)
+        full.update({"duckdb_baseline_queries": duck_timings,
+                     "extras": extras})
+        full.update(parts)
+        with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+
+    write_full(sf1=None, sf10=None)
+    sf1_obj = scale_point("sf1", "SPARK_GRAFT_SF1_DIR", "sf1", 2, 2)
+    write_full(sf1=sf1_obj, sf10=None)
+    sf10_obj = scale_point("sf10", "SPARK_GRAFT_SF10_DIR", "sf10", 2, 1)
+    write_full(sf1=sf1_obj, sf10=sf10_obj)
+
+    def summarize(obj):
+        if obj is None:
+            return None
+        return {"value": obj["value"],
+                "duckdb_baseline_total": obj["duckdb_baseline_total"],
+                "spark_vs_duckdb_ratio": obj["spark_vs_duckdb_ratio"]}
+
 
     # compact stdout line (fits the driver's tail capture): headline
     # spark per-query dict + totals/ratios per scale point
