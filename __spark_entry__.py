@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import vulnerablecode_spark.plans.coverage  # noqa: F401,E402 — registers queries
 import vulnerablecode_spark.plans.curate  # noqa: F401,E402
 import vulnerablecode_spark.plans.domain  # noqa: F401,E402
+import vulnerablecode_spark.plans.entity  # noqa: F401,E402
 import vulnerablecode_spark.plans.llm  # noqa: F401,E402
 import vulnerablecode_spark.plans.relational  # noqa: F401,E402
 import vulnerablecode_spark.plans.select  # noqa: F401,E402
@@ -48,6 +49,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # relational coverage.
 _NEW_THIS_ROUND = [
     "q81_advisory_pipeline",  # composed domain pipeline (VERDICT directive #2)
+    # §2.10/§2.3 rows previously fixture-tested only, now oracle-graded:
+    "q82_alias_resolution",
+    "q83_exploit_enrichment",
+    "q84_vulntotal_agreement",
+    "q85_relation_dedup",
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

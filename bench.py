@@ -104,6 +104,7 @@ def main() -> None:
     import vulnerablecode_spark.plans.coverage  # noqa: F401 — q40 extra
     import vulnerablecode_spark.plans.curate  # noqa: F401
     import vulnerablecode_spark.plans.domain  # noqa: F401
+    import vulnerablecode_spark.plans.entity  # noqa: F401
     import vulnerablecode_spark.plans.llm  # noqa: F401
     import vulnerablecode_spark.plans.relational  # noqa: F401
     import vulnerablecode_spark.plans.select  # noqa: F401

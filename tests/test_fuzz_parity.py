@@ -17,6 +17,7 @@ import pytest
 
 import vulnerablecode_spark.plans.coverage  # noqa: F401 — registers queries
 import vulnerablecode_spark.plans.curate  # noqa: F401
+import vulnerablecode_spark.plans.entity  # noqa: F401
 import vulnerablecode_spark.plans.llm  # noqa: F401
 import vulnerablecode_spark.plans.relational  # noqa: F401
 import vulnerablecode_spark.plans.select  # noqa: F401

@@ -16,6 +16,7 @@ def _all_query_names():
     import vulnerablecode_spark.plans.coverage  # noqa: F401
     import vulnerablecode_spark.plans.curate  # noqa: F401
     import vulnerablecode_spark.plans.domain  # noqa: F401
+    import vulnerablecode_spark.plans.entity  # noqa: F401
     import vulnerablecode_spark.plans.llm  # noqa: F401
     import vulnerablecode_spark.plans.select  # noqa: F401
 

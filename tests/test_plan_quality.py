@@ -207,3 +207,29 @@ class TestQ45ServingPushdown:
         assert "LeftSemi" in plan
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestEntityPlanQuality:
+    """q82–q85 (plans/entity.py): entity-resolution family promises."""
+
+    def test_q83_catalog_broadcasts(self, spark):
+        import vulnerablecode_spark.plans.entity  # noqa: F401
+        plan = plan_of(spark, "q83_exploit_enrichment")
+        # the exploit catalog is dimension-sized → broadcast, never shuffled
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q84_no_pairwise_source_joins(self, spark):
+        import vulnerablecode_spark.plans.entity  # noqa: F401
+        plan = plan_of(spark, "q84_vulntotal_agreement")
+        # N sources = one union + one grouped agg: no join at all in the
+        # claims path (source_claims' own advisory↔impact join aside),
+        # and certainly no cartesian/source×source alignment
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q85_single_shuffle(self, spark):
+        import vulnerablecode_spark.plans.entity  # noqa: F401
+        plan = plan_of(spark, "q85_relation_dedup")
+        # window dedup: exactly one Exchange on the relation key
+        assert plan.count("Exchange") <= 2, plan.count("Exchange")
