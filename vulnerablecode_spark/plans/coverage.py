@@ -552,9 +552,13 @@ def q45_api_bulk_response(spark, sf_dir):
             F.concat(F.lit("pkg:part/"), F.col("l_partkey").cast("string"))
         )).alias("fixed_by_purls"))
     )
+    # fixes is response-proportional (one row per advisory the page can
+    # return) → broadcast, so the selected page never shuffles: the static
+    # plan is BHJ, not an AQE-rescued SortMergeJoin with two exchanges
     affected = (
         selected
-        .join(fixes, selected.o_orderkey == fixes.l_orderkey, "left")
+        .join(F.broadcast(fixes), selected.o_orderkey == fixes.l_orderkey,
+              "left")
         .select(
             F.concat(F.lit("pkg:cust/"),
                      F.col("o_custkey").cast("string")).alias("purl"),
