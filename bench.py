@@ -54,7 +54,22 @@ EXTRAS = [
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}
 
+# headline queries added in round 6 (serving path, r5 directive #5) —
+# excluded from the like-for-like subtotal that tracks the ratio trend
+# against rounds 1-5
+R6_ADDED = {"q07_tiered_search", "q45_api_bulk_response"}
+
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _like_for_like(spark_timings, duck_timings):
+    s = sum(v for q, v in spark_timings.items() if q not in R6_ADDED)
+    k = sum(v for q, v in duck_timings.items() if q not in R6_ADDED)
+    return {
+        "spark_total": round(s, 3),
+        "duckdb_total": round(k, 3),
+        "spark_vs_duckdb_ratio": round(s / k, 3) if k else None,
+    }
 
 
 def _time_spark(spark, queries_reg, names, sf_dir, reps, clear_artifacts,
@@ -258,6 +273,12 @@ def main() -> None:
         # numbers at sf0.1 are second-scale, so a tenant load spike can
         # multiply any single reading several-fold.
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        # round-over-round continuity: the r6 headline set added two
+        # serving queries (q07/q45, r5 directive #5), which are
+        # floor-bound by design — this subtotal restricts to the 15
+        # queries every prior round measured, so the ratio trend stays
+        # comparable across BENCH_r{N} artifacts.
+        "like_for_like_r5": _like_for_like(timings, duck_timings),
     }
 
     # incremental artifact writes: a timeout mid-run must not lose the
