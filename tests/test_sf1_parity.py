@@ -34,6 +34,11 @@ SF1_DIR = os.environ.get(
 
 SF1_QUERIES = [
     "q81_advisory_pipeline",
+    # round-6 entity family: q82's VCID digest parity is the one worth
+    # 10x-ing (24 hex-pair extractions per row on both engines); q85
+    # exercises the window dedup over the full 6M-row lineitem
+    "q82_alias_resolution",
+    "q85_relation_dedup",
     "q60_near_dup_dedup",
     "q63_incremental_near_dup",
     "q72_exact_substrings",
