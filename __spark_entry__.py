@@ -54,6 +54,9 @@ _NEW_THIS_ROUND = [
     "q83_exploit_enrichment",
     "q84_vulntotal_agreement",
     "q85_relation_dedup",
+    "q86_summary_backfill",
+    "q87_archive_urls",
+    "q88_exact_purl_inferences",
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

@@ -14,12 +14,26 @@ q49/q50/q81 pattern) and drives the REAL operator:
   (vulntotal_cli.py:261-340, validator.py:39-70) — three synthesized
   source corpora, alignment matrix per (purl, cve).
 - q85: operators/resolution.py dedupe_relations (models.py:1217-1249).
+- q86: operators/improvers.py backfill_summaries
+  (populate_vulnerability_summary_pipeline.py) — longest-non-empty
+  candidate with a deterministic (length, text) tie-break on both sides.
+- q87: operators/improvers.py urls_needing_archive + apply_archive_urls
+  COMPOSED (v2_improvers/archive_urls.py:37-60): the work list feeds a
+  deterministic fetcher stand-in whose results merge back — found /
+  NO_ARCHIVE / already-archived / never-attempted all populated.
+- q88: operators/improvers.py exact_purl_inferences
+  (improvers/default.py:87-141) — the REAL univers/vers kernel (parse +
+  containment, Arrow-batched) graded against a pure-arithmetic oracle,
+  including the duplicate-constraint-version and fix-equals-excluded
+  edge cases.
 
 Scale notes: q82/q85 shuffle once on their natural keys (advisory_pk /
 relation key); q83 broadcasts the catalog (dimension-sized by
 construction, as in the reference where KEV is a single JSON file); q84 is
 one union + one grouped aggregation — N sources never induce pairwise
-joins.
+joins; q86 pre-aggregates candidates before its left join; q87's archive
+results broadcast (dimension-sized next to the reference table); q88 is
+per-row kernel work with no join at all.
 """
 
 from __future__ import annotations
@@ -313,3 +327,207 @@ def q85_relation_dedup(spark, sf_dir):
         .alias("created_by"),
     )
     return dedupe_relations(relations)
+
+
+# ---------------------------------------------------------------------------
+# q86 — vulnerability summary backfill
+# (populate_vulnerability_summary_pipeline.py via operators/improvers.py)
+# ---------------------------------------------------------------------------
+
+_Q86_ORACLE = """
+WITH vuln AS (
+    SELECT c_custkey AS vulnerability_pk,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                WHEN c_custkey % 5 = 0 THEN '   '
+                ELSE 'existing: ' || c_name END AS summary
+    FROM customer
+), adv AS (
+    SELECT o_orderkey AS advisory_pk, o_custkey,
+           (o_orderkey % 4 <> 1) AS is_latest,
+           CASE WHEN o_orderkey % 7 = 0 THEN ''
+                ELSE 'advisory ' || o_orderpriority || ' '
+                     || repeat('x', CAST(o_orderkey % 13 AS INT)) END
+               AS summary
+    FROM orders
+), cand AS (
+    SELECT o_custkey AS vulnerability_pk, summary,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY LENGTH(summary) DESC, summary DESC)
+               AS rn
+    FROM adv WHERE is_latest AND LENGTH(TRIM(summary)) > 0
+), best AS (SELECT vulnerability_pk, summary AS best_summary FROM cand
+            WHERE rn = 1)
+SELECT v.vulnerability_pk,
+       CASE WHEN LENGTH(TRIM(COALESCE(v.summary, ''))) > 0 THEN v.summary
+            ELSE b.best_summary END AS summary
+FROM vuln v LEFT JOIN best b USING (vulnerability_pk)
+"""
+
+
+@query("q86_summary_backfill", oracle=_Q86_ORACLE)
+def q86_summary_backfill(spark, sf_dir):
+    from vulnerablecode_spark.operators.improvers import backfill_summaries
+
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    c, k = F.col("c_custkey"), F.col("o_orderkey")
+    vulns = customer.select(
+        c.alias("vulnerability_pk"),
+        F.when(c % 3 == 0, F.lit(None).cast("string"))
+        .when(c % 5 == 0, F.lit("   "))
+        .otherwise(F.concat(F.lit("existing: "), F.col("c_name")))
+        .alias("summary"),
+    )
+    advisories = orders.select(
+        k.alias("advisory_pk"),
+        (k % 4 != 1).alias("is_latest"),
+        F.when(k % 7 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("advisory "), F.col("o_orderpriority"),
+                            F.lit(" "),
+                            F.repeat(F.lit("x"), (k % 13).cast("int"))))
+        .alias("summary"),
+    )
+    bridge = orders.select(k.alias("advisory_pk"),
+                           F.col("o_custkey").alias("vulnerability_pk"))
+    return backfill_summaries(vulns, advisories, bridge)
+
+
+# ---------------------------------------------------------------------------
+# q87 — archive-URL improver, both halves composed: the work list feeds a
+# deterministic fetcher stand-in whose results merge back
+# (v2_improvers/archive_urls.py:37-60 via operators/improvers.py)
+# ---------------------------------------------------------------------------
+
+_Q87_ORACLE = """
+WITH refs AS (
+    SELECT o_orderkey AS ref_pk,
+           CASE WHEN o_orderkey % 9 = 0
+                THEN 'ftp://mirror.example/' || CAST(o_orderkey % 500 AS VARCHAR)
+                ELSE 'https://refs.example/page/'
+                     || CAST(o_orderkey % 2000 AS VARCHAR) END AS url,
+           CASE WHEN o_orderkey % 9 <> 0 AND o_orderkey % 6 = 0
+                THEN 'https://archive.example/snap/'
+                     || CAST(o_orderkey % 2000 AS VARCHAR) END AS archive_url
+    FROM orders
+), worklist AS (
+    SELECT DISTINCT url FROM refs
+    WHERE archive_url IS NULL AND url LIKE 'http%'
+), fetched AS (
+    SELECT url,
+           CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) AS m
+    FROM worklist
+), archives AS (
+    SELECT url,
+           CASE WHEN m % 2 = 0
+                THEN 'https://web.archive.org/web/2024/' || url END AS fetched
+    FROM fetched WHERE m % 3 <> 2
+)
+SELECT r.ref_pk, r.url,
+       CASE WHEN r.archive_url IS NOT NULL THEN r.archive_url
+            WHEN r.url NOT LIKE 'http%' THEN NULL
+            WHEN a.url IS NULL THEN NULL
+            ELSE COALESCE(a.fetched, 'NO_ARCHIVE') END AS archive_url
+FROM refs r LEFT JOIN archives a ON r.url = a.url
+"""
+
+
+@query("q87_archive_urls", oracle=_Q87_ORACLE)
+def q87_archive_urls(spark, sf_dir):
+    from vulnerablecode_spark.operators.improvers import (apply_archive_urls,
+                                                          urls_needing_archive)
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    refs = orders.select(
+        k.alias("ref_pk"),
+        F.when(k % 9 == 0,
+               F.concat(F.lit("ftp://mirror.example/"),
+                        (k % 500).cast("string")))
+        .otherwise(F.concat(F.lit("https://refs.example/page/"),
+                            (k % 2000).cast("string"))).alias("url"),
+        F.when((k % 9 != 0) & (k % 6 == 0),
+               F.concat(F.lit("https://archive.example/snap/"),
+                        (k % 2000).cast("string"))).alias("archive_url"),
+    )
+    worklist = urls_needing_archive(refs)
+    # deterministic fetcher stand-in over the work list (the real fetch is
+    # external I/O — improvers.py docstring): attempted iff m % 3 != 2,
+    # found iff m % 2 == 0
+    m = F.regexp_extract(F.col("url"), r"([0-9]+)$", 1).cast("int")
+    archives = (
+        worklist.withColumn("m", m)
+        .filter(F.col("m") % 3 != 2)
+        .select(
+            "url",
+            F.when(F.col("m") % 2 == 0,
+                   F.concat(F.lit("https://web.archive.org/web/2024/"),
+                            F.col("url"))).alias("archive_url"),
+        )
+    )
+    return apply_archive_urls(refs, archives)
+
+
+# ---------------------------------------------------------------------------
+# q88 — exact-purl inferences: the REAL univers/vers kernel (parse +
+# containment, Arrow-batched) graded against a pure-arithmetic oracle
+# (improvers/default.py:87-141 get_exact_purls via operators/improvers.py)
+# ---------------------------------------------------------------------------
+
+_Q88_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey * 10 AS impact_pk,
+           o_orderkey AS advisory_pk,
+           'pkg:gen/p' || CAST(o_orderkey % 50 AS VARCHAR) AS base_purl,
+           CAST(o_orderkey % 5 + 1 AS INT) AS j,
+           CAST(o_orderkey % 5 + 1 + o_orderkey % 8 AS INT) AS kk,
+           CAST(o_orderkey % 5 + 2 AS INT) AS x,   -- != constraint = j+1
+           (o_orderkey % 4 <> 0) AS has_fix,
+           o_orderkey % 8 AS r8
+    FROM orders
+)
+SELECT impact_pk, advisory_pk, base_purl,
+       -- constraint order >=j | <=kk | !=x: j always satisfies; kk
+       -- duplicates j when r8=0, is excluded when kk=x (r8=1)
+       CASE WHEN r8 = 0 THEN base_purl || '@' || j || '.0,'
+                             || base_purl || '@' || j || '.0'
+            WHEN r8 = 1 THEN base_purl || '@' || j || '.0'
+            ELSE base_purl || '@' || j || '.0,'
+                 || base_purl || '@' || kk || '.0' END AS affected_purls,
+       -- fixed: the != version, then the declared fix (kk+1) unless it
+       -- equals x (r8=0 — array_union dedupes) or there is no fix
+       CASE WHEN has_fix AND x <> kk + 1
+                THEN base_purl || '@' || x || '.0,'
+                     || base_purl || '@' || (kk + 1) || '.0'
+            ELSE base_purl || '@' || x || '.0' END AS fixed_purls,
+       100 AS confidence
+FROM base
+"""
+
+
+@query("q88_exact_purl_inferences", oracle=_Q88_ORACLE)
+def q88_exact_purl_inferences(spark, sf_dir):
+    from vulnerablecode_spark.operators.improvers import exact_purl_inferences
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    j = (k % 5 + 1).cast("int")
+    kk = (j + k % 8).cast("int")
+    impacts = orders.select(
+        (k * 10).alias("impact_pk"),
+        k.alias("advisory_pk"),
+        F.concat(F.lit("pkg:gen/p"), (k % 50).cast("string"))
+        .alias("base_purl"),
+        F.concat(F.lit("vers:generic/>="), j.cast("string"),
+                 F.lit(".0|<="), kk.cast("string"),
+                 F.lit(".0|!="), (j + 1).cast("string"), F.lit(".0"))
+        .alias("affecting_vers"),
+        F.when(k % 4 != 0,
+               F.concat((kk + 1).cast("string"), F.lit(".0")))
+        .alias("fixed_version"),
+    )
+    inf = exact_purl_inferences(impacts)
+    return inf.select(
+        "impact_pk", "advisory_pk", "base_purl",
+        F.array_join("affected_purls", ",").alias("affected_purls"),
+        F.array_join("fixed_purls", ",").alias("fixed_purls"),
+        "confidence",
+    )
