@@ -57,6 +57,8 @@ _NEW_THIS_ROUND = [
     "q86_summary_backfill",
     "q87_archive_urls",
     "q88_exact_purl_inferences",
+    "q89_fix_commits",
+    "q90_vcs_normalize",
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

@@ -531,3 +531,129 @@ def q88_exact_purl_inferences(spark, sf_dir):
         F.array_join("fixed_purls", ",").alias("fixed_purls"),
         "confidence",
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — fix-commit collection: commit-URL mining over exploded references
+# (pipelines/v2_importers/collect_fix_commits.py + collect_commits.py:110-188
+# via operators/commits.py). The oracle derives each row ARITHMETICALLY from
+# the template that built the URL — fully independent of the regex pipeline.
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey AS advisory_pk,
+           o_orderkey % 6 AS v,
+           CAST(o_orderkey % 20 AS VARCHAR) AS a,
+           CAST(o_orderkey % 30 AS VARCHAR) AS b,
+           substr(sha256(CAST(o_orderkey AS VARCHAR)), 1, 12) AS sha
+    FROM orders
+)
+SELECT advisory_pk,
+       CASE v WHEN 0 THEN 'https://github.com/owner' || a || '/repo' || b
+              WHEN 1 THEN 'https://gitlab.com/grp' || a || '/proj' || b
+              WHEN 2 THEN 'https://bitbucket.org/team' || a || '/code' || b
+              ELSE 'https://git.kernel.org/pub/scm/linux-' || a END AS repo_url,
+       sha AS commit_hash,
+       CASE v WHEN 0 THEN 'https://github.com/owner' || a || '/repo' || b
+                          || '/commit/' || sha
+              WHEN 1 THEN 'https://gitlab.com/grp' || a || '/proj' || b
+                          || '/-/commit/' || sha
+              WHEN 2 THEN 'https://bitbucket.org/team' || a || '/code' || b
+                          || '/commits/' || sha
+              ELSE 'https://git.kernel.org/pub/scm/linux-' || a
+                   || '.git/commit/?id=' || sha END AS source_url
+FROM base WHERE v <= 3
+"""
+
+
+@query("q89_fix_commits", oracle=_Q89_ORACLE)
+def q89_fix_commits(spark, sf_dir):
+    from vulnerablecode_spark.operators.commits import collect_fix_commits
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v = k % 6
+    a = (k % 20).cast("string")
+    b = (k % 30).cast("string")
+    sha = F.substring(F.sha2(k.cast("string"), 256), 1, 12)
+    commit_url = (
+        F.when(v == 0, F.concat(F.lit("https://github.com/owner"), a,
+                                F.lit("/repo"), b, F.lit("/commit/"), sha))
+        .when(v == 1, F.concat(F.lit("https://gitlab.com/grp"), a,
+                               F.lit("/proj"), b, F.lit("/-/commit/"), sha))
+        .when(v == 2, F.concat(F.lit("https://bitbucket.org/team"), a,
+                               F.lit("/code"), b, F.lit("/commits/"), sha))
+        .when(v == 3, F.concat(F.lit("https://git.kernel.org/pub/scm/linux-"),
+                               a, F.lit(".git/commit/?id="), sha))
+        # v in (4,5): advisory pages / release notes — never commit URLs
+        .when(v == 4, F.concat(F.lit("https://example.com/advisory/"),
+                               k.cast("string")))
+        .otherwise(F.concat(F.lit("https://github.com/owner"), a,
+                            F.lit("/repo"), b, F.lit("/releases/tag/v"), b))
+    )
+    noise = F.concat(F.lit("https://lists.example.org/msg"), k.cast("string"))
+    mk_ref = lambda u: F.struct(u.alias("url"),  # noqa: E731
+                                F.lit("WEB").alias("reference_type"))
+    advisories = orders.select(
+        k.alias("advisory_pk"),
+        F.when(k % 2 == 0, F.array(mk_ref(commit_url), mk_ref(noise)))
+        .otherwise(F.array(mk_ref(commit_url))).alias("references"),
+    )
+    return collect_fix_commits(advisories)
+
+
+# ---------------------------------------------------------------------------
+# q90 — VCS URL normalizer kernel sweep (collect_commits.py:110-188 via
+# operators/commits.py normalize_vcs_url), the q36 scalar-sweep pattern:
+# every rewrite branch (scp-style git@, git+https, git://, trailing
+# slashes, .git suffix, already-canonical) against an arithmetic oracle.
+# ---------------------------------------------------------------------------
+
+_Q90_ORACLE = """
+WITH base AS (
+    SELECT o_orderkey AS ref_pk, o_orderkey % 5 AS v,
+           CAST(o_orderkey % 20 AS VARCHAR) AS a,
+           CAST(o_orderkey % 30 AS VARCHAR) AS b
+    FROM orders
+)
+SELECT ref_pk,
+       CASE v WHEN 0 THEN 'git@github.com:owner' || a || '/repo' || b || '.git'
+              WHEN 1 THEN 'git+https://gitlab.com/g' || a || '/r' || b || '.git/'
+              WHEN 2 THEN 'git://host' || a || '.example/r' || b || '/'
+              WHEN 3 THEN 'https://bitbucket.org/x' || a || '/y' || b || '.git///'
+              ELSE 'https://github.com/a' || a || '/b' || b END AS url,
+       CASE v WHEN 0 THEN 'https://github.com/owner' || a || '/repo' || b
+              WHEN 1 THEN 'https://gitlab.com/g' || a || '/r' || b
+              WHEN 2 THEN 'https://host' || a || '.example/r' || b
+              WHEN 3 THEN 'https://bitbucket.org/x' || a || '/y' || b
+              ELSE 'https://github.com/a' || a || '/b' || b END AS normalized
+FROM base
+"""
+
+
+@query("q90_vcs_normalize", oracle=_Q90_ORACLE)
+def q90_vcs_normalize(spark, sf_dir):
+    from vulnerablecode_spark.operators.commits import normalize_vcs_url
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    v = k % 5
+    a = (k % 20).cast("string")
+    b = (k % 30).cast("string")
+    url = (
+        F.when(v == 0, F.concat(F.lit("git@github.com:owner"), a,
+                                F.lit("/repo"), b, F.lit(".git")))
+        .when(v == 1, F.concat(F.lit("git+https://gitlab.com/g"), a,
+                               F.lit("/r"), b, F.lit(".git/")))
+        .when(v == 2, F.concat(F.lit("git://host"), a,
+                               F.lit(".example/r"), b, F.lit("/")))
+        .when(v == 3, F.concat(F.lit("https://bitbucket.org/x"), a,
+                               F.lit("/y"), b, F.lit(".git///")))
+        .otherwise(F.concat(F.lit("https://github.com/a"), a, F.lit("/b"), b))
+    )
+    return orders.select(
+        k.alias("ref_pk"),
+        url.alias("url"),
+        normalize_vcs_url(url).alias("normalized"),
+    )
