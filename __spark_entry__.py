@@ -59,6 +59,7 @@ _NEW_THIS_ROUND = [
     "q88_exact_purl_inferences",
     "q89_fix_commits",
     "q90_vcs_normalize",
+    "q91_github_poc",
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

@@ -657,3 +657,86 @@ def q90_vcs_normalize(spark, sf_dir):
         url.alias("url"),
         normalize_vcs_url(url).alias("normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — PoC-in-GitHub parse + join composed: (path, content) JSON files →
+# per-CVE PoC rows → advisory join (v2_improvers/enhance_with_github_poc.py
+# :43-82 via operators/exploits.py parse_github_pocs + join_github_pocs).
+# Pure Catalyst from_json/explode on the Spark side; the oracle
+# reconstructs rows arithmetically from the JSON templates.
+# ---------------------------------------------------------------------------
+
+_Q91_ORACLE = """
+WITH al AS (
+    SELECT o_orderkey AS advisory_pk,
+           'CVE-2024-' || lpad(CAST(o_custkey AS VARCHAR), 7, '0') AS alias
+    FROM orders
+), poc AS (
+    -- one PoC file per customer: entry 1 always valid; entry 2 valid only
+    -- when c % 3 = 0 (else it lacks html_url and is dropped)
+    SELECT 'CVE-2024-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0') AS alias,
+           'https://github.com/poc/repo' || CAST(c_custkey AS VARCHAR) AS url,
+           CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+               + INTERVAL (c_custkey % 400) DAY AS created_at,
+           CAST('2024-01-01 00:00:00' AS TIMESTAMP)
+               + INTERVAL (c_custkey % 400 + 30) DAY AS updated_at
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'CVE-2024-' || lpad(CAST(c_custkey AS VARCHAR), 7, '0'),
+           'https://github.com/poc2/repo' || CAST(c_custkey AS VARCHAR),
+           CAST('2024-02-01 00:00:00' AS TIMESTAMP)
+               + INTERVAL (c_custkey % 200) DAY,
+           CAST('2024-02-01 00:00:00' AS TIMESTAMP)
+               + INTERVAL (c_custkey % 200 + 7) DAY
+    FROM customer WHERE c_custkey % 2 = 0 AND c_custkey % 3 = 0
+)
+SELECT DISTINCT al.advisory_pk, poc.url, poc.created_at, poc.updated_at
+FROM al JOIN poc ON al.alias = poc.alias
+"""
+
+
+@query("q91_github_poc", oracle=_Q91_ORACLE)
+def q91_github_poc(spark, sf_dir):
+    from vulnerablecode_spark.operators.exploits import (join_github_pocs,
+                                                         parse_github_pocs)
+
+    orders, customer = _load(spark, sf_dir, "orders", "customer")
+    c = F.col("c_custkey")
+    cve = F.concat(F.lit("CVE-2024-"), F.lpad(c.cast("string"), 7, "0"))
+    d1u = F.date_format(
+        F.date_add(F.to_date(F.lit("2024-01-01")),
+                   (c % 400 + 30).cast("int")), "yyyy-MM-dd")
+    d2 = F.date_format(
+        F.date_add(F.to_date(F.lit("2024-02-01")), (c % 200).cast("int")),
+        "yyyy-MM-dd")
+    d2u = F.date_format(
+        F.date_add(F.to_date(F.lit("2024-02-01")),
+                   (c % 200 + 7).cast("int")), "yyyy-MM-dd")
+    entry1 = F.concat(
+        F.lit('{"html_url":"https://github.com/poc/repo'), c.cast("string"),
+        F.lit('","created_at":"'),
+        F.date_format(F.date_add(F.to_date(F.lit("2024-01-01")),
+                                 (c % 400).cast("int")), "yyyy-MM-dd"),
+        F.lit(' 00:00:00","updated_at":"'), d1u, F.lit(' 00:00:00"}'))
+    entry2_valid = F.concat(
+        F.lit('{"html_url":"https://github.com/poc2/repo'), c.cast("string"),
+        F.lit('","created_at":"'), d2,
+        F.lit(' 00:00:00","updated_at":"'), d2u, F.lit(' 00:00:00"}'))
+    # the reference feed carries entries without html_url; the parser
+    # must drop them (enhance_with_github_poc.py:67-69)
+    entry2_broken = F.concat(F.lit('{"created_at":"'), d2,
+                             F.lit(' 00:00:00"}'))
+    entry2 = F.when(c % 3 == 0, entry2_valid).otherwise(entry2_broken)
+    files = customer.filter(c % 2 == 0).select(
+        F.concat(F.lit("2024/"), cve, F.lit(".json")).alias("path"),
+        F.concat(F.lit("["), entry1, F.lit(","), entry2, F.lit("]"))
+        .alias("content"),
+    )
+    aliases = orders.select(
+        F.col("o_orderkey").alias("advisory_pk"),
+        F.concat(F.lit("CVE-2024-"),
+                 F.lpad(F.col("o_custkey").cast("string"), 7, "0"))
+        .alias("alias"),
+    )
+    return join_github_pocs(aliases, parse_github_pocs(files))
