@@ -60,6 +60,8 @@ _NEW_THIS_ROUND = [
     "q89_fix_commits",
     "q90_vcs_normalize",
     "q91_github_poc",
+    "q92_purl_search",
+    "q93_todo_excluded",
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

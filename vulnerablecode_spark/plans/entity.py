@@ -740,3 +740,102 @@ def q91_github_poc(spark, sf_dir):
         .alias("alias"),
     )
     return join_github_pocs(aliases, parse_github_pocs(files))
+
+
+# ---------------------------------------------------------------------------
+# q92 — purl-aware package search, BOTH branches (models.py:746-764,
+# 3565-3583 via operators/search.py search_packages): a purl-parsing query
+# prefix-matches the canonical raw key; a non-purl query falls back to
+# case-insensitive substring. One row per (mode, hit).
+# ---------------------------------------------------------------------------
+
+_Q92_ORACLE = """
+WITH pkg AS (
+    SELECT p_partkey,
+           'pkg:gen/ns' || CAST(p_partkey % 1000 // 100 AS VARCHAR)
+               || '/lib' || CAST(p_partkey % 100 AS VARCHAR) AS plain_package_url,
+           'pkg:gen/ns' || CAST(p_partkey % 1000 // 100 AS VARCHAR)
+               || '/lib' || CAST(p_partkey % 100 AS VARCHAR)
+               || '@' || CAST(p_partkey % 20 + 1 AS VARCHAR) || '.0'
+               AS package_url
+    FROM part
+)
+SELECT 'purl_prefix' AS mode, p_partkey, package_url
+FROM pkg WHERE p_partkey % 1000 = 337
+UNION ALL
+SELECT 'icontains', p_partkey, package_url
+FROM pkg WHERE package_url LIKE '%lib9%'
+"""
+
+
+@query("q92_purl_search", oracle=_Q92_ORACLE)
+def q92_purl_search(spark, sf_dir):
+    from vulnerablecode_spark.operators.search import search_packages
+
+    part = _load(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    plain = F.concat(F.lit("pkg:gen/ns"),
+                     ((p % 1000) / 100).cast("int").cast("string"),
+                     F.lit("/lib"), (p % 100).cast("string"))
+    packages = part.select(
+        p.alias("p_partkey"),
+        plain.alias("plain_package_url"),
+        F.concat(plain, F.lit("@"), (p % 20 + 1).cast("string"),
+                 F.lit(".0")).alias("package_url"),
+        F.lit("gen").alias("type"),
+        ((p % 1000) / 100).cast("int").cast("string").alias("namespace"),
+        (p % 100).cast("string").alias("name"),
+        (p % 20 + 1).cast("int").alias("version_rank"),
+    )
+    hits_purl = search_packages(packages, "pkg:gen/ns3/lib37").select(
+        F.lit("purl_prefix").alias("mode"), "p_partkey", "package_url")
+    # mixed-case query exercises the icontains lowering on BOTH sides
+    hits_sub = search_packages(packages, "LIB9").select(
+        F.lit("icontains").alias("mode"), "p_partkey", "package_url")
+    return hits_purl.unionByName(hits_sub)
+
+
+# ---------------------------------------------------------------------------
+# q93 — ToDo pipeline exclusion (models.py:3069-3073 via
+# operators/todos.py todo_excluded): pins the TODO_EXCLUDED_PIPELINES
+# list cross-engine — a drifted entry on either side breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def _q93_oracle() -> str:
+    from vulnerablecode_spark.operators.todos import TODO_EXCLUDED_PIPELINES
+
+    ids = ", ".join(f"'{p}'" for p in TODO_EXCLUDED_PIPELINES)
+    n = len(TODO_EXCLUDED_PIPELINES) + 3
+    return f"""
+WITH adv AS (
+    SELECT o_orderkey AS advisory_pk,
+           CASE CAST(o_orderkey % {n} AS INT)
+                {' '.join(f"WHEN {i} THEN '{p}'" for i, p in enumerate(TODO_EXCLUDED_PIPELINES))}
+                WHEN {n - 3} THEN 'alpine_importer_v2'
+                WHEN {n - 2} THEN 'nginx_importer_v2'
+                ELSE 'debian_importer_v2' END AS pipeline_id
+    FROM orders
+)
+SELECT advisory_pk, pipeline_id FROM adv
+WHERE pipeline_id NOT IN ({ids})
+"""
+
+
+@query("q93_todo_excluded", oracle=_q93_oracle())
+def q93_todo_excluded(spark, sf_dir):
+    from vulnerablecode_spark.operators.todos import (TODO_EXCLUDED_PIPELINES,
+                                                      todo_excluded)
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    n = len(TODO_EXCLUDED_PIPELINES) + 3
+    expr = F.when(k % n == n - 3, F.lit("alpine_importer_v2")) \
+        .when(k % n == n - 2, F.lit("nginx_importer_v2"))
+    for i, pid in enumerate(TODO_EXCLUDED_PIPELINES):
+        expr = expr.when(k % n == i, F.lit(pid))
+    advisories = orders.select(
+        k.alias("advisory_pk"),
+        expr.otherwise(F.lit("debian_importer_v2")).alias("pipeline_id"),
+    )
+    return todo_excluded(advisories)
