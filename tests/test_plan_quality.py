@@ -233,3 +233,26 @@ class TestEntityPlanQuality:
         plan = plan_of(spark, "q85_relation_dedup")
         # window dedup: exactly one Exchange on the relation key
         assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+class TestEntityPlanQualityRound6b:
+    """q89–q93: the fix-commit / PoC / search / exclusion queries promise
+    pure-Catalyst execution — no Python eval nodes in any plan."""
+
+    @pytest.mark.parametrize("name", [
+        "q89_fix_commits", "q90_vcs_normalize", "q91_github_poc",
+        "q92_purl_search", "q93_todo_excluded",
+    ])
+    def test_no_python_eval_nodes(self, spark, name):
+        import vulnerablecode_spark.plans.entity  # noqa: F401
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q91_poc_catalog_broadcasts(self, spark):
+        import vulnerablecode_spark.plans.entity  # noqa: F401
+        plan = plan_of(spark, "q91_github_poc")
+        # the PoC catalog is dimension-sized (one JSON file per CVE in
+        # the reference checkout) → broadcast against the alias bridge
+        assert "BroadcastHashJoin" in plan
