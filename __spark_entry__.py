@@ -62,6 +62,7 @@ _NEW_THIS_ROUND = [
     "q91_github_poc",
     "q92_purl_search",
     "q93_todo_excluded",
+    "q94_ssvc_decision",
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

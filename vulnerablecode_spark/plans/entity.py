@@ -38,6 +38,7 @@ per-row kernel work with no join at all.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from vulnerablecode_spark.plans.registry import _load, query
@@ -839,3 +840,79 @@ def q93_todo_excluded(spark, sf_dir):
         expr.otherwise(F.lit("debian_importer_v2")).alias("pipeline_id"),
     )
     return todo_excluded(advisories)
+
+
+# ---------------------------------------------------------------------------
+# q94 — SSVC coordinator-decision kernel sweep (utils.py:752-864 via
+# kernel/ssvc.py ssvc_decision): vectors spanning the full 36-row CISA
+# decision table, the missing-M default, and invalid decision points.
+# The oracle CASE is GENERATED from the kernel's own DECISION_TABLE, so
+# a drifted table entry on either side breaks the hash.
+# ---------------------------------------------------------------------------
+
+
+def _q94_oracle() -> str:
+    from vulnerablecode_spark.kernel.ssvc import (AUTOMATABLE, EXPLOITATION,
+                                                  DECISION_TABLE,
+                                                  MISSION_WELLBEING,
+                                                  TECHNICAL_IMPACT)
+    e_of = {v: k for k, v in EXPLOITATION.items()}
+    a_of = {v: k for k, v in AUTOMATABLE.items()}
+    t_of = {v: k for k, v in TECHNICAL_IMPACT.items()}
+    m_of = {v: k for k, v in MISSION_WELLBEING.items()}
+    arms = " ".join(
+        f"WHEN e = '{e_of[e]}' AND a = '{a_of[a]}' AND t = '{t_of[t]}' "
+        f"AND m = '{m_of[mw]}' THEN '{d}'"
+        for (e, a, t, mw), d in DECISION_TABLE.items())
+    return f"""
+WITH base AS (
+    SELECT o_orderkey AS advisory_pk,
+           CASE WHEN o_orderkey % 41 = 0 THEN 'X'
+                ELSE substr('NPA', CAST(o_orderkey % 3 AS INT) + 1, 1) END AS e,
+           substr('NY', CAST(o_orderkey // 3 % 2 AS INT) + 1, 1) AS a,
+           substr('PT', CAST(o_orderkey // 6 % 2 AS INT) + 1, 1) AS t,
+           CASE WHEN o_orderkey % 37 = 0 THEN 'M'
+                ELSE substr('LMH', CAST(o_orderkey // 12 % 3 AS INT) + 1, 1)
+                END AS m,
+           (o_orderkey % 37 = 0) AS m_omitted
+    FROM orders
+)
+SELECT advisory_pk,
+       'SSVCv2/E:' || e || '/A:' || a || '/T:' || t
+           || CASE WHEN m_omitted THEN '' ELSE '/M:' || m END
+           || '/2024-01-01T00:00:00Z/' AS vector,
+       CASE WHEN e = 'X' THEN NULL {arms} END AS decision
+FROM base
+"""
+
+
+@query("q94_ssvc_decision", oracle=_q94_oracle())
+def q94_ssvc_decision(spark, sf_dir):
+    from pyspark.sql.functions import pandas_udf
+
+    from vulnerablecode_spark import ensure_shipped
+
+    ensure_shipped(spark)
+
+    @pandas_udf("string")
+    def decide(vec: pd.Series) -> pd.Series:
+        from vulnerablecode_spark.kernel.ssvc import ssvc_decision
+
+        return vec.map(ssvc_decision)
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    e = F.when(k % 41 == 0, F.lit("X")).otherwise(
+        F.substring(F.lit("NPA"), (k % 3).cast("int") + 1, 1))
+    a = F.substring(F.lit("NY"), F.expr("o_orderkey div 3 % 2").cast("int") + 1, 1)
+    t = F.substring(F.lit("PT"), F.expr("o_orderkey div 6 % 2").cast("int") + 1, 1)
+    m = F.substring(F.lit("LMH"), F.expr("o_orderkey div 12 % 3").cast("int") + 1, 1)
+    vector = F.concat(
+        F.lit("SSVCv2/E:"), e, F.lit("/A:"), a, F.lit("/T:"), t,
+        F.when(k % 37 == 0, F.lit("")).otherwise(F.concat(F.lit("/M:"), m)),
+        F.lit("/2024-01-01T00:00:00Z/"))
+    return orders.select(
+        k.alias("advisory_pk"),
+        vector.alias("vector"),
+        decide(vector).alias("decision"),
+    )
