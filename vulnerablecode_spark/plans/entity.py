@@ -26,14 +26,29 @@ q49/q50/q81 pattern) and drives the REAL operator:
   containment, Arrow-batched) graded against a pure-arithmetic oracle,
   including the duplicate-constraint-version and fix-equals-excluded
   edge cases.
+- q89/q90: operators/commits.py collect_fix_commits + normalize_vcs_url
+  (collect_fix_commits.py, collect_commits.py:110-188) — commit-URL
+  mining (hosting-style + cgit/gitweb patterns) and every normalizer
+  rewrite branch, oracles derived arithmetically from the URL templates.
+- q91: operators/exploits.py parse_github_pocs + join_github_pocs
+  composed (enhance_with_github_poc.py:43-82) — from_json/explode with
+  html_url-less entries dropped, timestamp parity.
+- q92: operators/search.py search_packages, BOTH branches
+  (models.py:746-764, 3565-3583): purl-prefix and icontains fallback.
+- q93: operators/todos.py todo_excluded (models.py:3069-3073) — the
+  oracle is generated from the operator's own exclusion tuple.
+- q94: kernel/ssvc.py ssvc_decision (utils.py:752-864) — the full
+  36-row CISA decision table, oracle CASE generated from the kernel's
+  own DECISION_TABLE.
 
 Scale notes: q82/q85 shuffle once on their natural keys (advisory_pk /
 relation key); q83 broadcasts the catalog (dimension-sized by
 construction, as in the reference where KEV is a single JSON file); q84 is
 one union + one grouped aggregation — N sources never induce pairwise
 joins; q86 pre-aggregates candidates before its left join; q87's archive
-results broadcast (dimension-sized next to the reference table); q88 is
-per-row kernel work with no join at all.
+results broadcast (dimension-sized next to the reference table); q88/q90/
+q94 are per-row kernel work with no join; q89/q91–q93 are pure Catalyst
+(plan-asserted: no Python eval nodes, catalogs broadcast).
 """
 
 from __future__ import annotations
