@@ -63,6 +63,7 @@ _NEW_THIS_ROUND = [
     "q92_purl_search",
     "q93_todo_excluded",
     "q94_ssvc_decision",
+    "q95_package_types",
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

@@ -931,3 +931,34 @@ def q94_ssvc_decision(spark, sf_dir):
         vector.alias("vector"),
         decide(vector).alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — distinct package-type dimension (api_v3.py:342-355 via
+# operators/serve.py package_types): the Redis-cached serving dimension as
+# a cached distinct — the last §2.4 aggregation row without a graded row.
+# ---------------------------------------------------------------------------
+
+_Q95_ORACLE = """
+SELECT DISTINCT
+       CASE CAST(p_partkey % 7 AS INT)
+            WHEN 0 THEN 'pypi' WHEN 1 THEN 'npm' WHEN 2 THEN 'maven'
+            WHEN 3 THEN 'deb' WHEN 4 THEN 'rpm' WHEN 5 THEN 'gem'
+            ELSE 'golang' END AS type
+FROM part
+"""
+
+
+@query("q95_package_types", oracle=_Q95_ORACLE)
+def q95_package_types(spark, sf_dir):
+    from vulnerablecode_spark.operators.serve import package_types
+
+    part = _load(spark, sf_dir, "part")
+    p = F.col("p_partkey")
+    packages = part.select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("pypi", "npm", "maven", "deb", "rpm", "gem",
+                       "golang")]),
+            (p % 7).cast("int") + 1).alias("type"))
+    return package_types(packages)
