@@ -59,6 +59,29 @@ class TestAliasResolution:
         b = resolve_aliases(aa).first().vulnerability_id
         assert a == b
 
+    def test_alphabet_matches_reference(self, spark):
+        """The reference's base32_custom alphabet is
+        ``b"abcdefghjkmnpqrstuvwxyz123456789"`` and its build_vcid doctest
+        pins the char class ``VCID(-[a-hjkm-z1-9]{4}){3}``
+        (aboutcode/hashid/__init__.py:48-66,84). Assert both: the alphabet
+        string is exactly the same 32 characters, and a minted VCID
+        matches the doctest regex."""
+        import re
+
+        from vulnerablecode_spark.operators.resolution import (
+            VCID_ALPHABET, resolve_aliases)
+
+        assert VCID_ALPHABET == "abcdefghjkmnpqrstuvwxyz123456789"
+        assert len(VCID_ALPHABET) == 32
+        assert sorted(VCID_ALPHABET) == sorted(
+            set("abcdefghijklmnopqrstuvwxyz0123456789") - set("0ilo"))
+        aa = spark.createDataFrame(
+            [(i, f"CVE-{i}") for i in range(40)],
+            "advisory_pk bigint, alias string")
+        for row in resolve_aliases(aa).collect():
+            assert re.fullmatch(r"VCID(-[a-hjkm-z1-9]{4}){3}",
+                                row.vulnerability_id), row.vulnerability_id
+
     def test_dedupe_relations_keeps_max_confidence(self, spark):
         from vulnerablecode_spark.operators.resolution import dedupe_relations
 

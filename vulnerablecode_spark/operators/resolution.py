@@ -20,7 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-VCID_ALPHABET = "23456789abcdefghjkmnpqrstuvwxyz"  # no 0/1/i/l/o lookalikes
+# The reference's base32_custom alphabet (aboutcode/hashid/__init__.py:48-66,
+# doctest char class ``[a-hjkm-z1-9]``): drops the confusable 0/i/l/o, KEEPS 1.
+VCID_ALPHABET = "abcdefghjkmnpqrstuvwxyz123456789"
 
 
 def mint_vcid(seed: F.Column) -> F.Column:

@@ -63,7 +63,7 @@ from vulnerablecode_spark.plans.registry import _load, query
 # ---------------------------------------------------------------------------
 
 _HEX = "0123456789abcdef"
-_ALPHA = "23456789abcdefghjkmnpqrstuvwxyz"  # resolution.py VCID_ALPHABET
+_ALPHA = "abcdefghjkmnpqrstuvwxyz123456789"  # resolution.py VCID_ALPHABET
 
 
 def _vcid_sql(seed_sql: str) -> str:
