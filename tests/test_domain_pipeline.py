@@ -1199,6 +1199,11 @@ class TestRawPurlAmbiguity:
             Purl("generic", "", "hash#name", "1.0"),      # '#' in name
             Purl("generic", "", "pct%name", "1.0"),       # '%' in name
             Purl("generic", "", "n", "1.0", {"k": "a&b"}),  # '&' in qualifier
+            # ADVICE r6: '/' in name or version must escape too — raw
+            # "pkg:generic/a/b@1.0/2" would fail the final-segment '@'
+            # test and re-parse to different fields
+            Purl("generic", "", "na/me", "1.0"),          # '/' in name
+            Purl("generic", "", "n", "1.0/2"),            # '/' in version
         ]
         for p in tricky:
             raw = p.to_raw_string()
@@ -1228,6 +1233,31 @@ class TestRawPurlAmbiguity:
         # re-parses to the same (name, version)
         p = parse_purl(keys["1.0@hotfix"])
         assert (p.name, p.version) == ("lib", "1.0@hotfix")
+
+    def test_materialized_key_escapes_name_segment_too(self, spark):
+        """ADVICE r6: the escape must cover base_purl's NAME segment,
+        not just the version — a stored key for a name containing '@'
+        must equal raw_purl() of the same purl on the lookup side, and
+        npm '@scope' namespace segments must stay literal."""
+        from vulnerablecode_spark.kernel.purl import raw_purl
+        from vulnerablecode_spark.operators.unfurl import \
+            materialize_packages
+
+        unfurled = spark.createDataFrame(
+            [("pkg:generic/odd@name", "1.0"),       # '@' in name
+             ("pkg:generic/what?name", "1.0"),      # '?' in name
+             ("pkg:npm/@babel/traverse", "7.23.2"),  # scope: '@' literal
+             ("pkg:generic/ns%part/lib", "2.0")],   # '%' in namespace
+            "base_purl string, version string")
+        keys = {r.name: r.package_url
+                for r in materialize_packages(unfurled).collect()}
+        assert keys["odd@name"] == "pkg:generic/odd%40name@1.0"
+        assert keys["what?name"] == "pkg:generic/what%3Fname@1.0"
+        assert keys["traverse"] == "pkg:npm/@babel/traverse@7.23.2"
+        assert keys["lib"] == "pkg:generic/ns%25part/lib@2.0"
+        # store key == lookup key, the property the escape exists for
+        for stored in keys.values():
+            assert raw_purl(stored) == stored
 
 
 class TestMergedRangeNullSemantics:

@@ -580,6 +580,19 @@ class TestCredentialPlaceholders:
         assert resolve_header_placeholders(
             {"Authorization": "Token ${VCIO_TOKEN}"}) is None
 
+    def test_unresolved_placeholder_warns_on_stderr(self, monkeypatch,
+                                                    capsys):
+        """ADVICE r6: on a cluster the executor env may lack the
+        driver's token — dropping the header must be VISIBLE, not a
+        silent auth downgrade that surfaces only as 4xx rows."""
+        from vulnerablecode_spark.federation.base import \
+            resolve_header_placeholders
+
+        monkeypatch.delenv("VCIO_TOKEN", raising=False)
+        resolve_header_placeholders({"Authorization": "Token ${VCIO_TOKEN}"})
+        err = capsys.readouterr().err
+        assert "Authorization" in err and "spark.executorEnv" in err
+
 
 class TestParse2xx:
     """ADVICE r5: any 2xx response is parseable — 203/206 from caching
@@ -606,3 +619,31 @@ class TestParse2xx:
         got = {r.purl for r in
                base.parse_stage(frame, "s1", parser).collect()}
         assert got == {"pkg:pypi/a@1", "pkg:pypi/b@1", "pkg:pypi/c@1"}
+
+    def test_parse_stage_tolerates_int_status_column(self, spark):
+        """ADVICE r6: a caller-built response frame may carry an INT
+        status column — the 2xx gate must coerce, not raise
+        AttributeError and fail the whole job."""
+        import json
+
+        from vulnerablecode_spark.federation import base
+
+        def parser(text, purl):
+            doc = json.loads(text)
+            return [{"purl": purl, "aliases": doc["aliases"],
+                     "affected_versions": [], "fixed_versions": []}]
+
+        body = json.dumps({"aliases": ["CVE-2024-2"]})
+        frame = spark.createDataFrame(
+            [("pkg:pypi/a@1", "s1", 200, body),
+             ("pkg:pypi/b@1", "s1", 404, body)],
+            "purl string, datasource_id string, status int, response string")
+        got = {r.purl for r in
+               base.parse_stage(frame, "s1", parser).collect()}
+        assert got == {"pkg:pypi/a@1"}
+
+        def deriver(text, purl):
+            return [{"url": f"https://x/{purl}", "method": "GET"}]
+
+        nxt = base.next_request_stage(frame, "s1", deriver)
+        assert {r.purl for r in nxt.collect()} == {"pkg:pypi/a@1"}

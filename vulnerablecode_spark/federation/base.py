@@ -69,12 +69,21 @@ def resolve_header_placeholders(headers: dict | None) -> dict | None:
     """Substitute ``${ENV_NAME}`` in header values from os.environ —
     executor-side credential injection (headers in REQUEST_SCHEMA rows
     are placeholders, never secrets). Headers with unresolved
-    placeholders are dropped."""
+    placeholders are dropped, with a stderr warning per batch.
+
+    Resolution happens on the EXECUTOR: in cluster deployments
+    (YARN/k8s) executors do NOT inherit the driver's shell env, so
+    tokens exported only on the driver will not resolve. Ship them via
+    ``spark.executorEnv.GH_TOKEN=...`` (or the cluster manager's
+    executor-env mechanism); without that, requests go out
+    unauthenticated and surface as 4xx error rows."""
     import os
+    import sys
 
     if not headers:
         return headers
     resolved = {}
+    dropped = []
     for name, value in headers.items():
         if not isinstance(value, str) or "${" not in value:
             resolved[name] = value
@@ -92,6 +101,15 @@ def resolve_header_placeholders(headers: dict | None) -> dict | None:
         value = _ENV_PLACEHOLDER.sub(sub, value)
         if not missing:
             resolved[name] = value
+        else:
+            dropped.append(name)
+    if dropped:
+        print(
+            "resolve_header_placeholders: dropped header(s) "
+            f"{dropped} — env placeholder unresolved on this executor; "
+            "set spark.executorEnv.<NAME> to ship the credential "
+            "(requests proceed unauthenticated)",
+            file=sys.stderr)
     return resolved or None
 
 
@@ -252,6 +270,13 @@ def fetch_stage(plan: DataFrame, timeout: float = 30.0) -> DataFrame:
     requires the ``requests`` package at call time and fails loudly
     without it. Everything downstream (the parse stages) is pure and
     fixture-tested offline.
+
+    Credential headers use ``${ENV}`` placeholders resolved on the
+    EXECUTOR (see resolve_header_placeholders): on a real cluster the
+    env var must be shipped with ``spark.executorEnv.<NAME>`` — a
+    driver-only export does not reach executors, and the request falls
+    back to unauthenticated (warned on executor stderr, visible as 4xx
+    error rows).
     """
     from vulnerablecode_spark import ensure_shipped
 
@@ -341,7 +366,10 @@ def parse_stage(responses: DataFrame, datasource_id: str,
             statuses = pdf["status"] if has_status else [None] * len(pdf)
             for purl, text, status in zip(
                     pdf[purl_col], pdf[response_col], statuses):
-                if status is not None and not status.startswith("2"):
+                # str() guard: a caller-built response frame may carry an
+                # int status column — type-coerce before the 2xx test so a
+                # non-string status skips the row, never raises job-wide
+                if status is not None and not str(status).startswith("2"):
                     continue
                 if not isinstance(text, str) or not text:
                     continue
@@ -403,7 +431,10 @@ def next_request_stage(responses: DataFrame, datasource_id: str,
             statuses = pdf["status"] if has_status else [None] * len(pdf)
             for purl, text, status in zip(
                     pdf[purl_col], pdf[response_col], statuses):
-                if status is not None and not status.startswith("2"):
+                # str() guard: a caller-built response frame may carry an
+                # int status column — type-coerce before the 2xx test so a
+                # non-string status skips the row, never raises job-wide
+                if status is not None and not str(status).startswith("2"):
                     continue
                 if not isinstance(text, str) or not text:
                     continue

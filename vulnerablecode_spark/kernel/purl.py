@@ -18,12 +18,15 @@ _LOWERCASE_TYPES = {"pypi", "npm", "deb", "golang", "hex", "composer"}
 
 # characters that make an unencoded storage key ambiguous: '@' in the
 # FINAL segment (name/version) would re-parse as a version delimiter,
-# '?' / '#' anywhere as qualifier/subpath starts, '%' anywhere as an
-# escape introducer ('%' must escape FIRST). '@' inside a NAMESPACE
-# segment is NOT ambiguous (npm scopes: 'pkg:npm/@babel/traverse') and
-# stays literal — parse_purl only takes '@' after the last '/' as the
-# version delimiter.
-_RAW_UNSAFE = ("%", "@", "?", "#")
+# '?' / '#' anywhere as qualifier/subpath starts, '/' in a name or
+# version segment as a spurious namespace split (and it breaks the
+# final-segment '@' test), '%' anywhere as an escape introducer ('%'
+# must escape FIRST). '@' inside a NAMESPACE segment is NOT ambiguous
+# (npm scopes: 'pkg:npm/@babel/traverse') and stays literal —
+# parse_purl only takes '@' after the last '/' as the version
+# delimiter; '/' in a namespace segment is unrepresentable by
+# construction (Purl.namespace is itself the '/'-joined path).
+_RAW_UNSAFE = ("%", "@", "?", "#", "/")
 _RAW_UNSAFE_NAMESPACE = ("%", "?", "#")
 # qualifier values: '&' splits pairs, '#' is consumed as subpath BEFORE
 # the qualifier split; '@'/'?' are unambiguous there and stay literal
@@ -78,13 +81,23 @@ class Purl:
         to the same raw key, so the lookup join is encoding-insensitive.
 
         Only the characters that would make the key AMBIGUOUS are
-        escaped (``%`` ``@`` ``?`` ``#`` in segments, plus ``&`` in
-        qualifier values): without this, a name containing ``@`` would
-        re-parse with a spurious version and two distinct purls could
-        collide on one storage key. Ordinary purls (the overwhelming
-        corpus) contain none of these and round-trip byte-identical to
-        plain concatenation; ``parse_purl(to_raw_string(p)) == p``
-        holds for ALL inputs.
+        escaped (``%`` ``@`` ``?`` ``#`` ``/`` in name/version
+        segments, plus ``&`` in qualifier values): without this, a
+        name containing ``@`` would re-parse with a spurious version,
+        a version containing ``/`` would fail the final-segment test,
+        and two distinct purls could collide on one storage key.
+        Ordinary purls (the overwhelming corpus) contain none of these
+        and round-trip byte-identical to plain concatenation.
+
+        Round-trip guarantee: ``parse_purl(to_raw_string(p)) == p``
+        for every purl whose qualifier KEYS are free of ``=``/``&``
+        and whose namespace segments are free of ``/`` — i.e. every
+        purl constructible by ``parse_purl`` plus directly-built ones
+        with reserved characters in name/version/qualifier-values.
+        Qualifier keys are matched case-insensitively and never
+        unquoted on parse (purl-spec keys are ``[a-z_.-]``), so a
+        directly-constructed key containing ``=`` or ``&`` is outside
+        the guarantee.
         """
         parts = [f"pkg:{self.type}/"]
         if self.namespace:

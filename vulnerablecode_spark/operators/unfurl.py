@@ -52,14 +52,36 @@ def materialize_packages(unfurled: DataFrame) -> DataFrame:
     pkgs = unfurled.select("base_purl", "version").distinct()
     no_prefix = F.regexp_replace("base_purl", r"^pkg:", "")
     segments = F.split(no_prefix, "/")
-    # storage-key version segment mirrors kernel.purl._raw_escape: the
-    # delimiter characters percent-escape ('%' first) so a version
-    # containing '@'/'?'/'#' cannot make the key ambiguous — ordinary
-    # versions stay byte-identical to plain concatenation
-    esc_version = F.col("version")
-    for ch, code in (("%", "%25"), ("@", "%40"), ("?", "%3F"), ("#", "%23")):
-        esc_version = F.replace(esc_version, F.lit(ch), F.lit(code))
-    key = F.concat("base_purl", F.lit("@"), esc_version)
+
+    # storage-key escaping mirrors kernel.purl._raw_escape on EVERY key
+    # segment ('%' first), so the stored key always equals raw_purl()
+    # of the same purl on the lookup side: version and the final (name)
+    # segment of base_purl escape '%'/'@'/'?'/'#' ('/' too for the
+    # version — a '/' inside a base_purl name is unrepresentable by
+    # plain concatenation and documented out of scope in kernel.purl);
+    # namespace segments escape only '%'/'?'/'#' ('@' is literal there,
+    # matching _RAW_UNSAFE_NAMESPACE — npm scopes). Ordinary purls stay
+    # byte-identical to plain concatenation.
+    def _esc(col, pairs):
+        for ch, code in pairs:
+            col = F.replace(col, F.lit(ch), F.lit(code))
+        return col
+
+    _NS = (("%", "%25"), ("?", "%3F"), ("#", "%23"))
+    _NAME = (("%", "%25"), ("@", "%40"), ("?", "%3F"), ("#", "%23"))
+    _VER = _NAME + (("/", "%2F"),)
+
+    base_segs = F.split("base_purl", "/")  # ["pkg:type", ns..., name]
+    n_segs = F.size(base_segs)
+    esc_base = F.array_join(
+        F.transform(
+            base_segs,
+            lambda s, i: F.when(i == F.lit(0), s)
+                          .when(i == n_segs - 1, _esc(s, _NAME))
+                          .otherwise(_esc(s, _NS))),
+        "/")
+    esc_version = _esc(F.col("version"), _VER)
+    key = F.concat(esc_base, F.lit("@"), esc_version)
     return pkgs.select(
         F.xxhash64("base_purl", "version").alias("package_pk"),
         segments[0].alias("type"),
