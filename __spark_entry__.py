@@ -36,49 +36,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver grades the first ~50 registry entries per round. Round-6
-# rotation (VERDICT r5 directive #1): q01–q45 now have three consecutive
-# driver-green rounds and remain gated every run by
-# tests/test_oracle_parity.py (which hash-checks ALL queries regardless of
-# the window), so the full relational block no longer needs the window.
-# Order: (0) queries new this round, (1) a sentinel of the relational core
-# — one per §2 family — (2) the 15 round-5 curation/selection queries that
-# have never had a driver-issued row (q66–q80), (3) the r4-graded-only LLM
-# tail (last driver row two rounds ago), (4) everything else by number —
-# the head of which refills the remaining ~16 window slots with more
-# relational coverage.
+# The driver grades the first ~50 registry entries per round. Round-7
+# rotation (VERDICT r6 directive #4): re-certify the stalest block — the
+# relational/LLM queries whose last driver-issued row was round 5
+# (q04–q07, q09–q20, q22–q44) rotate back into the window, so every
+# query's most recent driver row stays ≤2 rounds old. q66–q95 all got
+# driver rows in r6 and cede their slots; tests/test_oracle_parity.py
+# still hash-checks ALL queries every run regardless of the window.
+# Order: (0) queries new this round (q96, the materialized serving view),
+# (1) the five relational sentinels — one per §2 family — (2) the
+# r5-graded-only stale block by number, (3) everything else by number.
 _NEW_THIS_ROUND = [
-    "q81_advisory_pipeline",  # composed domain pipeline (VERDICT directive #2)
-    # §2.10/§2.3 rows previously fixture-tested only, now oracle-graded:
-    "q82_alias_resolution",
-    "q83_exploit_enrichment",
-    "q84_vulntotal_agreement",
-    "q85_relation_dedup",
-    "q86_summary_backfill",
-    "q87_archive_urls",
-    "q88_exact_purl_inferences",
-    "q89_fix_commits",
-    "q90_vcs_normalize",
-    "q91_github_poc",
-    "q92_purl_search",
-    "q93_todo_excluded",
-    "q94_ssvc_decision",
-    "q95_package_types",
+    "q96_serving_view_read",  # materialized serving view (r6 directive #1)
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation
     "q08_latest_per_key",    # SCD2 / is_latest window
     "q21_bucketed_range_join",  # version-in-range unfurl join
     "q38_content_hash_dedup",   # content-id ingest dedup
-    "q45_api_bulk_response",    # serving-path nested payload
+    "q45_api_bulk_response",    # serving-path nested payload (q96's twin)
 ]
-_R4_TAIL = [  # last driver-issued row was round 4; regrade after q66–q80
-    "q46_ann_topk_ivf", "q47_embedding_near_dup",
-    "q48_winnowing_fingerprints", "q51_png_roundtrip", "q52_wav_roundtrip",
-    "q53_gif_roundtrip", "q54_jpeg_roundtrip", "q55_repetition_signals",
-    "q57_decontamination", "q58_char_trigram_diversity",
-    "q59_feature_hashing", "q60_near_dup_dedup", "q61_shared_spans",
-]
+# last driver-issued row was round 5 (two rounds ago): q04–q07, q09–q20,
+# q22–q44 minus the q38 sentinel — 38 queries, re-certified this round
+_R5_STALE_NUMS = (
+    set(range(4, 8)) | set(range(9, 21)) | set(range(22, 45))) - {38}
 
 
 def _grade_order(name: str) -> tuple[int, int, str]:
@@ -87,11 +68,9 @@ def _grade_order(name: str) -> tuple[int, int, str]:
         return (0, _NEW_THIS_ROUND.index(name), name)
     if name in _SENTINELS:
         return (1, _SENTINELS.index(name), name)
-    if 66 <= num <= 80:  # never driver-graded (added round 5)
+    if num in _R5_STALE_NUMS:
         return (2, num, name)
-    if name in _R4_TAIL:
-        return (3, _R4_TAIL.index(name), name)
-    return (4, num, name)
+    return (3, num, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

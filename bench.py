@@ -41,6 +41,7 @@ HEADLINE = [
     "q31_embedding_ann_lsh", # LSH-bucketed ANN
     "q32_multimodal_meta",   # Arrow mapInPandas decode
     "q45_api_bulk_response", # serving: POST /packages bulk payload (r5 #5)
+    "q96_serving_view_read", # serving: materialized-view point read (r6 #1)
 ]
 
 EXTRAS = [
@@ -54,10 +55,11 @@ EXTRAS = [
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}
 
-# headline queries added in round 6 (serving path, r5 directive #5) —
-# excluded from the like-for-like subtotal that tracks the ratio trend
-# against rounds 1-5
-R6_ADDED = {"q07_tiered_search", "q45_api_bulk_response"}
+# headline queries added in rounds 6/7 (serving path, r5 directive #5 /
+# r6 directive #1) — excluded from the like-for-like subtotal that tracks
+# the ratio trend against rounds 1-5
+R6_ADDED = {"q07_tiered_search", "q45_api_bulk_response",
+            "q96_serving_view_read"}
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -222,10 +224,10 @@ def main() -> None:
     # per-sf_dir stored-column artifacts (ingest-time work the fairness
     # policy excludes; with a single rep those builds landed inside
     # q30/q32's timing, the opposite of the documented policy). DuckDB:
-    # min-of-2 at sf1, single-shot at sf10 (no cross-run state to warm,
-    # and its sf10 readings are seconds-to-minutes scale, far above the
-    # 0.03-0.47s scheduler noise that motivates min-of-reps — a second
-    # 8-minute baseline pass buys nothing).
+    # min-of-2 at BOTH points (VERDICT r6 directive #3 — recorded
+    # shared-tenant swings of 7x-22x on single-shot sf10 baselines made
+    # the ratio indefensible; both engines now get the identical
+    # min-of-2 treatment at every scale point).
     def scale_point(label, env_var, default_dir, spark_reps, duck_reps):
         d = os.environ.get(env_var, os.path.join(REPO, "testdata", default_dir))
         if not os.path.isdir(d):
@@ -295,7 +297,7 @@ def main() -> None:
     write_full(sf1=None, sf10=None)
     sf1_obj = scale_point("sf1", "SPARK_GRAFT_SF1_DIR", "sf1", 2, 2)
     write_full(sf1=sf1_obj, sf10=None)
-    sf10_obj = scale_point("sf10", "SPARK_GRAFT_SF10_DIR", "sf10", 2, 1)
+    sf10_obj = scale_point("sf10", "SPARK_GRAFT_SF10_DIR", "sf10", 2, 2)
     write_full(sf1=sf1_obj, sf10=sf10_obj)
 
     def summarize(obj):

@@ -965,6 +965,119 @@ class TestBulkResponse:
         assert first["risk_score"] is None
 
 
+class TestServingView:
+    """Materialized serving view (VERDICT r6 directive #1): the bulk
+    payload precomputed at ingest, persisted shard-partitioned, served
+    as one pruned point-read and maintained incrementally."""
+
+    def _responses(self, spark, rows):
+        return spark.createDataFrame(rows, "purl string, response string")
+
+    def test_shard_function_parity(self):
+        """Driver-side zlib.crc32 must equal Spark's crc32 expression —
+        the property that lets a request prune partitions without a
+        cluster round-trip."""
+        from vulnerablecode_spark.operators.serve import serving_shard_of
+
+        import zlib
+        for purl in ("pkg:pypi/sample@1.0", "pkg:npm/@babel/traverse@7.2",
+                     "pkg:maven/org.apache/kafka@3.0", "pkg:deb/ü@1"):
+            assert 0 <= serving_shard_of(purl) < 64
+            assert serving_shard_of(purl) == (
+                zlib.crc32(purl.encode("utf-8")) % 64)
+
+    def test_shard_column_matches_driver_side(self, spark):
+        from pyspark.sql import functions as F
+
+        from vulnerablecode_spark.operators.serve import (serving_shard_col,
+                                                          serving_shard_of)
+
+        purls = ["pkg:pypi/a@1", "pkg:npm/@s/b@2.0.1", "pkg:gem/c-d@0.9",
+                 "pkg:deb/debian/curl@7.50.3-1+deb9u1"]
+        df = spark.createDataFrame([(p,) for p in purls], "purl string") \
+            .select("purl", serving_shard_col("purl").alias("shard"))
+        for r in df.collect():
+            assert r.shard == serving_shard_of(r.purl), r.purl
+
+    def test_write_read_roundtrip_and_pruning(self, spark, tmp_path):
+        from vulnerablecode_spark.operators.serve import (
+            read_bulk_responses, serving_shard_of, write_serving_view)
+
+        rows = [(f"pkg:gen/p{i}", f'[{{"id": {i}}}]') for i in range(200)]
+        path = str(tmp_path / "view")
+        write_serving_view(self._responses(spark, rows), path)
+        got = {r.purl: r.response for r in read_bulk_responses(
+            spark, path, ["pkg:gen/p7", "pkg:gen/p42", "pkg:gen/missing"]
+        ).collect()}
+        assert got == {"pkg:gen/p7": '[{"id": 7}]',
+                       "pkg:gen/p42": '[{"id": 42}]'}
+        # the point-read plan prunes to the requested purl's shard dir
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        one = read_bulk_responses(spark, path, ["pkg:gen/p7"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            one.explain("formatted")
+        plan = buf.getvalue()
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and f"= {serving_shard_of('pkg:gen/p7')})" in pf.group(1)
+        assert "PushedFilters: [In(purl" in plan or \
+            "PushedFilters: [IsNotNull(purl" in plan
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_incremental_refresh_touches_only_affected_shards(
+            self, spark, tmp_path):
+        import os
+
+        from vulnerablecode_spark.operators.serve import (
+            read_bulk_responses, refresh_serving_view, serving_shard_of,
+            write_serving_view)
+
+        rows = [(f"pkg:gen/p{i}", f'[{{"v": 1}}]') for i in range(200)]
+        path = str(tmp_path / "view")
+        write_serving_view(self._responses(spark, rows), path)
+
+        def shard_files():
+            out = {}
+            for d in os.listdir(path):
+                if d.startswith("shard="):
+                    out[d] = sorted(os.listdir(os.path.join(path, d)))
+            return out
+
+        before = shard_files()
+        # merge-job update: one changed purl + one brand-new purl
+        updated = self._responses(spark, [
+            ("pkg:gen/p7", '[{"v": 2}]'), ("pkg:gen/new", '[{"v": 9}]')])
+        refresh_serving_view(spark, updated, path)
+        after = shard_files()
+
+        touched = {f"shard={serving_shard_of(p)}"
+                   for p in ("pkg:gen/p7", "pkg:gen/new")}
+        for d, files in before.items():
+            if d not in touched:
+                assert after[d] == files, f"untouched {d} was rewritten"
+        # updated + surviving rows all served correctly
+        got = {r.purl: r.response for r in read_bulk_responses(
+            spark, path, ["pkg:gen/p7", "pkg:gen/new", "pkg:gen/p8"]
+        ).collect()}
+        assert got == {"pkg:gen/p7": '[{"v": 2}]',
+                       "pkg:gen/new": '[{"v": 9}]',
+                       "pkg:gen/p8": '[{"v": 1}]'}
+        # no row lost or duplicated across the refresh
+        total = spark.read.parquet(path).count()
+        assert total == 201
+
+    def test_recommended_shards_bounds(self):
+        from vulnerablecode_spark.operators.serve import \
+            recommended_serving_shards
+
+        assert recommended_serving_shards(1_000) == 16
+        assert recommended_serving_shards(10_000_000) == 38
+        assert recommended_serving_shards(10**12) == 4096
+
+
 class TestCweValidation:
     def test_broadcast_validation_splits_known_and_unknown(self, spark):
         from vulnerablecode_spark.functions.cwe import (default_cwe_catalog,

@@ -256,3 +256,43 @@ class TestEntityPlanQualityRound6b:
         # the PoC catalog is dimension-sized (one JSON file per CVE in
         # the reference checkout) → broadcast against the alias bridge
         assert "BroadcastHashJoin" in plan
+
+
+class TestQ96ServingViewPlan:
+    """The materialized serving view's promise (VERDICT r6 directive #1):
+    a bulk request is ONE pruned scan — no join, no shuffle, no
+    recompute — so serving latency is O(|request|), flat in corpus
+    size."""
+
+    def test_q96_is_a_single_pruned_scan(self, spark):
+        plan = plan_of(spark, "q96_serving_view_read")
+        # exactly one parquet scan (formatted explain shows each node in
+        # the tree AND the detail section — count the detail headers)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        for node in ("Exchange", "Join", "Aggregate", "Sort",
+                     "CartesianProduct", "BatchEvalPython",
+                     "ArrowEvalPython"):
+            assert node not in plan, node
+        # partition pruning on the shard dirs + purl row-group pushdown
+        assert re.search(r"PartitionFilters: \[shard#\d+ IN", plan), plan
+        assert "PushedFilters: [In(purl" in plan
+
+    def test_point_read_prunes_to_one_shard(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from vulnerablecode_spark.operators.serve import (
+            read_bulk_responses, serving_shard_of)
+        from vulnerablecode_spark.plans.coverage import (_Q96_SHARDS,
+                                                         _serving_view_path)
+
+        path = _serving_view_path(spark, SF_SMOKE)
+        df = read_bulk_responses(spark, path, ["pkg:cust/42"],
+                                 n_shards=_Q96_SHARDS)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", buf.getvalue())
+        assert pf and (
+            f"= {serving_shard_of('pkg:cust/42', _Q96_SHARDS)})"
+            in pf.group(1))
