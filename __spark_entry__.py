@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # r5-graded-only stale block by number, (3) everything else by number.
 _NEW_THIS_ROUND = [
     "q96_serving_view_read",  # materialized serving view (r6 directive #1)
+    "q97_ivf_incremental",    # assign-only IVF maintenance (r6 directive #8)
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

@@ -51,6 +51,7 @@ EXTRAS = [
     "q69_distinctive_terms", "q72_exact_substrings",
     "q75_dsir_importance", "q76_surprisal_partition",
     "q78_curation_pipeline", "q81_advisory_pipeline",
+    "q97_ivf_incremental",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}
