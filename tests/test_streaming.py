@@ -54,6 +54,56 @@ class TestStreamIngest:
         stream_ingest(spark, str(src), table, ckpt)
         assert spark.read.parquet(table).count() == 3
 
+    def test_merge_job_maintains_serving_view(self, spark, tmp_path):
+        """VERDICT r6 directive #1, maintenance half: the ingest merge
+        job keeps the materialized serving view fresh — per batch it
+        refreshes only the purls the batch touched."""
+        from pyspark.sql import functions as F
+
+        from vulnerablecode_spark.operators.serve import read_bulk_responses
+        from vulnerablecode_spark.streaming.incremental import stream_ingest
+
+        src = tmp_path / "src"; src.mkdir()
+        table = str(tmp_path / "advisories")
+        ckpt = str(tmp_path / "ckpt")
+        view = str(tmp_path / "serving_view")
+
+        def builder(sess, merged, batch):
+            # per-purl response from the LATEST advisory rows of the
+            # purls present in this batch (batch-proportional: semi-join
+            # the merged table down to touched purls first)
+            touched = batch.select(
+                F.explode("affected_packages").alias("ap")
+            ).select(F.col("ap.package").alias("purl")).distinct()
+            latest = merged.filter("is_latest").select(
+                F.explode("affected_packages").alias("ap"),
+                "advisory_id", "summary",
+            ).select(F.col("ap.package").alias("purl"),
+                     "advisory_id", "summary")
+            latest = latest.join(F.broadcast(touched), "purl", "left_semi")
+            return (latest.groupBy("purl")
+                    .agg(F.to_json(F.array_sort(F.collect_list(
+                        F.struct("advisory_id", "summary"))))
+                        .alias("response")))
+
+        _write_record(src, "a.json", RECORD_V1)
+        stream_ingest(spark, str(src), table, ckpt,
+                      serving_view_path=view,
+                      serving_response_builder=builder)
+        got = {r.purl: r.response for r in read_bulk_responses(
+            spark, view, ["pkg:pypi/x"]).collect()}
+        assert "first" in got["pkg:pypi/x"]
+
+        # a revision lands: the view reflects the new latest summary
+        _write_record(src, "b.json", RECORD_V2)
+        stream_ingest(spark, str(src), table, ckpt,
+                      serving_view_path=view,
+                      serving_response_builder=builder)
+        got = {r.purl: r.response for r in read_bulk_responses(
+            spark, view, ["pkg:pypi/x"]).collect()}
+        assert "first (revised)" in got["pkg:pypi/x"]
+        assert '"first"' not in got["pkg:pypi/x"]
+
 
 class TestExport:
     @pytest.fixture()

@@ -135,7 +135,19 @@ def refresh_serving_view(spark, updated: DataFrame, path: str,
     overwrite), merging updated rows over the shards' surviving rows.
     Per-batch work is proportional to the touched shards, never the
     corpus — the serving-view twin of the SCD2 content-id merge
-    (operators/ingest.py) that feeds it."""
+    (operators/ingest.py) that feeds it. A refresh against a path with
+    no view yet (the maintenance job's first batch) degrades to the
+    initial full write — existence checked through the Hadoop FS API so
+    the maintenance job behaves the same on HDFS/S3 as on local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    has_view = fs.exists(hpath) and any(
+        st.getPath().getName().startswith("shard=")
+        for st in fs.listStatus(hpath))
+    if not has_view:
+        write_serving_view(updated, path, n_shards)
+        return
     updated = updated.withColumn("shard",
                                  serving_shard_col("purl", n_shards))
     existing = (spark.read.parquet(path)

@@ -87,19 +87,36 @@ def batch_merge_to_table(spark: SparkSession, incoming: DataFrame,
 
 def stream_ingest(spark: SparkSession, source_dir: str, table_path: str,
                   checkpoint_dir: str, datasource_id: str = "osv",
-                  pipeline_id: str = "stream_ingest") -> None:
+                  pipeline_id: str = "stream_ingest",
+                  serving_view_path: str | None = None,
+                  serving_response_builder=None) -> None:
     """Drain new parsed-advisory JSON files from ``source_dir`` and merge.
 
     readStream(file source) tracks processed files in the checkpoint —
     exactly-once per file; Trigger.AvailableNow processes the backlog and
     stops (a scheduled micro-batch run, SURVEY.md §2.9).
+
+    With ``serving_view_path`` + ``serving_response_builder`` the merge
+    job also MAINTAINS the materialized serving view (VERDICT r6
+    directive #1 — the cache is kept fresh by ingest, not rebuilt per
+    request): after each batch merges, the builder maps
+    ``(spark, merged_table_df, batch_canonical_df) -> (purl, response)``
+    rows for the purls the batch touched, and ``refresh_serving_view``
+    overwrites only those purls' shards.
     """
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        sess = batch_df.sparkSession
         canonical = to_canonical_advisories(batch_df, datasource_id, pipeline_id)
-        batch_merge_to_table(batch_df.sparkSession, canonical, table_path)
+        merged = batch_merge_to_table(sess, canonical, table_path)
+        if serving_view_path and serving_response_builder:
+            from vulnerablecode_spark.operators.serve import \
+                refresh_serving_view
+
+            updated = serving_response_builder(sess, merged, canonical)
+            refresh_serving_view(sess, updated, serving_view_path)
 
     stream = (
         spark.readStream.schema(ADVISORY_PARSED)
