@@ -37,15 +37,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver grades the first ~50 registry entries per round. Round-7
-# rotation (VERDICT r6 directive #4): re-certify the stalest block — the
-# relational/LLM queries whose last driver-issued row was round 5
-# (q04–q07, q09–q20, q22–q44) rotate back into the window, so every
-# query's most recent driver row stays ≤2 rounds old. q66–q95 all got
-# driver rows in r6 and cede their slots; tests/test_oracle_parity.py
-# still hash-checks ALL queries every run regardless of the window.
-# Order: (0) queries new this round (q96, the materialized serving view),
-# (1) the five relational sentinels — one per §2 family — (2) the
-# r5-graded-only stale block by number, (3) everything else by number.
+# rotation (VERDICT r6 directive #4): re-certify the stalest block so
+# every query's most recent driver row stays ≤2 rounds old. The staleness
+# map is computed from the CORRECTNESS_r{4,5,6} artifacts themselves:
+# q49/q50 last got driver rows in r4 (three rounds by now — they grade
+# FIRST after the sentinels), and the r5-only block is q04–q07, q09–q20,
+# q22–q44 plus q56/q62–q65 (43 queries). q66–q95 all got rows in r6 and
+# cede their slots; tests/test_oracle_parity.py still hash-checks ALL
+# queries every run regardless of the window. Order: (0) queries new this
+# round, (1) the five relational sentinels — one per §2 family — (2) the
+# r4-stale pair, (3) the r5-stale block by number, (4) everything else by
+# number. If the window is exactly 50, the overflow (the last r5-stale
+# entries) stays ≤2 rounds old and rotates next round.
 _NEW_THIS_ROUND = [
     "q96_serving_view_read",  # materialized serving view (r6 directive #1)
     "q97_ivf_incremental",    # assign-only IVF maintenance (r6 directive #8)
@@ -57,10 +60,9 @@ _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q38_content_hash_dedup",   # content-id ingest dedup
     "q45_api_bulk_response",    # serving-path nested payload (q96's twin)
 ]
-# last driver-issued row was round 5 (two rounds ago): q04–q07, q09–q20,
-# q22–q44 minus the q38 sentinel — 38 queries, re-certified this round
-_R5_STALE_NUMS = (
-    set(range(4, 8)) | set(range(9, 21)) | set(range(22, 45))) - {38}
+_R4_STALE = ["q49_conflicting_packages", "q50_per_advisory_issues"]
+_R5_STALE_NUMS = ((set(range(4, 8)) | set(range(9, 21)) | set(range(22, 45))
+                   | {56, 62, 63, 64, 65}) - {38})
 
 
 def _grade_order(name: str) -> tuple[int, int, str]:
@@ -69,9 +71,11 @@ def _grade_order(name: str) -> tuple[int, int, str]:
         return (0, _NEW_THIS_ROUND.index(name), name)
     if name in _SENTINELS:
         return (1, _SENTINELS.index(name), name)
+    if name in _R4_STALE:
+        return (2, _R4_STALE.index(name), name)
     if num in _R5_STALE_NUMS:
-        return (2, num, name)
-    return (3, num, name)
+        return (3, num, name)
+    return (4, num, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
