@@ -52,6 +52,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEW_THIS_ROUND = [
     "q96_serving_view_read",  # materialized serving view (r6 directive #1)
     "q97_ivf_incremental",    # assign-only IVF maintenance (r6 directive #8)
+    "q98_federated_paths",    # FederatedCode purl-hash layout (r6 directive #2)
 ]
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation

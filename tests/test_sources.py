@@ -117,6 +117,9 @@ class TestDebianSource:
 OVAL_XML = """<?xml version='1.0' encoding='utf-8'?>
 <oval_definitions xmlns="http://oval.mitre.org/XMLSchema/oval-definitions-5"
                   xmlns:linux="http://oval.mitre.org/XMLSchema/oval-definitions-5#linux">
+  <generator>
+    <timestamp>2014-03-31T12:00:00.000-04:00</timestamp>
+  </generator>
   <definitions>
     <definition class="vulnerability" id="oval:test:def:1" version="1">
       <metadata>
@@ -164,7 +167,11 @@ class TestOvalSource:
         ap = row.affected_packages[0]
         assert ap.package == "pkg:deb/debian/a2ps"
         assert ap.affected_version_range == "vers:deb/<1:4.14-1.1+deb7u1"
-        assert ap.fixed_version == "1:4.14-1.1+deb7u1"
+        # OVAL states constrain, they don't name fixes (importer.py:897-908
+        # sets no fixed_version) — parity with the reference golden files
+        assert ap.fixed_version is None
+        # generator timestamp, not the per-definition debian date
+        # (importer.py:911)
         assert row.date_published is not None
 
 

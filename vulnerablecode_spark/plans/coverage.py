@@ -771,3 +771,88 @@ def q50_per_advisory_issues(spark, sf_dir):
         F.array(entry).alias("affected_packages"),
     )
     return per_advisory_issues(advisories)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sink: FederatedCode purl-hash directory layout (VERDICT r6
+# directive #2) — the REAL streaming/export.py package_tree_paths column
+# pipeline (core_purl + aboutcode-packages-<type>-<hash>/<type>/[<ns>/]
+# <name>, aboutcode/hashid/__init__.py:30-96) over packages synthesized
+# from part across four hash tiers (npm 2^10 / pypi+golang 2^7 / deb 2^5 /
+# cargo 2^0). The oracle re-derives the digest arithmetic char-by-char in
+# SQL: DuckDB sha256 over the same core-purl string, the low 32 bits
+# assembled positionally from the hex tail (the Spark side is
+# conv(substring(sha2(...), 57, 8), 16, 10)), modulo the tier's 2^bits,
+# printf('%x') left-padded to ceil(bits/4). A drifted bit count, pad
+# width, or hash input on either side breaks the hash match.
+# ---------------------------------------------------------------------------
+
+
+_Q98_HEX_SUM = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hx, {57 + i}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_Q98_ORACLE = f"""
+    WITH pkgs AS (
+        SELECT
+            CASE p_partkey % 5 WHEN 0 THEN 'npm' WHEN 1 THEN 'pypi'
+                 WHEN 2 THEN 'deb' WHEN 3 THEN 'cargo'
+                 ELSE 'golang' END AS type,
+            CASE p_partkey % 5 WHEN 2 THEN 'debian'
+                 WHEN 4 THEN 'golang.org' ELSE '' END AS namespace,
+            lower(replace(p_name, ' ', '-')) AS name,
+            CAST(p_partkey AS VARCHAR) AS version
+        FROM part
+    ), core AS (
+        SELECT *,
+            'pkg:' || type || '/' ||
+            CASE WHEN namespace <> '' THEN namespace || '/' ELSE '' END ||
+            name AS core_purl,
+            CASE type WHEN 'npm' THEN 10 WHEN 'pypi' THEN 7
+                 WHEN 'golang' THEN 7 WHEN 'deb' THEN 5 ELSE 0 END AS bits
+        FROM pkgs
+    ), hashed AS (
+        SELECT *, CAST({_Q98_HEX_SUM} AS BIGINT)
+                  % CAST(power(2, bits) AS BIGINT) AS short
+        FROM (SELECT *, sha256(core_purl) AS hx FROM core)
+    )
+    SELECT
+        core_purl || '@' || version AS package_url,
+        core_purl,
+        'aboutcode-packages-' || type || '-' ||
+        lpad(printf('%x', short),
+             CASE WHEN bits > 8 THEN 3 WHEN bits > 4 THEN 2 ELSE 1 END,
+             '0') ||
+        '/' || type || '/' ||
+        CASE WHEN namespace <> '' THEN namespace || '/' ELSE '' END ||
+        name AS base_dir
+    FROM hashed
+"""
+
+
+@query("q98_federated_paths", oracle=_Q98_ORACLE)
+def q98_federated_paths(spark, sf_dir):
+    from vulnerablecode_spark.streaming.export import package_tree_paths
+
+    part = _load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    m = k % 5
+    pkg_type = (F.when(m == 0, "npm").when(m == 1, "pypi")
+                .when(m == 2, "deb").when(m == 3, "cargo")
+                .otherwise("golang"))
+    namespace = (F.when(m == 2, "debian").when(m == 4, "golang.org")
+                 .otherwise(""))
+    frame = part.select(
+        pkg_type.alias("type"),
+        namespace.alias("namespace"),
+        F.lower(F.replace(F.col("p_name"), F.lit(" "), F.lit("-")))
+         .alias("name"),
+        k.cast("string").alias("version"),
+    )
+    return package_tree_paths(frame).select(
+        F.concat(F.col("core_purl"), F.lit("@"), F.col("version"))
+         .alias("package_url"),
+        "core_purl",
+        "base_dir",
+    )
