@@ -296,3 +296,21 @@ class TestQ96ServingViewPlan:
         assert pf and (
             f"= {serving_shard_of('pkg:cust/42', _Q96_SHARDS)})"
             in pf.group(1))
+
+
+class TestQ98FederatedPathsPlan:
+    """The FederatedCode path derivation is pure column arithmetic
+    (sha2 + conv + map lookups) — one scan, zero exchanges, zero Python
+    eval nodes, so layout computation stays map-side at any corpus
+    size."""
+
+    def test_q98_shuffle_free_pure_catalyst(self, spark):
+        plan = plan_of(spark, "q98_federated_paths")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        for node in ("Exchange", "Join", "BatchEvalPython",
+                     "ArrowEvalPython", "CartesianProduct"):
+            assert node not in plan, node
+        # only the two needed source columns reach the scan
+        m = re.search(r"ReadSchema: (.*)", plan)
+        assert m and "p_partkey" in m.group(1) and "p_name" in m.group(1)
+        assert "p_retailprice" not in m.group(1)
