@@ -113,6 +113,56 @@ class TestYamlDump:
             "    - test/ADV-001\n"
         )
 
+    def test_multiline_block_literal(self):
+        # Multi-line summaries must round-trip with line breaks intact
+        # (saneyaml emits block style; single-quoting would FOLD them).
+        from vulnerablecode_spark.kernel.yamldump import dump_yaml
+
+        assert dump_yaml({"summary": "line one\nline two"}) == (
+            "summary: |-\n  line one\n  line two\n"
+        )
+        assert dump_yaml({"d": "ends\nwith newline\n"}) == (
+            "d: |\n  ends\n  with newline\n"
+        )
+        # Bodies block style can't represent fall back to escapes.
+        assert dump_yaml({"d": "trail \nnext"}) == (
+            'd: "trail \\nnext"\n'
+        )
+        assert dump_yaml({"d": "\n"}) == 'd: "\\n"\n'
+
+    def test_leading_indicator_quoting(self):
+        # *foo/&foo/!foo are alias/anchor/tag at scalar start even with
+        # no following space — they must be quoted.
+        from vulnerablecode_spark.kernel.yamldump import dump_yaml
+
+        for s in ("*starred* text", "&anchor", "!tag", "%dir", "@at",
+                  "`tick", ",lead"):
+            out = dump_yaml({"k": s})
+            assert out == "k: '" + s.replace("'", "''") + "'\n", out
+        # -/?/: only act as indicators before a space: stay plain.
+        for s in ("-rc1", "?x", ":y", "pkg:npm/a@1.0"):
+            assert dump_yaml({"k": s}) == f"k: {s}\n"
+
+    def test_pyyaml_roundtrip_fuzz(self):
+        yaml = pytest.importorskip("yaml")
+        import random
+        import string
+
+        from vulnerablecode_spark.kernel.yamldump import dump_yaml
+
+        rng = random.Random(20260815)
+        chars = string.ascii_letters + " \t\n-?:!&*%@`\"'[]{}#|>,.\\/"
+        for _ in range(2000):
+            s = "".join(rng.choice(chars)
+                        for _ in range(rng.randint(0, 40)))
+            doc = {"k": s, "l": [s, {"n": s, "m": [s]}]}
+            back = yaml.safe_load(dump_yaml(doc))
+            exp = s or None  # empty string renders as a bare key
+            assert back["k"] == exp
+            assert back["l"][0] == exp
+            assert back["l"][1]["n"] == exp
+            assert back["l"][1]["m"][0] == exp
+
 
 class TestColumnHashParity:
     def test_purl_hash_col_matches_kernel(self, spark):
@@ -137,6 +187,36 @@ class TestColumnHashParity:
         for p in purls:
             core = core_purl_string(p)
             assert got[core] == get_purl_hash(p), (p, got[core])
+
+    def test_core_purl_col_quotes_like_to_string(self, spark):
+        # package_tree_paths builds core_purl from RAW name/namespace
+        # columns; for reserved characters its percent-quoting must
+        # match Purl.to_string (the driver-side hash input) or files
+        # land in a different purl-hash dir than lookups compute.
+        from vulnerablecode_spark.kernel.hashid import core_purl_string
+        from vulnerablecode_spark.kernel.purl import Purl
+        from vulnerablecode_spark.streaming.export import package_tree_paths
+
+        cases = [  # (type, namespace, name)
+            ("npm", "@babel", "traverse"),
+            ("generic", "", "name with space"),
+            ("generic", "", "odd*star~tilde+plus"),
+            ("generic", "ns%pct", "a&b=c"),
+            ("rpm", "opensuse", "MozillaFirefox"),
+            ("generic", "", "q?hash#slash@at"),
+        ]
+        rows = [(t, ns, n, "1.0", f"pkg:{t}/{ns}/{n}@1.0" if ns
+                 else f"pkg:{t}/{n}@1.0", [], []) for t, ns, n in cases]
+        df = package_tree_paths(spark.createDataFrame(
+            rows, "type string, namespace string, name string, "
+            "version string, package_url string, "
+            "affected_by_advisories array<string>, "
+            "fixing_advisories array<string>"))
+        got = {(r.type, r.namespace, r.name): r.core_purl
+               for r in df.collect()}
+        for t, ns, n in cases:
+            expected = core_purl_string(Purl(t, ns, n, "1.0"))
+            assert got[(t, ns, n)] == expected, (t, ns, n, got[(t, ns, n)])
 
 
 @pytest.fixture()
@@ -289,3 +369,24 @@ class TestFederatedTreeExport:
         stats3 = federated_export(relations2, all_advisories, repo,
                                   checkpoint_path=ckpt)
         assert stats3["advisory_files"] == 0
+
+        # a LATE advisory stamped exactly AT the watermark (coarse
+        # date_collected) must still be exported — strict ">" would skip
+        # it forever; the boundary-avid side file lets "==" rows through
+        # exactly once.
+        late_adv = spark.createDataFrame(
+            [("ADV-004", "test/ADV-004", "https://example.com/advisory/4",
+              ["CVE-2025-0004"], "Late twin", "2025-02-01 00:00:00")],
+            "advisory_id string, avid string, url string, "
+            "aliases array<string>, summary string, date_collected string"
+        ).withColumn("date_collected",
+                     F.col("date_collected").cast("timestamp"))
+        with_late = all_advisories.unionByName(late_adv)
+        stats4 = federated_export(relations2, with_late, repo,
+                                  checkpoint_path=ckpt)
+        assert stats4["advisory_files"] == 1
+        assert os.path.exists(f"{repo}/advisories/test/ADV-004.yml")
+        # and it is exactly-once: the next run is a no-op again
+        stats5 = federated_export(relations2, with_late, repo,
+                                  checkpoint_path=ckpt)
+        assert stats5["advisory_files"] == 0

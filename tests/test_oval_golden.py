@@ -103,6 +103,27 @@ class TestOvalGolden:
             f"{REF}/suse_oval/suse-oval-CVE-2008-5679-expected.json")
         assert got == expected
 
+    def test_rpm_name_case_preserved(self, spark, tmp_path):
+        # packageurl-python does NOT lowercase rpm names: SUSE's
+        # 'MozillaFirefox' must stay 'pkg:rpm/opensuse/MozillaFirefox'
+        # (deb names stay lowercased via kernel _LOWERCASE_TYPES).
+        from vulnerablecode_spark.sources.oval import (
+            SUSE_TRANSLATIONS, read_oval)
+
+        import re
+
+        xml = open(
+            f"{REF}/suse_oval/org.opensuse.CVE-2008-5679.xml").read()
+        (tmp_path / "suse.xml").write_text(
+            re.sub(r"\bopera\b", "MozillaFirefox", xml))
+        got = read_oval(
+            spark, str(tmp_path), "suse_oval", purl_type="rpm",
+            purl_namespace="opensuse", translations=SUSE_TRANSLATIONS)
+        purls = {a.package for r in got.collect()
+                 for a in r.affected_packages}
+        assert any("MozillaFirefox" in p for p in purls), purls
+        assert not any("mozillafirefox" in p for p in purls), purls
+
     def test_suse_filter_excludes_unaffected_twin(self):
         # suse_oval.py:49-69 — prefer "name-affected.xml" over "name.xml"
         from vulnerablecode_spark.sources.oval import filter_suse_oval_files

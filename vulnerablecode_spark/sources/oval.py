@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vulnerablecode_spark.kernel.purl import _LOWERCASE_TYPES
 from vulnerablecode_spark.schemas import ADVISORY_PARSED
 
 # Default evr operation → vers comparator map. Debian passes just
@@ -224,10 +225,16 @@ def parse_oval_xml(files: DataFrame, datasource_id: str = "oval",
                     for name in pkgs_of(obj):
                         if not name:
                             continue
+                        # packageurl-python lowercases name/namespace only
+                        # for case-insensitive ecosystems (deb yes, rpm
+                        # NO — SUSE's 'MozillaFirefox' keeps its case).
+                        pkg_name = (name.lower()
+                                    if purl_type in _LOWERCASE_TYPES
+                                    else name)
                         affected.append({
                             "package":
                                 f"pkg:{purl_type}/{ns_seg}"
-                                f"{name.lower()}{qual_suffix}",
+                                f"{pkg_name}{qual_suffix}",
                             "affected_version_range":
                                 f"vers:{purl_type}/{vr}" if vr else None,
                             "fixed_version": None,

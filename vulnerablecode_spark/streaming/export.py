@@ -116,17 +116,37 @@ def _purl_hash_col(core_purl, type_col):
             .otherwise(F.lpad(hex_str, 1, "0")))
 
 
+def _quote_seg(col):
+    """Column twin of Python ``urllib.parse.quote(s, safe="")`` — the
+    encoding ``Purl.to_string`` applies to name/namespace segments.
+    ``url_encode`` is java.net.URLEncoder (form encoding); the full
+    symmetric difference vs urllib is space (``+`` vs ``%20``), ``*``
+    (java-safe) and ``~`` (python-safe), fixed up below. Literal ``+``
+    in the input is already ``%2B`` after url_encode, so the first
+    replace only touches encoded spaces."""
+    enc = F.url_encode(col)
+    enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+    enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+    return F.replace(enc, F.lit("%7E"), F.lit("~"))
+
+
 def package_tree_paths(package_relations: DataFrame) -> DataFrame:
     """Add the FederatedCode layout columns to a per-version package
     frame (columns: type, namespace, name, version, package_url,
     affected_by_advisories, fixing_advisories): ``core_purl`` (the
-    versionless canonical purl — the hash input) and ``base_dir``
+    versionless canonical purl — the hash input, with name/namespace
+    percent-quoted exactly like ``Purl.to_string`` so the column-side
+    sha256 matches the driver-side ``kernel.hashid`` pathing for
+    reserved-character names) and ``base_dir``
     (``aboutcode-packages-<type>-<hash>/<type>/[<ns>/]<name>``)."""
+    ns_quoted = F.array_join(
+        F.transform(F.split(F.col("namespace"), "/"),
+                    lambda seg: _quote_seg(seg)), "/")
     core = F.concat(
         F.lit("pkg:"), F.col("type"), F.lit("/"),
         F.when(F.col("namespace") != "",
-               F.concat(F.col("namespace"), F.lit("/"))).otherwise(F.lit("")),
-        F.col("name"))
+               F.concat(ns_quoted, F.lit("/"))).otherwise(F.lit("")),
+        _quote_seg(F.col("name")))
     df = package_relations.withColumn("core_purl", core)
     base = F.concat(
         F.lit("aboutcode-packages-"), F.col("type"), F.lit("-"),
@@ -302,6 +322,12 @@ def export_advisory_tree(advisories: DataFrame, repo_path: str) -> int:
     return _write_tree(files, repo_path)
 
 
+def _boundary_dir(checkpoint_path: str) -> str:
+    """Side parquet of avids already exported AT the watermark timestamp
+    (see federated_export)."""
+    return checkpoint_path + ".boundary"
+
+
 def federated_export(package_relations: DataFrame, advisories: DataFrame,
                      repo_path: str,
                      checkpoint_path: str | None = None) -> dict:
@@ -311,12 +337,34 @@ def federated_export(package_relations: DataFrame, advisories: DataFrame,
     delete the checkpoint to force a full re-export). Incremental runs
     rewrite only the advisories collected after the watermark and the
     package files related to them. Returns
-    {"package_files": n, "advisory_files": n}."""
+    {"package_files": n, "advisory_files": n}.
+
+    Watermark semantics: ``date_collected`` can be coarse, so a strict
+    ``>`` filter would permanently skip an advisory that arrives later
+    but is stamped EQUAL to the watermark. Instead rows at exactly the
+    watermark are re-considered and anti-joined against the avids
+    already exported at that timestamp (persisted as a parquet side
+    file next to the checkpoint — a join, not ``isin`` literals, so a
+    million-row boundary batch from one merge run costs one shuffle-free
+    broadcast anti-join, never a giant plan). Exactly-once per file,
+    late-equal-stamp arrivals included. A crash between the boundary
+    write and the checkpoint write at worst re-exports boundary rows
+    once — per-file overwrite is idempotent.
+    """
+    import shutil
+
     watermark = load_checkpoint(checkpoint_path) if checkpoint_path else None
     batch = advisories
     if watermark:
-        batch = batch.filter(
-            F.col("date_collected") > F.lit(watermark).cast("timestamp"))
+        wm = F.lit(watermark).cast("timestamp")
+        newer = batch.filter(F.col("date_collected") > wm)
+        at_wm = batch.filter(F.col("date_collected") == wm)
+        bdir = _boundary_dir(checkpoint_path)
+        if os.path.isdir(bdir):
+            spark = advisories.sparkSession
+            seen = spark.read.parquet(bdir).select("avid")
+            at_wm = at_wm.join(F.broadcast(seen), "avid", "left_anti")
+        batch = newer.unionByName(at_wm)
     batch = batch.localCheckpoint(eager=True)  # one snapshot for both
     # trees and the watermark advance (same rationale as
     # export_advisories above)
@@ -326,5 +374,18 @@ def federated_export(package_relations: DataFrame, advisories: DataFrame,
                                 changed_avids=changed)
     if checkpoint_path and n_adv:
         max_ts = batch.agg(F.max("date_collected")).first()[0]
+        new_boundary = batch.filter(
+            F.col("date_collected") == F.lit(max_ts)).select("avid")
+        if watermark and str(max_ts) == str(watermark) \
+                and os.path.isdir(_boundary_dir(checkpoint_path)):
+            prev = batch.sparkSession.read.parquet(
+                _boundary_dir(checkpoint_path)).select("avid")
+            new_boundary = new_boundary.unionByName(prev).distinct()
+        bdir = _boundary_dir(checkpoint_path)
+        tmp = bdir + ".new"
+        new_boundary.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(bdir):
+            shutil.rmtree(bdir)
+        os.rename(tmp, bdir)
         save_checkpoint(checkpoint_path, str(max_ts))
     return {"package_files": n_pkg, "advisory_files": n_adv}
