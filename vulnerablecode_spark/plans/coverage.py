@@ -622,7 +622,7 @@ def _serving_view_path(spark, sf_dir):
         path = tempfile.mkdtemp(prefix="vc_serving_view_")
         write_serving_view(
             bulk_affected_response(_bulk_affected_frame(spark, sf_dir)),
-            path, n_shards=_Q96_SHARDS)
+            path, n_shards=_Q96_SHARDS, watermark=_Q99_WATERMARK)
         _SERVING_VIEWS[key] = path
     return path
 
@@ -641,6 +641,41 @@ def q96_serving_view_read(spark, sf_dir):
     path = _serving_view_path(spark, sf_dir)
     request = [f"pkg:cust/{k}" for k in range(1, 151)]
     return read_bulk_responses(spark, path, request, n_shards=_Q96_SHARDS)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 serving completeness semantics (VERDICT r7 directive #5): a purl
+# with NO advisories must serve an explicit empty response stamped with
+# the view's freshness watermark — distinguishable from "not yet
+# refreshed". The request spans custkeys with advisories, TPC-H's
+# order-less customers (every third custkey has no orders), and custkeys
+# past the view's request page — all three classes must come back, the
+# empty ones as '[]' + watermark. Oracle: the view's recompute (scoped to
+# the custkeys the view actually holds, <= 150) LEFT-joined from the
+# request range — anything outside the view coalesces to '[]'.
+# ---------------------------------------------------------------------------
+
+_Q99_WATERMARK = "2025-01-01 00:00:00"
+
+_Q99_ORACLE = f"""
+    SELECT 'pkg:cust/' || CAST(k AS VARCHAR) AS purl,
+           COALESCE(resp.response, '[]') AS response,
+           '{_Q99_WATERMARK}' AS fresh_as_of
+    FROM range(140, 171) t(k)
+    LEFT JOIN ({_BULK_RESPONSE_ORACLE.replace(
+        "o_custkey <= 150", "o_custkey BETWEEN 140 AND 150")}) resp
+      ON resp.purl = 'pkg:cust/' || CAST(k AS VARCHAR)
+    """
+
+
+@query("q99_serving_view_missing", oracle=_Q99_ORACLE)
+def q99_serving_view_missing(spark, sf_dir):
+    from vulnerablecode_spark.operators.serve import read_bulk_responses
+
+    path = _serving_view_path(spark, sf_dir)
+    request = [f"pkg:cust/{k}" for k in range(140, 171)]
+    return read_bulk_responses(spark, path, request, n_shards=_Q96_SHARDS,
+                               include_missing=True)
 
 
 # ---------------------------------------------------------------------------

@@ -112,11 +112,20 @@ def stream_ingest(spark: SparkSession, source_dir: str, table_path: str,
         canonical = to_canonical_advisories(batch_df, datasource_id, pipeline_id)
         merged = batch_merge_to_table(sess, canonical, table_path)
         if serving_view_path and serving_response_builder:
+            from pyspark.sql import functions as F
+
             from vulnerablecode_spark.operators.serve import \
                 refresh_serving_view
 
             updated = serving_response_builder(sess, merged, canonical)
-            refresh_serving_view(sess, updated, serving_view_path)
+            # freshness watermark: the batch's max collection stamp, so
+            # a reader can tell "no advisories as of <wm>" from "view
+            # never refreshed" (serve.view_freshness)
+            wm = None
+            if "date_collected" in canonical.columns:
+                wm = canonical.agg(F.max("date_collected")).first()[0]
+            refresh_serving_view(sess, updated, serving_view_path,
+                                 watermark=wm)
 
     stream = (
         spark.readStream.schema(ADVISORY_PARSED)
