@@ -64,6 +64,84 @@ R6_ADDED = {"q07_tiered_search", "q45_api_bulk_response",
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# Round-over-round regression guard (VERDICT r8 directive #1): any headline
+# query (or the headline total) more than this fraction slower than the
+# prior committed round's measurement gets a stderr WARNING and a row in
+# the artifact's "regression_warnings" list. Warnings, not failures —
+# this box is shared-tenant and per-query sf0.1 numbers swing with
+# neighbor load (see the load_avg fields) — but they make a swing
+# impossible to miss in the committed artifact.
+REGRESSION_THRESHOLD = 0.25
+
+
+def load_prior_bench(repo=REPO):
+    """Latest committed BENCH_r*.json with per-query sf0.1 timings.
+
+    The driver wraps bench stdout as {"parsed": {...}}; older/manual
+    artifacts are the bare compact dict — accept both shapes.
+    """
+    import glob
+
+    for path in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as fh:
+                obj = json.load(fh)
+        except Exception:
+            continue
+        if "parsed" in obj and isinstance(obj["parsed"], dict):
+            obj = obj["parsed"]
+        if obj.get("queries"):
+            return os.path.basename(path), obj
+    return None, None
+
+
+def check_regressions(cur_queries, cur_total, prior,
+                      threshold=REGRESSION_THRESHOLD):
+    """Headline entries > (1+threshold)x slower than the prior round."""
+    warnings = []
+    if not prior:
+        return warnings
+    prior_q = prior.get("queries") or {}
+    rows = [(n, cur_queries.get(n), prior_q.get(n)) for n in cur_queries]
+    rows.append(("_headline_total", cur_total, prior.get("value")))
+    for name, cur, prev in rows:
+        if cur is None or not prev or prev <= 0:
+            continue
+        if cur > prev * (1.0 + threshold):
+            warnings.append({
+                "query": name,
+                "prior_sec": prev,
+                "current_sec": cur,
+                "slowdown_pct": round((cur / prev - 1.0) * 100, 1),
+            })
+    return warnings
+
+
+def requested_scale_points(repo=REPO, environ=None):
+    """Which extra scale points this run is expected to measure.
+
+    A point is REQUESTED when its data directory exists (default
+    <repo>/testdata/sfN, overridable via env). A requested point whose
+    block is missing from the final artifact marks the run incomplete
+    and bench exits non-zero (VERDICT r8 directive #1: the r8 run died
+    mid-sf1 and shipped a plausible-looking artifact with null blocks).
+    """
+    environ = os.environ if environ is None else environ
+    pts = {}
+    for label, env_var, default_dir in (
+            ("sf1", "SPARK_GRAFT_SF1_DIR", "sf1"),
+            ("sf10", "SPARK_GRAFT_SF10_DIR", "sf10")):
+        d = environ.get(env_var, os.path.join(repo, "testdata", default_dir))
+        pts[label] = d if os.path.isdir(d) else None
+    return pts
+
+
+def missing_scale_points(requested, results):
+    """Requested points whose measurement did not land."""
+    return [label for label, d in requested.items()
+            if d is not None and results.get(label) is None]
+
 
 def _like_for_like(spark_timings, duck_timings):
     s = sum(v for q, v in spark_timings.items() if q not in R6_ADDED)
@@ -284,12 +362,32 @@ def main() -> None:
         "like_for_like_r5": _like_for_like(timings, duck_timings),
     }
 
+    # Round-over-round regression guard (r8 directive #1): flag headline
+    # entries >25% slower than the prior committed round, loudly.
+    prior_name, prior = load_prior_bench()
+    regressions = check_regressions(timings, total, prior)
+    for w in regressions:
+        print(f"# WARNING regression vs {prior_name}: {w['query']} "
+              f"{w['prior_sec']}s -> {w['current_sec']}s "
+              f"(+{w['slowdown_pct']}%)", file=sys.stderr, flush=True)
+    common["regression_warnings"] = regressions
+    common["regression_baseline"] = prior_name
+
+    requested = requested_scale_points()
+    common["scale_points_requested"] = {
+        k: bool(v) for k, v in requested.items()}
+
     # incremental artifact writes: a timeout mid-run must not lose the
-    # scale points already measured
-    def write_full(**parts):
+    # scale points already measured. Every intermediate write carries
+    # "incomplete": true — only the final write, with every requested
+    # scale point measured, clears it, so a killed run can no longer
+    # leave a plausible-looking artifact behind (r8 shipped nulls).
+    def write_full(incomplete=True, missing=None, **parts):
         full = dict(common)
         full.update({"duckdb_baseline_queries": duck_timings,
-                     "extras": extras})
+                     "extras": extras,
+                     "incomplete": incomplete,
+                     "missing_scale_points": missing or []})
         full.update(parts)
         with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
             json.dump(full, fh, indent=1)
@@ -299,7 +397,10 @@ def main() -> None:
     sf1_obj = scale_point("sf1", "SPARK_GRAFT_SF1_DIR", "sf1", 2, 2)
     write_full(sf1=sf1_obj, sf10=None)
     sf10_obj = scale_point("sf10", "SPARK_GRAFT_SF10_DIR", "sf10", 2, 2)
-    write_full(sf1=sf1_obj, sf10=sf10_obj)
+    missing = missing_scale_points(requested, {"sf1": sf1_obj,
+                                               "sf10": sf10_obj})
+    write_full(incomplete=bool(missing), missing=missing,
+               sf1=sf1_obj, sf10=sf10_obj)
 
     def summarize(obj):
         if obj is None:
@@ -316,9 +417,16 @@ def main() -> None:
         "extras_total": round(sum(extras.values()), 3) if extras else None,
         "sf1": summarize(sf1_obj),
         "sf10": summarize(sf10_obj),
+        "incomplete": bool(missing),
+        "missing_scale_points": missing,
         "full": "BENCH_FULL.json",
     })
     print(json.dumps(compact, separators=(",", ":")))
+    if missing:
+        print(f"# ERROR incomplete bench: requested scale point(s) "
+              f"{missing} not measured — artifact stamped incomplete",
+              file=sys.stderr, flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
