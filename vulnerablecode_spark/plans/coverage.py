@@ -679,6 +679,117 @@ def q99_serving_view_missing(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.1/§2.3 reachability bulk payload (VERDICT r8 directive #3): when the
+# v3 bulk request carries reachability=true, each advisory member gains
+# introduced_in_patches / fixed_in_patches — the deduped
+# {commit_hash, vcs_url} pairs of the advisory's commit patches (reference
+# api_v3.py:474-527 get_patches_bulk, :528-563 build_patch_set_map,
+# wired at :710-724). Synthesized patches dimension: one patch link per
+# lineitem of the selected orders, relation split on line parity,
+# fixed-width commit/vcs ids with small moduli so the per-group dedup is
+# actually exercised (collisions are guaranteed). The full nested JSON
+# response is hash-compared byte-for-byte; the oracle rebuilds the patch
+# arrays as raw JSON text with the identical (commit_hash, vcs_url)
+# ordering.
+# ---------------------------------------------------------------------------
+
+_Q100_ORACLE = """
+    WITH sel AS (
+        SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_custkey <= 150
+    ), fixes AS (
+        SELECT l_orderkey,
+               list_sort(list(DISTINCT 'pkg:part/' || l_partkey)) AS fixed_by
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM sel)
+        GROUP BY l_orderkey
+    ), patch_objs AS (
+        SELECT DISTINCT l_orderkey,
+               CASE WHEN l_linenumber % 2 = 0
+                    THEN 'introduced' ELSE 'fixed' END AS relation,
+               'c' || lpad(CAST(l_partkey % 97 AS VARCHAR), 2, '0')
+                   AS commit_hash,
+               'https://git.example/r'
+                   || lpad(CAST(l_suppkey % 13 AS VARCHAR), 2, '0')
+                   AS vcs_url
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM sel)
+    ), psets AS (
+        SELECT l_orderkey,
+               COALESCE('[' || string_agg(
+                   CASE WHEN relation = 'introduced' THEN
+                       '{"commit_hash":"' || commit_hash
+                       || '","vcs_url":"' || vcs_url || '"}' END,
+                   ',' ORDER BY commit_hash, vcs_url) || ']',
+                   '[]') AS introduced_json,
+               COALESCE('[' || string_agg(
+                   CASE WHEN relation = 'fixed' THEN
+                       '{"commit_hash":"' || commit_hash
+                       || '","vcs_url":"' || vcs_url || '"}' END,
+                   ',' ORDER BY commit_hash, vcs_url) || ']',
+                   '[]') AS fixed_json
+        FROM patch_objs GROUP BY l_orderkey
+    ), member AS (
+        SELECT o_custkey,
+               CAST(o_orderkey AS VARCHAR) AS advisory_id,
+               json_object(
+                   'advisory_id', CAST(o_orderkey AS VARCHAR),
+                   'advisory_uid', 'orders/' || CAST(o_orderkey AS VARCHAR),
+                   'aliases', []::VARCHAR[],
+                   'summary', o_orderpriority,
+                   'risk_score', CAST(CAST(ROUND(o_totalprice / 10000, 1)
+                                            AS DECIMAL(12,1)) AS VARCHAR),
+                   'fixed_by_packages', COALESCE(fixed_by, []::VARCHAR[]),
+                   -- lineitem-less orders miss the psets LEFT JOIN:
+                   -- explicit [], matching the engine's coalesce
+                   'introduced_in_patches',
+                       COALESCE(introduced_json, '[]')::JSON,
+                   'fixed_in_patches', COALESCE(fixed_json, '[]')::JSON
+               )::VARCHAR AS obj
+        FROM sel
+        LEFT JOIN fixes ON fixes.l_orderkey = o_orderkey
+        LEFT JOIN psets ON psets.l_orderkey = o_orderkey
+    )
+    SELECT 'pkg:cust/' || CAST(o_custkey AS VARCHAR) AS purl,
+           '[' || string_agg(obj, ',' ORDER BY advisory_id) || ']'
+               AS response
+    FROM member GROUP BY o_custkey
+    """
+
+
+@query("q100_reachability_bulk", oracle=_Q100_ORACLE)
+def q100_reachability_bulk(spark, sf_dir):
+    from vulnerablecode_spark.operators.serve import (attach_patch_sets,
+                                                      bulk_affected_response)
+
+    orders, lineitem = _load(spark, sf_dir, "orders", "lineitem")
+    affected = _bulk_affected_frame(spark, sf_dir)
+    # patches dimension pre-scoped to the requested page (the same
+    # serving-path pushdown as the fixed-by aggregate): the page's order
+    # keys broadcast, so the patch mining is response-proportional
+    selected = orders.filter(F.col("o_custkey") <= 150).select(
+        "o_orderkey", "o_custkey")
+    patches = (
+        lineitem.join(F.broadcast(selected),
+                      lineitem.l_orderkey == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("pkg:cust/"),
+                     F.col("o_custkey").cast("string")).alias("purl"),
+            F.concat(F.lit("orders/"),
+                     F.col("o_orderkey").cast("string")).alias("avid"),
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit("introduced"))
+            .otherwise(F.lit("fixed")).alias("relation"),
+            F.concat(F.lit("c"),
+                     F.lpad((F.col("l_partkey") % 97).cast("string"),
+                            2, "0")).alias("commit_hash"),
+            F.concat(F.lit("https://git.example/r"),
+                     F.lpad((F.col("l_suppkey") % 13).cast("string"),
+                            2, "0")).alias("vcs_url"),
+        ))
+    return bulk_affected_response(attach_patch_sets(affected, patches))
+
+
+# ---------------------------------------------------------------------------
 # §2.10 conflicting-package ToDos — the REAL operators/todos.py
 # conflicting_package_issues over an advisory frame synthesized from
 # orders: alias groups = customers, per-advisory affected/fixed package
