@@ -40,9 +40,15 @@ class TestPlanQuality:
         plan = plan_of(spark, "q13_weighted_severity")
         assert "BroadcastHashJoin" in plan
 
-    def test_q07_global_min_broadcasts(self, spark):
+    def test_q07_single_scan_no_join(self, spark):
+        # r9: global-min selection is a window over the filtered match
+        # set — exactly ONE parquet scan of part, no join/rescan (the
+        # former broadcast-agg shape scanned the corpus twice)
         plan = plan_of(spark, "q07_tiered_search")
-        assert "Broadcast" in plan
+        # formatted explain lists each node once in the tree and once in
+        # the "(n) Scan parquet" detail section — count the detail entries
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
 
     def test_q21_no_cartesian(self, spark):
         plan = plan_of(spark, "q21_bucketed_range_join")

@@ -171,7 +171,11 @@ def q06_counts(spark, sf_dir):
 # (models.py:150-178): exact → prefix → contains, each tier only if the
 # previous returned nothing. Rewritten as ONE pass computing a match tier
 # plus a global-min selection (SURVEY §4 item 4) instead of N round trips.
-# Scale: one scan + a 1-row broadcast join; no repeated scans.
+# Scale: ONE corpus scan. The global min runs as an empty-partition window
+# over the already-FILTERED match set (3 narrow columns), not the corpus —
+# search matches are page-bounded in the serving layer, so that exchange
+# is tiny, while the broadcast-agg alternative costs a second full corpus
+# scan (measured 1.8x slower at sf0.1, r9; see SCALE.md q07).
 # ---------------------------------------------------------------------------
 
 
@@ -200,9 +204,10 @@ def q07_tiered_search(spark, sf_dir):
         .otherwise(3)
         .alias("tier"),
     )
-    best = scored.agg(F.min("tier").alias("mt"))
+    w = Window.partitionBy()  # match-set-sized, see scale note above
     return (
-        scored.join(F.broadcast(best), scored.tier == best.mt)
+        scored.withColumn("mt", F.min("tier").over(w))
+        .filter(F.col("tier") == F.col("mt"))
         .select("p_partkey", "p_name", "tier")
     )
 
