@@ -130,8 +130,19 @@ def main() -> None:
                     cols[name] = arr.combine_chunks()
             reps.append(pa.table(cols, schema=schema))
         out = pa.concat_tables(reps)
-        pq.write_table(out, f"{args.out}/{tab}.parquet")
-        print(f"{tab}: {src.num_rows} -> {out.num_rows} rows")
+        # Bounded row groups: a parquet reader — Spark's FileSourceScan
+        # AND DuckDB's parallel scan — cannot parallelize below row-group
+        # granularity (a byte-range split with no row-group start is an
+        # empty task), and pyarrow's default 1M-row groups made sf10
+        # documents (61 MB) / embeddings (31 MB) SINGLE-row-group files
+        # no engine could scan in parallel. Target ~64 groups per table
+        # (two waves of 32 tasks) with a 10k-row floor so tiny groups
+        # don't inflate encoding overhead on wide fact tables.
+        rows_per_group = max(10_000, out.num_rows // 64)
+        pq.write_table(out, f"{args.out}/{tab}.parquet",
+                       row_group_size=rows_per_group)
+        print(f"{tab}: {src.num_rows} -> {out.num_rows} rows "
+              f"(row_group_size={rows_per_group})")
 
 
 if __name__ == "__main__":

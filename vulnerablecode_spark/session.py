@@ -43,6 +43,14 @@ def get_spark(app_name: str = "vulnerablecode-spark", master: str | None = None,
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # NOTE on input splits (measured r9, SCALE.md): Spark's
+        # spark.sql.files.minPartitionNum (= default parallelism) already
+        # yields 32 byte-range splits per big file here, so lowering
+        # maxPartitionBytes changes nothing (128m vs 16m within noise).
+        # EFFECTIVE scan parallelism is bounded by parquet ROW GROUPS —
+        # a split with no row-group start is an empty task — which is a
+        # data-layout property (scripts/gen_sf.py writes ~64 groups per
+        # table), not a session knob.
         # Arrow batches for every pandas UDF in functions/ and llm/.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
