@@ -965,3 +965,80 @@ class TestIvfIncremental:
                                         drift_threshold=0.2)
         assert drifted["batch_max_cell_share"] == 1.0
         assert drifted["rebuilt"] is True
+
+
+class TestLineLevelDedup:
+    """llm/dedup.py line_level_dedup — RefinedWeb-style cross-document
+    segment (line) dedup: w-token windows occurring in >= K distinct
+    documents are boilerplate, removed from every doc."""
+
+    def _docs(self, spark):
+        rows = [
+            # "hdr foo bar" is segment 0 of three docs -> boilerplate @K=3
+            (1, "hdr foo bar alpha beta gamma"),
+            (2, "hdr foo bar delta eps zeta"),
+            (3, "hdr foo bar eta theta iota"),
+            # repeats segment only twice -> kept at K=3
+            (4, "two tok seg kappa lam mu"),
+            (5, "two tok seg nu xi omicron"),
+            # short trailing segment (2 tokens), unique
+            (6, "pi rho sigma tau ups"),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_boilerplate_removed_everywhere(self, spark):
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        got = {r.doc_id: r for r in
+               line_level_dedup(self._docs(spark), w=3,
+                                boilerplate_min_docs=3).collect()}
+        assert got[1].cleaned_text == "alpha beta gamma"
+        assert got[2].cleaned_text == "delta eps zeta"
+        assert got[3].cleaned_text == "eta theta iota"
+        for d in (1, 2, 3):
+            assert (got[d].segs_total, got[d].segs_dropped) == (2, 1)
+
+    def test_below_threshold_kept(self, spark):
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        got = {r.doc_id: r for r in
+               line_level_dedup(self._docs(spark), w=3,
+                                boilerplate_min_docs=3).collect()}
+        assert got[4].cleaned_text == "two tok seg kappa lam mu"
+        assert got[5].segs_dropped == 0
+
+    def test_short_trailing_segment_and_order(self, spark):
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        got = {r.doc_id: r for r in
+               line_level_dedup(self._docs(spark), w=3,
+                                boilerplate_min_docs=3).collect()}
+        # 5 tokens -> segments "pi rho sigma" + "tau ups" (trailing w=2)
+        assert got[6].cleaned_text == "pi rho sigma tau ups"
+        assert got[6].segs_total == 2
+
+    def test_all_boilerplate_yields_empty_string(self, spark):
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        docs = spark.createDataFrame(
+            [(i, "same seg here") for i in range(4)], ["doc_id", "text"])
+        out = {r.doc_id: r for r in
+               line_level_dedup(docs, w=3, boilerplate_min_docs=3).collect()}
+        assert all(r.cleaned_text == "" for r in out.values())
+        assert all(r.segs_dropped == 1 for r in out.values())
+
+    def test_corpus_never_shuffled_plan(self, spark):
+        # scale gate: the final join onto the corpus must be broadcast —
+        # no Exchange on the with_segs side of the rebuild join
+        import io
+        from contextlib import redirect_stdout
+
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        df = line_level_dedup(self._docs(spark), w=3, boilerplate_min_docs=3)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

@@ -749,3 +749,70 @@ def near_dup_pairs_incremental(new_docs: DataFrame | None,
         else new_hashed.withColumnRenamed("doc_id", id_col))
     return near_dup_pairs(hashed=hashed_all, candidates=candidates,
                           id_col=id_col, n=n, threshold=threshold)
+
+
+def line_level_dedup(docs: DataFrame, *, w: int = 3,
+                     boilerplate_min_docs: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Cross-document segment-level exact dedup — the "line-wise
+    deduplication" filter of web-corpus pipelines (RefinedWeb §3 /
+    CCNet-style boilerplate removal), adapted to this corpus's
+    newline-less token streams: a "line" is a fixed non-overlapping
+    window of ``w`` tokens.
+
+    A segment that occurs in >= ``boilerplate_min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, navigation chrome at web
+    scale) and is dropped from every document. Returns one row per input
+    document: (id, cleaned_text, segs_total, segs_dropped), with
+    cleaned_text = the surviving segments in original order ('' when
+    everything was boilerplate).
+
+    Scale (100 TB): the corpus frame is NEVER shuffled. The one wide
+    shuffle is the segment-frequency count over the exploded segment
+    rows (same O(tokens/w) shape as the shingle explode every near-dup
+    operator here already pays). True boilerplate is rare by definition,
+    so both joins stay map-side: the common-segment dim broadcasts into
+    a semi-join that reduces the exploded rows to boilerplate hits only,
+    and the per-doc drop-index map built from those hits (boilerplate-
+    proportional, not corpus-proportional) broadcasts back onto the
+    un-exploded corpus. At petabyte scale you would group on
+    xxhash64(seg) instead of the segment string to shrink the wide
+    shuffle; the string keeps the operator byte-comparable with the
+    DuckDB oracle here.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )
+    with_segs = docs.select(F.col(id_col), segs.alias("segs"))
+    exploded = with_segs.select(
+        id_col, F.posexplode("segs").alias("seg_idx", "seg"))
+    common = (
+        exploded.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= boilerplate_min_docs)
+        .select("seg")
+    )
+    drop_map = (
+        exploded.join(F.broadcast(common), "seg", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("seg_idx").alias("drop_idx"))
+    )
+    empty_int_array = F.array().cast("array<int>")
+    drop_idx = F.coalesce(F.col("drop_idx"), empty_int_array)
+    return (
+        with_segs.join(F.broadcast(drop_map), id_col, "left")
+        .select(
+            id_col,
+            F.array_join(
+                F.filter("segs", lambda s, i: ~F.array_contains(drop_idx, i)),
+                " ",
+            ).alias("cleaned_text"),
+            F.size("segs").cast("bigint").alias("segs_total"),
+            F.coalesce(F.size("drop_idx"), F.lit(0))
+             .cast("bigint").alias("segs_dropped"),
+        )
+    )

@@ -1849,3 +1849,44 @@ def q79_cluster_size_histogram(spark, sf_dir):
         (F.count(F.lit(1)) * (F.col("cluster_size") - 1))
         .cast("bigint").alias("n_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document segment-level exact dedup ("line-wise deduplication" of
+# RefinedWeb/CCNet web pipelines, over this corpus's newline-less token
+# streams: a line = a fixed 3-token window). Segments occurring in >= 3
+# distinct documents are boilerplate and are removed from every document.
+# Scale: the corpus is never shuffled — one O(tokens/3) frequency shuffle,
+# then the (tiny) boilerplate dim and drop-index map broadcast back
+# (llm/dedup.py line_level_dedup).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_line_dedup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(tokens[i*3+1:i*3+3], ' ') AS seg
+        FROM toks,
+             UNNEST(range(0, CAST(ceil(len(tokens) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING COUNT(DISTINCT doc_id) >= 3
+    )
+    SELECT s.doc_id,
+           COALESCE(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END,
+                               ' ' ORDER BY s.seg_idx), '') AS cleaned_text,
+           COUNT(*) AS segs_total,
+           COUNT(f.seg) AS segs_dropped
+    FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+    GROUP BY s.doc_id
+    """,
+)
+def q101_line_dedup(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.line_level_dedup(docs, w=3, boilerplate_min_docs=3)
