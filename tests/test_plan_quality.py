@@ -335,3 +335,25 @@ class TestQ98FederatedPathsPlan:
         m = re.search(r"ReadSchema: (.*)", plan)
         assert m and "p_partkey" in m.group(1) and "p_name" in m.group(1)
         assert "p_retailprice" not in m.group(1)
+
+
+class TestRound9PlanQuality:
+    def test_q101_corpus_rebuild_is_broadcast_only(self, spark):
+        plan = plan_of(spark, "q101_line_dedup")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q102_label_filter_pushed_and_no_join(self, spark):
+        # filtered ANN: the label predicate must reach the parquet scan
+        # (scoring work is predicate-proportional), and the partial-top-k
+        # scan shape has no join node at all (probes ship as a broadcast
+        # variable, q30's shape)
+        plan = plan_of(spark, "q102_filtered_topk")
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        assert any("label" in p for p in pushed)
+        assert "Join" not in plan and "CartesianProduct" not in plan
+
+    def test_q103_threshold_dim_broadcasts(self, spark):
+        plan = plan_of(spark, "q103_quantile_length_gate")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan

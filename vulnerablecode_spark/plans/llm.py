@@ -1890,3 +1890,87 @@ def q79_cluster_size_histogram(spark, sf_dir):
 def q101_line_dedup(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return dedup.line_level_dedup(docs, w=3, boilerplate_min_docs=3)
+
+
+# ---------------------------------------------------------------------------
+# FILTERED vector search — top-k cosine restricted by a metadata
+# predicate (the "filtered ANN" query every retrieval service needs:
+# search only label=2 vectors). The predicate applies BEFORE scoring and
+# pushes into the parquet scan (plan-gated), so the scored corpus is the
+# filtered subset — scoring work is predicate-proportional, not
+# corpus-proportional. Same partial-top-k scan shape as q30: corpus
+# vectors never leave their partition, probes broadcast.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q102_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE label = 2),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_COSINE} AS cosine_sim
+        FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q102_filtered_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") == 2).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries_df = emb.filter(F.col("vec_id") < 10).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    res = similarity.cosine_topk(corpus, queries_df, k=5, impl="partial")
+    return res.withColumn("rk", F.col("rk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group discrete-quantile gate — "keep documents at or above their
+# language's P25 length" (the C4/Gopher-style per-language length floor,
+# computed from the corpus itself instead of a hand-set constant).
+# percentile_disc returns an ACTUAL n_chars value (integer-exact across
+# engines — no interpolation float hazard); the tiny per-lang threshold
+# dim broadcasts back onto the corpus. Scale: exact disc-quantile wants
+# the full group — at 100 TB swap in approx_percentile (map-combinable
+# sketch) for the threshold pass; the gate/count pass is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_quantile_length_gate",
+    oracle="""
+    WITH th AS (
+        SELECT lang, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS threshold
+        FROM documents GROUP BY lang
+    )
+    SELECT d.lang, t.threshold,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE d.n_chars >= t.threshold) AS n_kept,
+           COUNT(*) FILTER (WHERE d.n_chars < t.threshold) AS n_dropped
+    FROM documents d JOIN th t ON d.lang = t.lang
+    GROUP BY d.lang, t.threshold
+    """,
+)
+def q103_quantile_length_gate(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    th = docs.groupBy("lang").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("bigint").alias("threshold"))
+    return (
+        docs.join(F.broadcast(th), "lang")
+        .groupBy("lang", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_chars") >= F.col("threshold"), 1)
+                  .otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("n_chars") < F.col("threshold"), 1)
+                  .otherwise(0)).alias("n_dropped"),
+        )
+    )
