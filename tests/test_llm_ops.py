@@ -1042,3 +1042,49 @@ class TestLineLevelDedup:
         plan = buf.getvalue()
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+
+class TestLineLevelDedupProperty:
+    """Property test: line_level_dedup equals a direct Python reference
+    on random corpora for every (w, threshold) — segment chunking,
+    distinct-doc counting, original-order rebuild, and counters."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 4), st.integers(2, 4))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_python_reference(self, spark, seed, w, k):
+        import random
+
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd"]
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 12))))
+                for i in range(rng.randint(1, 12))]
+
+        # pure-Python reference
+        def segments(text):
+            toks = text.split(" ")
+            return [" ".join(toks[i:i + w]) for i in range(0, len(toks), w)]
+
+        seg_docs = {}
+        for did, text in docs:
+            for s in set(segments(text)):
+                seg_docs.setdefault(s, set()).add(did)
+        common = {s for s, ds in seg_docs.items() if len(ds) >= k}
+        expect = {}
+        for did, text in docs:
+            segs = segments(text)
+            kept = [s for s in segs if s not in common]
+            expect[did] = (" ".join(kept), len(segs),
+                           sum(1 for s in segs if s in common))
+
+        got = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+               for r in line_level_dedup(
+                   spark.createDataFrame(docs, ["doc_id", "text"]),
+                   w=w, boilerplate_min_docs=k).collect()}
+        assert got == expect

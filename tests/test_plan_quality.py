@@ -12,6 +12,7 @@ from contextlib import redirect_stdout
 import pytest
 
 import vulnerablecode_spark.plans.coverage  # noqa: F401
+import vulnerablecode_spark.plans.entity  # noqa: F401
 import vulnerablecode_spark.plans.llm  # noqa: F401
 import vulnerablecode_spark.plans.relational  # noqa: F401
 from vulnerablecode_spark.plans import QUERIES
@@ -347,7 +348,13 @@ class TestRound9PlanQuality:
         # filtered ANN: the label predicate must reach the parquet scan
         # (scoring work is predicate-proportional), and the partial-top-k
         # scan shape has no join node at all (probes ship as a broadcast
-        # variable, q30's shape)
+        # variable, q30's shape).
+        # clearCache first: an earlier module's cached read of the same
+        # parquet path would make Spark's cache manager substitute an
+        # InMemoryRelation here, hiding the parquet-level PushedFilters
+        # this test exists to gate (the predicate still prunes cached
+        # batches — correct, but not what we assert).
+        spark.catalog.clearCache()
         plan = plan_of(spark, "q102_filtered_topk")
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         assert any("label" in p for p in pushed)
@@ -357,3 +364,11 @@ class TestRound9PlanQuality:
         plan = plan_of(spark, "q103_quantile_length_gate")
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_q104_map_only_no_exchange(self, spark):
+        # ref-id backfill is a pure projection: no shuffle, no join, no
+        # Python — one scan, one regexp per interesting row
+        plan = plan_of(spark, "q104_backfill_ref_ids")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan

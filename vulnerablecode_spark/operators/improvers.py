@@ -202,3 +202,29 @@ def apply_archive_urls(references: DataFrame, archives: DataFrame) -> DataFrame:
         )
         .drop("_fetched", "_attempted")
     )
+
+
+def backfill_reference_ids(references: DataFrame,
+                           url_col: str = "url",
+                           id_col: str = "reference_id") -> DataFrame:
+    """CveIdImprover — set a missing reference id from the reference URL
+    (improvers/add_missing_refid.py:26-55): rows whose ``reference_id``
+    is NULL/empty AND whose URL contains the NVD detail path (uppercase
+    ``CVE-`` only, matching the reference's case-sensitive
+    ``url__contains`` filter) get the ``CVE-\\d{4}-\\d{4,7}`` token
+    extracted from the URL; every other row is untouched.
+
+    Scale: a map-only projection — one regexp per interesting row, zero
+    shuffles, zero joins; pushes nothing but survives anything.
+    """
+    extracted = F.regexp_extract(
+        F.col(url_col), r"(CVE-\d{4}-\d{4,7})", 1)
+    interesting = (
+        (F.col(id_col).isNull() | (F.col(id_col) == ""))
+        & F.col(url_col).contains("nvd.nist.gov/vuln/detail/CVE-")
+    )
+    return references.withColumn(
+        id_col,
+        F.when(interesting & (extracted != ""), extracted)
+        .otherwise(F.col(id_col)),
+    )

@@ -962,3 +962,66 @@ def q95_package_types(spark, sf_dir):
                        "golang")]),
             (p % 7).cast("int") + 1).alias("type"))
     return package_types(packages)
+
+
+# ---------------------------------------------------------------------------
+# q104 — CVE reference-id backfill (improvers/add_missing_refid.py:26-55
+# CveIdImprover): references with a NULL/empty id whose URL contains the
+# NVD detail path (case-sensitive, uppercase CVE- only — Django
+# url__contains) get the CVE-\d{4}-\d{4,7} token extracted from the URL;
+# all other rows pass through untouched. Map-only projection: zero
+# shuffles, zero joins (plan-gated).
+# ---------------------------------------------------------------------------
+
+_Q104_ORACLE = r"""
+WITH refs AS (
+    SELECT o_orderkey AS ref_pk,
+           CASE CAST(o_orderkey % 4 AS INT)
+             WHEN 0 THEN 'https://nvd.nist.gov/vuln/detail/CVE-2024-'
+                         || CAST(10000 + o_orderkey % 90000 AS VARCHAR)
+             WHEN 1 THEN 'https://nvd.nist.gov/vuln/detail/cve-2024-'
+                         || CAST(10000 + o_orderkey % 90000 AS VARCHAR)
+             WHEN 2 THEN 'https://example.com/advisory/'
+                         || CAST(o_orderkey % 1000 AS VARCHAR)
+             ELSE 'https://nvd.nist.gov/vuln/detail/CVE-2021-'
+                  || CAST(1000 + o_orderkey % 9000 AS VARCHAR) END AS url,
+           CASE CAST(o_orderkey % 5 AS INT)
+             WHEN 0 THEN 'CVE-2000-1111'
+             WHEN 1 THEN '' END AS reference_id
+    FROM orders
+)
+SELECT ref_pk, url,
+       CASE WHEN (reference_id IS NULL OR reference_id = '')
+                 AND url LIKE '%nvd.nist.gov/vuln/detail/CVE-%'
+                 AND regexp_extract(url, '(CVE-[0-9]{4}-[0-9]{4,7})', 1) <> ''
+            THEN regexp_extract(url, '(CVE-[0-9]{4}-[0-9]{4,7})', 1)
+            ELSE reference_id END AS reference_id
+FROM refs
+"""
+
+
+@query("q104_backfill_ref_ids", oracle=_Q104_ORACLE)
+def q104_backfill_ref_ids(spark, sf_dir):
+    from vulnerablecode_spark.operators.improvers import \
+        backfill_reference_ids
+
+    orders = _load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    refs = orders.select(
+        k.alias("ref_pk"),
+        F.when(k % 4 == 0,
+               F.concat(F.lit("https://nvd.nist.gov/vuln/detail/CVE-2024-"),
+                        (k % 90000 + 10000).cast("string")))
+        .when(k % 4 == 1,
+              F.concat(F.lit("https://nvd.nist.gov/vuln/detail/cve-2024-"),
+                       (k % 90000 + 10000).cast("string")))
+        .when(k % 4 == 2,
+              F.concat(F.lit("https://example.com/advisory/"),
+                       (k % 1000).cast("string")))
+        .otherwise(
+            F.concat(F.lit("https://nvd.nist.gov/vuln/detail/CVE-2021-"),
+                     (k % 9000 + 1000).cast("string"))).alias("url"),
+        F.when(k % 5 == 0, F.lit("CVE-2000-1111"))
+        .when(k % 5 == 1, F.lit("")).alias("reference_id"),
+    )
+    return backfill_reference_ids(refs)
