@@ -1088,3 +1088,42 @@ class TestLineLevelDedupProperty:
                    spark.createDataFrame(docs, ["doc_id", "text"]),
                    w=w, boilerplate_min_docs=k).collect()}
         assert got == expect
+
+
+class TestLineLevelDedupIncremental:
+    """line_level_dedup_incremental == batch line_level_dedup on the full
+    corpus, restricted to the new docs — for random corpora and random
+    increment splits (the q63/q97 incremental-exactness discipline)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 3), st.integers(2, 4))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_batch_restricted_to_increment(self, spark, seed, w, k):
+        import random
+
+        from vulnerablecode_spark.llm.dedup import (
+            line_level_dedup, line_level_dedup_incremental, line_seg_counts)
+
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc"]
+        n = rng.randint(2, 12)
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 10))))
+                for i in range(n)]
+        cut = rng.randint(0, n)  # includes empty and full increments
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        stored = df.filter(F.col("doc_id") >= cut)
+        new = df.filter(F.col("doc_id") < cut)
+
+        batch = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+                 for r in line_level_dedup(
+                     df, w=w, boilerplate_min_docs=k).collect()
+                 if r.doc_id < cut}
+        inc = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+               for r in line_level_dedup_incremental(
+                   line_seg_counts(stored, w=w), new,
+                   w=w, boilerplate_min_docs=k).collect()}
+        assert inc == batch

@@ -365,6 +365,16 @@ class TestRound9PlanQuality:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
 
+    def test_q105_index_never_shuffled(self, spark):
+        # incremental line dedup: the stored index is consumed through a
+        # broadcast semi-join (batch side broadcast), the drop map and
+        # merge are broadcast — no sort-merge join anywhere, per-batch
+        # shuffles touch only batch-derived frames
+        plan = plan_of(spark, "q105_line_dedup_incremental")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_q104_map_only_no_exchange(self, spark):
         # ref-id backfill is a pure projection: no shuffle, no join, no
         # Python — one scan, one regexp per interesting row

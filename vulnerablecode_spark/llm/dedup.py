@@ -816,3 +816,99 @@ def line_level_dedup(docs: DataFrame, *, w: int = 3,
              .cast("bigint").alias("segs_dropped"),
         )
     )
+
+
+def line_seg_counts(docs: DataFrame, *, w: int = 3,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Stored index for incremental line-level dedup: per-segment
+    distinct-document counts (seg, n_docs) over a corpus slice. Built
+    once per slice and persisted; disjoint slices ADD (distinct-doc
+    counts over disjoint doc sets are additive), which is what makes
+    :func:`line_level_dedup_incremental` exact."""
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(segs).alias("seg"))
+        .groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+
+
+def line_level_dedup_incremental(index_counts: DataFrame,
+                                 new_docs: DataFrame, *, w: int = 3,
+                                 boilerplate_min_docs: int = 3,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> DataFrame:
+    """Incremental :func:`line_level_dedup`: clean a NEW batch against a
+    STORED per-segment count index (``line_seg_counts`` of everything
+    ingested so far) without recomputing the corpus.
+
+    Exactness: distinct-doc counts are additive across the disjoint
+    (stored, new) doc sets, so "count over old∪new" = stored + batch
+    counts; a new-batch segment is boilerplate iff that sum crosses the
+    threshold. The output equals the batch operator run on the full
+    corpus, restricted to the new docs (property-tested).
+
+    Scale (per batch ∝ batch, q63/q97 discipline): only segments
+    PRESENT IN THE BATCH can matter for cleaning the batch, so the
+    batch's count frame (small) broadcasts against ONE scan of the
+    stored index — the corpus text is never touched, the index is never
+    shuffled, and the resulting boilerplate set + drop map broadcast
+    back onto the un-exploded batch. With the index stored bucketed by
+    a seg-hash column, that one scan prunes to the batch's buckets.
+    Segments newly crossing the threshold also poison PREVIOUSLY
+    cleaned docs — emit them from ``stored + batch`` counts as a retro
+    work list when maintaining a serving copy (same re-clean staleness
+    shape as operators/unfurl.py re-unfurl).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - F.lit(1)),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )
+    with_segs = new_docs.select(F.col(id_col), segs.alias("segs"))
+    exploded = with_segs.select(
+        id_col, F.posexplode("segs").alias("seg_idx", "seg"))
+    batch_counts = (
+        exploded.groupBy("seg")
+        .agg(F.count_distinct(F.col(id_col)).alias("_batch_docs"))
+    )
+    # ONE scan of the stored index, semi-joined down to batch-present
+    # segments by the broadcast batch frame (only those can matter for
+    # cleaning the batch); the merge with batch counts is then
+    # small-small. Segments absent from the index surface with NULL
+    # stored count — they can still cross on batch counts alone.
+    idx_hits = index_counts.join(
+        F.broadcast(batch_counts.select("seg")), "seg", "left_semi")
+    common = (
+        batch_counts.join(idx_hits, "seg", "left")
+        .filter((F.coalesce(F.col("n_docs"), F.lit(0))
+                 + F.col("_batch_docs")) >= boilerplate_min_docs)
+        .select("seg")
+    )
+    drop_map = (
+        exploded.join(F.broadcast(common), "seg", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("seg_idx").alias("drop_idx"))
+    )
+    empty_int_array = F.array().cast("array<int>")
+    drop_idx = F.coalesce(F.col("drop_idx"), empty_int_array)
+    return (
+        with_segs.join(F.broadcast(drop_map), id_col, "left")
+        .select(
+            id_col,
+            F.array_join(
+                F.filter("segs", lambda s, i: ~F.array_contains(drop_idx, i)),
+                " ",
+            ).alias("cleaned_text"),
+            F.size("segs").cast("bigint").alias("segs_total"),
+            F.coalesce(F.size("drop_idx"), F.lit(0))
+             .cast("bigint").alias("segs_dropped"),
+        )
+    )

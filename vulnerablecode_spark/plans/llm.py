@@ -1974,3 +1974,50 @@ def q103_quantile_length_gate(spark, sf_dir):
                   .otherwise(0)).alias("n_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL line-level dedup — clean an arriving batch (doc_id < 50, a
+# fixed-size increment while the stored corpus grows with SF: the right
+# incremental shape) against a STORED per-segment count index of
+# everything else, without recomputing the corpus. Distinct-doc counts
+# add across disjoint slices, so the result equals the batch operator on
+# the full corpus restricted to the new docs — which is exactly what the
+# oracle computes. Per-batch work ∝ batch: one semi-joined index scan,
+# everything else broadcast (llm/dedup.py line_level_dedup_incremental).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_line_dedup_incremental",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(tokens[i*3+1:i*3+3], ' ') AS seg
+        FROM toks,
+             UNNEST(range(0, CAST(ceil(len(tokens) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    freq AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING COUNT(DISTINCT doc_id) >= 3
+    )
+    SELECT s.doc_id,
+           COALESCE(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END,
+                               ' ' ORDER BY s.seg_idx), '') AS cleaned_text,
+           COUNT(*) AS segs_total,
+           COUNT(f.seg) AS segs_dropped
+    FROM segs s LEFT JOIN freq f ON s.seg = f.seg
+    WHERE s.doc_id < 50
+    GROUP BY s.doc_id
+    """,
+)
+def q105_line_dedup_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") >= 50)
+    new_batch = docs.filter(F.col("doc_id") < 50)
+    index = dedup.line_seg_counts(stored, w=3)
+    return dedup.line_level_dedup_incremental(
+        index, new_batch, w=3, boilerplate_min_docs=3)
