@@ -51,7 +51,8 @@ EXTRAS = [
     "q69_distinctive_terms", "q72_exact_substrings",
     "q75_dsir_importance", "q76_surprisal_partition",
     "q78_curation_pipeline", "q81_advisory_pipeline",
-    "q97_ivf_incremental",
+    "q97_ivf_incremental", "q101_line_dedup",
+    "q105_line_dedup_incremental",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}
