@@ -375,6 +375,14 @@ class TestRound9PlanQuality:
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_q106_eval_compare_is_broadcast(self, spark):
+        # recall eval: the approx top-k frame (≤ k rows per probe) must
+        # broadcast into the compare join; ground truth is the partial
+        # top-k scan — no cartesian anywhere
+        plan = plan_of(spark, "q106_ann_recall_eval")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
     def test_q104_map_only_no_exchange(self, spark):
         # ref-id backfill is a pure projection: no shuffle, no join, no
         # Python — one scan, one regexp per interesting row

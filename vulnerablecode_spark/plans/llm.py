@@ -2021,3 +2021,82 @@ def q105_line_dedup_incremental(spark, sf_dir):
     index = dedup.line_seg_counts(stored, w=3)
     return dedup.line_level_dedup_incremental(
         index, new_batch, w=3, boilerplate_min_docs=3)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — the eval harness AS an operator: per probe,
+# exact brute-force top-5 (ground truth) vs sign-LSH bucketed top-5,
+# scored as integer basis-point recall (no float hazard). A retrieval
+# pipeline runs this continuously to decide when an index needs
+# rebuilding (the drift gate q97 uses, made inspectable). Scale: ground
+# truth is the expensive half — run it on a SAMPLED probe set (here the
+# fixed 10-probe panel); the compare itself is two small top-k frames.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q106_ann_recall_eval",
+    oracle=f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                      CAST({_SQL_BUCKET} AS INT) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rk
+            FROM (SELECT query_id, c.vec_id AS neighbor_id,
+                         ROUND(list_dot_product(qv, c.v) /
+                               (sqrt(list_dot_product(qv, qv)) *
+                                sqrt(list_dot_product(c.v, c.v))), 4)
+                             AS cosine_sim
+                  FROM q CROSS JOIN b c WHERE query_id <> c.vec_id)
+        ) WHERE rk <= 5
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, neighbor_id)
+                       AS rk
+            FROM (SELECT query_id, c.vec_id AS neighbor_id,
+                         ROUND(list_dot_product(qv, c.v) /
+                               (sqrt(list_dot_product(qv, qv)) *
+                                sqrt(list_dot_product(c.v, c.v))), 4)
+                             AS cosine_sim
+                  FROM q JOIN b c USING (bucket)
+                  WHERE query_id <> c.vec_id)
+        ) WHERE rk <= 5
+    )
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           COUNT(a.neighbor_id) AS n_hit,
+           (COUNT(a.neighbor_id) * 10000) // COUNT(*) AS recall_bp
+    FROM exact e LEFT JOIN approx a
+         ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q106_ann_recall_eval(spark, sf_dir):
+    emb_b = _embedding_artifacts(spark, sf_dir, bucketed=True)["bucketed"]
+    queries_df = emb_b.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(
+        _embedding_artifacts(spark, sf_dir)["cast"], queries_df, k=5,
+        impl="partial", prepared_queries=_topk_query_matrix(spark, sf_dir)
+    ).select("query_id", "neighbor_id")
+    approx = similarity.ann_topk_lsh(
+        emb_b, queries_df, k=5, bucket_col="bucket", impl="arrow"
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .withColumn(
+            "recall_bp",
+            F.expr("CAST((n_hit * 10000) DIV n_exact AS BIGINT)"))
+    )
