@@ -383,6 +383,15 @@ class TestRound9PlanQuality:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
 
+    def test_q107_stats_broadcast_and_takeordered(self, spark):
+        # BM25: per-term stats broadcast onto the tf frame, and the
+        # final top-k is TakeOrdered (distributed partial top-k), never
+        # a single-partition sort of the matching-doc frame
+        plan = plan_of(spark, "q107_bm25_topk")
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
     def test_q104_map_only_no_exchange(self, spark):
         # ref-id backfill is a pure projection: no shuffle, no join, no
         # Python — one scan, one regexp per interesting row

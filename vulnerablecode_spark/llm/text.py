@@ -224,3 +224,63 @@ def feature_hash_counts(df: DataFrame, text_col: str = "text",
         .groupBy(id_col, "dim")
         .agg(F.count(F.lit(1)).cast("bigint").alias("count"))
     )
+
+
+def bm25_topk(docs: DataFrame, terms: list[str], *, k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones Okapi BM25) for a
+    fixed bag of query terms: score(d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1), top-k
+    docs by (score desc, doc id) — the relevance-ranked counterpart of
+    the substring searches in operators/search.py.
+
+    Scale: one token explode filtered to the query terms (term-
+    proportional, not corpus-proportional, after the filter), one
+    (doc, term) count shuffle, then every statistics frame — per-term
+    df joined with the 1-row corpus stats (N, avgdl) — is a handful of
+    rows and BROADCASTS onto the tf frame; the per-doc length frame
+    joins on the same doc key as tf. In a serving deployment the term
+    statistics are cached constants; here they stay in-plan so the
+    oracle can reproduce them.
+    """
+    toks = F.split(F.col(text_col), " ")
+    lengths = docs.select(F.col(id_col), F.size(toks).alias("dl"))
+    corpus_stats = lengths.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).withColumn("_k", F.lit(1))
+    hits = (
+        docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+        .filter(F.col("tok").isin(terms))
+    )
+    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_stats = (
+        tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(corpus_stats), "_k")
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5)
+                  / (F.col("df") + 0.5) + 1.0))
+        .select("tok", "idf", "avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df_stats), "tok")
+        .join(lengths, id_col)
+        .withColumn(
+            "_contrib",
+            F.col("idf") * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf")
+               + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_contrib"), 4).alias("score"))
+    )
+    # top-k via orderBy+limit → TakeOrderedAndProject (distributed
+    # partial top-k per partition, NO single-partition sort of the
+    # matching-doc frame); the rank window then runs over k rows only
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))

@@ -2100,3 +2100,62 @@ def q106_ann_recall_eval(spark, sf_dir):
             "recall_bp",
             F.expr("CAST((n_hit * 10000) DIV n_exact AS BIGINT)"))
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — relevance-scored text search over the corpus
+# for a fixed term bag (the ranked counterpart of the substring/tiered
+# searches in operators/search.py). Token explode filtered to the query
+# terms (term-proportional), per-term stats broadcast, top-k via
+# TakeOrdered — never a global sort of the matching docs
+# (llm/text.py bm25_topk).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q107_bm25_topk",
+    oracle="""
+    WITH lengths AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(dl) AS avgdl FROM lengths
+    ),
+    hits AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok IN ('spark', 'join', 'window')
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok
+    ),
+    df_stats AS (
+        SELECT tok,
+               ln((c.n_docs - CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5)
+                  / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0)
+                   AS idf,
+               c.avgdl AS avgdl
+        FROM tf, corpus c GROUP BY tok, c.n_docs, c.avgdl
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(SUM(s.idf * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                     4) AS score
+        FROM tf t
+        JOIN df_stats s ON t.tok = s.tok
+        JOIN lengths l ON t.doc_id = l.doc_id
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def q107_bm25_topk(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, ["spark", "join", "window"], k=10)
