@@ -392,6 +392,15 @@ class TestRound9PlanQuality:
         assert "TakeOrderedAndProject" in plan
         assert "CartesianProduct" not in plan
 
+    def test_q108_two_shuffle_sessionize(self, spark):
+        # sessionization: one user_id hash shuffle feeds BOTH windows
+        # (lag + running sum share the partitioning), plus the
+        # per-session rollup on the compound key — never more
+        plan = plan_of(spark, "q108_sessionize")
+        assert "Window" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+        assert "Join" not in plan
+
     def test_q104_map_only_no_exchange(self, spark):
         # ref-id backfill is a pure projection: no shuffle, no join, no
         # Python — one scan, one regexp per interesting row

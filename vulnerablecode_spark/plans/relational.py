@@ -813,3 +813,65 @@ def q42_percentiles(spark, sf_dir):
         F.round(F.percentile("value", F.lit(0.95)), 3).alias("p95"),
         F.round(F.avg("value"), 3).alias("mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 sessionization — gap-based session assignment (the batch twin of a
+# Structured Streaming session window, and the classic "changelog burst"
+# grouping the reference's VulnerabilityChangeLog ordering implies):
+# per user, a new session starts when the gap to the previous event
+# exceeds 12h. Gaps are compared in INTEGER microseconds
+# (timestampdiff / date_diff) — every ts here carries sub-second parts,
+# so second-truncated casts would disagree across engines at boundaries.
+# Scale: ONE hash shuffle on user_id feeds both windows (lag + running
+# sum); the per-session rollup shuffles the already-session-tagged rows
+# on the compound key — the q16 two-shuffle shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q108_sessionize",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                            > 43200000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM seq
+    )
+    SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+           COUNT(*) AS n_events, MIN(ts) AS t_start, MAX(ts) AS t_end
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q108_sessionize(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("_prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+                   > 43_200_000_000),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("is_new").over(run).cast("int"))
+    )
+    return tagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+    )
