@@ -401,6 +401,13 @@ class TestRound9PlanQuality:
         assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
         assert "Join" not in plan
 
+    def test_q109_rate_dim_broadcasts(self, spark):
+        # temperature rebalance: the per-group rate dim broadcasts onto
+        # the corpus — the corpus itself never shuffles
+        plan = plan_of(spark, "q109_temperature_sample")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
     def test_q104_map_only_no_exchange(self, spark):
         # ref-id backfill is a pure projection: no shuffle, no join, no
         # Python — one scan, one regexp per interesting row

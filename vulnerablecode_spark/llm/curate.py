@@ -551,3 +551,42 @@ def epoch_upsample(
             "copy_idx",
         )
     )
+
+
+def temperature_sample(docs: DataFrame, *, alpha: float = 0.5,
+                       group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based source rebalancing (the multilingual α-sampling
+    of mBERT/XLM: target mixture ∝ n_s^α, α = 1/T): per-source keep rate
+    r_s ∝ n_s^(α−1), normalized so the smallest source is kept whole —
+    low-resource sources are boosted relative to the head, nothing is
+    upsampled. The gate is the same deterministic
+    ``hash64(group:id) % 10000 < rate_bp`` as :func:`stratified_sample`,
+    so verdicts are stable under corpus growth.
+
+    α = 0.5 (the default) computes rates as ``sqrt(n_min / n_s)`` —
+    division and sqrt are IEEE-correctly-rounded, so rates are
+    bit-identical across engines; other α values go through pow
+    (per-engine libm, deterministic on fixed data but not guaranteed
+    identical in the last ulp).
+
+    Scale: one groupBy on the handful of sources; the rate dim
+    broadcasts back onto the corpus — the corpus itself never shuffles.
+    """
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source"))
+    wall = Window.partitionBy()  # source-count frame: a handful of rows
+    ratio = (F.min("n_source").over(wall).cast("double")
+             / F.col("n_source").cast("double"))
+    scale = (F.sqrt(ratio) if alpha == 0.5
+             else F.pow(ratio, F.lit(1.0 - alpha)))
+    rates = counts.withColumn(
+        "rate_bp", F.floor(F.lit(10000) * scale).cast("bigint"))
+    gate = hash64(F.concat_ws(
+        ":", F.col(group_col).cast("string"),
+        F.col(id_col).cast("string"))) % 10000
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(gate < F.col("rate_bp"))
+        .select(F.col(id_col), F.col(group_col), "n_source", "rate_bp")
+    )

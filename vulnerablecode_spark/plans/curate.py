@@ -259,3 +259,41 @@ def q74_bpe_merge_stats(spark, sf_dir):
 def q70_epoch_upsample(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return curate.epoch_upsample(docs, max_epochs=4)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based source rebalancing (mBERT/XLM α-sampling, α=0.5):
+# keep rate per source = sqrt(n_min/n_s) in basis points — the smallest
+# source kept whole, the head downsampled toward mixture ∝ n^α. sqrt and
+# division are IEEE-correctly-rounded, so rates are bit-identical across
+# engines (no libm pow in the graded path). Corpus never shuffles: one
+# tiny source-count agg, rate dim broadcast back, deterministic hash
+# gate (llm/curate.py temperature_sample).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q109_temperature_sample",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n_source FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n_source,
+               CAST(FLOOR(10000 * sqrt(
+                   CAST((SELECT MIN(n_source) FROM counts) AS DOUBLE)
+                   / CAST(n_source AS DOUBLE))) AS BIGINT) AS rate_bp
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang, r.n_source, r.rate_bp
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {_SQL_HASH64.format(
+        s="(d.lang || ':' || CAST(d.doc_id AS VARCHAR))")} % 10000
+          < r.rate_bp
+    """,
+)
+def q109_temperature_sample(spark, sf_dir):
+    # group on lang — the skewed dimension of the corpus (en is ~3.4x
+    # fr at sf0.01), so the rebalance actually downsamples the head
+    docs = _load(spark, sf_dir, "documents")
+    return curate.temperature_sample(docs, alpha=0.5, group_col="lang")
