@@ -12,6 +12,7 @@ from contextlib import redirect_stdout
 import pytest
 
 import vulnerablecode_spark.plans.coverage  # noqa: F401
+import vulnerablecode_spark.plans.curate  # noqa: F401
 import vulnerablecode_spark.plans.entity  # noqa: F401
 import vulnerablecode_spark.plans.llm  # noqa: F401
 import vulnerablecode_spark.plans.relational  # noqa: F401
