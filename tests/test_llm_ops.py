@@ -1127,3 +1127,205 @@ class TestLineLevelDedupIncremental:
                    line_seg_counts(stored, w=w), new,
                    w=w, boilerplate_min_docs=k).collect()}
         assert inc == batch
+
+
+class TestLineLevelDedupBroadcastGuard:
+    """ADVICE r9 / VERDICT r10 directive #3: the boilerplate/drop-map
+    broadcasts are an assumption, not a guarantee — ``broadcast_limit``
+    probes each dim's cardinality and withholds the hint above it, so an
+    adversarial corpus (boilerplate ∝ corpus) degrades to a shuffle join
+    instead of an OOM. Forcing limit=0 must flip every dim join to the
+    shuffle path while leaving results bit-identical."""
+
+    def _docs(self, spark, n=8):
+        rows = [(i, f"hdr foo bar uniq{i} tok{i} x{i}") for i in range(n)]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_batch_fallback_equals_broadcast(self, spark):
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        docs = self._docs(spark)
+        fast = {tuple(r) for r in line_level_dedup(
+            docs, w=3, boilerplate_min_docs=3).collect()}
+        safe = {tuple(r) for r in line_level_dedup(
+            docs, w=3, boilerplate_min_docs=3,
+            broadcast_limit=0).collect()}
+        assert fast == safe and fast
+
+    def test_fallback_plan_has_no_forced_broadcast(self, spark):
+        # the static plan must lose the broadcast on the corpus-rebuild
+        # join when the guard trips (AQE may still re-broadcast at
+        # runtime when the dim turns out tiny — that is the point: the
+        # decision moves from a hard hint to a size-aware one)
+        import io
+        from contextlib import redirect_stdout
+
+        from vulnerablecode_spark.llm.dedup import line_level_dedup
+
+        df = line_level_dedup(self._docs(spark), w=3,
+                              boilerplate_min_docs=3, broadcast_limit=0)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert "SortMergeJoin" in buf.getvalue()
+
+    def test_incremental_fallback_equals_broadcast(self, spark):
+        from vulnerablecode_spark.llm.dedup import (
+            line_level_dedup_incremental, line_seg_counts)
+
+        docs = self._docs(spark)
+        stored = docs.filter(F.col("doc_id") >= 4)
+        new = docs.filter(F.col("doc_id") < 4)
+        index = line_seg_counts(stored, w=3)
+        fast = {tuple(r) for r in line_level_dedup_incremental(
+            index, new, w=3, boilerplate_min_docs=3).collect()}
+        safe = {tuple(r) for r in line_level_dedup_incremental(
+            index, new, w=3, boilerplate_min_docs=3,
+            broadcast_limit=0).collect()}
+        assert fast == safe and fast
+
+    def test_null_text_rows_dropped_like_oracle(self, spark):
+        # ADVICE r9: the q101 oracle's UNNEST(range(NULL)) eliminates
+        # NULL-text docs; the operator must agree instead of emitting a
+        # (NULL, NULL, NULL) row
+        from vulnerablecode_spark.llm.dedup import (line_level_dedup,
+                                                    line_seg_counts,
+                                                    line_seg_postings)
+
+        docs = self._docs(spark).unionByName(
+            spark.createDataFrame([(99, None)], "doc_id long, text string"))
+        out = line_level_dedup(docs, w=3, boilerplate_min_docs=3).collect()
+        assert 99 not in {r.doc_id for r in out}
+        assert line_seg_counts(docs, w=3).filter(
+            F.col("seg").isNull()).count() == 0
+        assert line_seg_postings(docs, w=3).filter(
+            F.col("doc_id") == 99).count() == 0
+
+
+class TestRetroReclean:
+    """q110: segments crossing the boilerplate threshold on an increment
+    poison previously-cleaned documents. newly_common_segments names
+    them, retro_reclean_ids emits the work list from the stored postings,
+    retro_reclean repairs against merged stored+batch counts."""
+
+    def test_newly_common_excludes_already_common(self, spark):
+        from vulnerablecode_spark.llm.dedup import (line_seg_counts,
+                                                    newly_common_segments)
+
+        stored = spark.createDataFrame(
+            # "old old seg" already common in the store (3 docs);
+            # "new new seg" at 2 — one batch hit crosses it
+            [(10, "old old seg new new seg"),
+             (11, "old old seg new new seg"),
+             (12, "old old seg alpha beta gamma")],
+            ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            [(1, "new new seg delta eps zeta")], ["doc_id", "text"])
+        newly = {r.seg for r in newly_common_segments(
+            line_seg_counts(stored, w=3), line_seg_counts(batch, w=3),
+            boilerplate_min_docs=3).collect()}
+        assert newly == {"new new seg"}
+
+    def test_worklist_and_repair(self, spark):
+        from vulnerablecode_spark.llm import dedup as d
+
+        stored = spark.createDataFrame(
+            [(10, "new new seg keep me here"),
+             (11, "new new seg other tail toks"),
+             (12, "unrelated words only here now")],
+            ["doc_id", "text"])
+        batch = spark.createDataFrame(
+            [(1, "new new seg batch tail x")], ["doc_id", "text"])
+        index = d.line_seg_counts(stored, w=3)
+        postings = d.line_seg_postings(stored, w=3)
+        bc = d.line_seg_counts(batch, w=3)
+        newly = d.newly_common_segments(index, bc, boilerplate_min_docs=3)
+        ids = {r.doc_id for r in
+               d.retro_reclean_ids(postings, newly).collect()}
+        assert ids == {10, 11}
+        affected = stored.filter(F.col("doc_id").isin(list(ids)))
+        got = {r.doc_id: r.cleaned_text for r in d.retro_reclean(
+            affected, index, bc, w=3, boilerplate_min_docs=3).collect()}
+        assert got == {10: "keep me here", 11: "other tail toks"}
+
+
+class TestRetroRecleanProperty:
+    """VERDICT r10 directive #1, the completing invariant: incremental
+    clean of the batch + retro re-clean of the work list + the untouched
+    previously-cleaned rows ≡ batch line_level_dedup over old ∪ new, for
+    ALL documents (q105's test only covered the new docs)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 3), st.integers(2, 4))
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_incremental_plus_retro_equals_batch(self, spark, seed, w, k):
+        import random
+
+        from vulnerablecode_spark.llm import dedup as d
+
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc"]
+        n = rng.randint(2, 12)
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(1, 10))))
+                for i in range(n)]
+        cut = rng.randint(0, n)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        stored = df.filter(F.col("doc_id") >= cut)
+        new = df.filter(F.col("doc_id") < cut)
+
+        # state at time T: cleaned store + its indexes
+        served = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+                  for r in d.line_level_dedup(
+                      stored, w=w, boilerplate_min_docs=k).collect()}
+        index = d.line_seg_counts(stored, w=w)
+        postings = d.line_seg_postings(stored, w=w)
+
+        # increment at T+1: clean the batch, emit + repair the work list
+        bc = d.line_seg_counts(new, w=w)
+        for r in d.line_level_dedup_incremental(
+                index, new, w=w, boilerplate_min_docs=k).collect():
+            served[r.doc_id] = (r.cleaned_text, r.segs_total, r.segs_dropped)
+        newly = d.newly_common_segments(index, bc, boilerplate_min_docs=k)
+        work = [r.doc_id for r in
+                d.retro_reclean_ids(postings, newly).collect()]
+        if work:
+            affected = stored.filter(F.col("doc_id").isin(work))
+            for r in d.retro_reclean(affected, index, bc, w=w,
+                                     boilerplate_min_docs=k).collect():
+                served[r.doc_id] = (r.cleaned_text, r.segs_total,
+                                    r.segs_dropped)
+
+        batch_full = {r.doc_id: (r.cleaned_text, r.segs_total,
+                                 r.segs_dropped)
+                      for r in d.line_level_dedup(
+                          df, w=w, boilerplate_min_docs=k).collect()}
+        assert served == batch_full
+
+
+class TestNearDupCompositionTierEquality:
+    """VERDICT r10 directive #4: the tier the 100 TB story cites is now
+    the default — assert the FULL near-dup composition (shingle → MinHash
+    → LSH candidates → exact verify) is bit-identical from either
+    hashed_shingles tier, not just the shingle frames."""
+
+    def test_full_composition_hof_equals_arrow(self, spark):
+        from vulnerablecode_spark.llm.dedup import (hashed_shingles,
+                                                    near_dup_pairs)
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(1, base), (2, base + " tail"), (3, base.replace("dog", "cat")),
+                (4, "completely different text with no overlap at all here"),
+                (5, base), (6, None)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        outs = {}
+        for impl in ("hof", "arrow"):
+            hashed = hashed_shingles(docs, impl=impl).localCheckpoint(
+                eager=True)
+            outs[impl] = {(r.doc_a, r.doc_b, r.jaccard)
+                          for r in near_dup_pairs(
+                              hashed=hashed, threshold=0.2).collect()}
+        assert outs["hof"] == outs["arrow"] and outs["hof"]

@@ -416,3 +416,17 @@ class TestRound9PlanQuality:
         assert "Exchange" not in plan
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound10PlanQuality:
+    def test_q110_reclean_is_broadcast_and_pure_catalyst(self, spark):
+        # retro re-clean: the newly-common dim, work-list semi-join,
+        # merged-count semi-joins and the rebuild join are all broadcast
+        # (work ∝ affected docs — nothing corpus-proportional shuffles),
+        # and the whole path is Catalyst-only
+        plan = plan_of(spark, "q110_line_dedup_reclean")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

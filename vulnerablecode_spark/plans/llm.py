@@ -2159,3 +2159,73 @@ def q106_ann_recall_eval(spark, sf_dir):
 def q107_bm25_topk(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return text.bm25_topk(docs, ["spark", "join", "window"], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Retro re-clean after an increment (the q105 completion): segments that
+# cross the boilerplate threshold ONLY once the batch arrives poison
+# PREVIOUSLY cleaned documents. The stored postings index names exactly
+# which stored docs are stale (the work list), and the repair pass
+# re-cleans their ORIGINAL text against the merged stored+batch counts.
+# Composed with q105's incremental clean, the serving copy equals a
+# from-scratch batch clean of old ∪ new (property-tested in
+# tests/test_llm_ops.py). Scale: work ∝ affected docs — the newly-common
+# dim is batch-derived and small, the postings/count scans prune to its
+# segments when bucketed, and the corpus is touched only to fetch the
+# affected docs' text (llm/dedup.py newly_common_segments /
+# retro_reclean_ids / retro_reclean).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_line_dedup_reclean",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, CAST(i AS INT) AS seg_idx,
+               array_to_string(tokens[i*3+1:i*3+3], ' ') AS seg
+        FROM toks,
+             UNNEST(range(0, CAST(ceil(len(tokens) / 3.0) AS BIGINT))) AS t(i)
+    ),
+    stored_f AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS n FROM segs
+        WHERE doc_id >= 50 GROUP BY seg
+    ),
+    full_f AS (
+        SELECT seg, COUNT(DISTINCT doc_id) AS n FROM segs GROUP BY seg
+    ),
+    newly AS (
+        SELECT f.seg FROM full_f f LEFT JOIN stored_f s ON f.seg = s.seg
+        WHERE COALESCE(s.n, 0) < 3 AND f.n >= 3
+    ),
+    affected AS (
+        SELECT DISTINCT s.doc_id FROM segs s
+        JOIN newly nc ON s.seg = nc.seg WHERE s.doc_id >= 50
+    ),
+    freq AS (SELECT seg FROM full_f WHERE n >= 3)
+    SELECT s.doc_id,
+           COALESCE(string_agg(CASE WHEN f.seg IS NULL THEN s.seg END,
+                               ' ' ORDER BY s.seg_idx), '') AS cleaned_text,
+           COUNT(*) AS segs_total,
+           COUNT(f.seg) AS segs_dropped
+    FROM segs s
+    JOIN affected a ON s.doc_id = a.doc_id
+    LEFT JOIN freq f ON s.seg = f.seg
+    GROUP BY s.doc_id
+    """,
+)
+def q110_line_dedup_reclean(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    index = dedup.line_seg_counts(stored, w=3)
+    postings = dedup.line_seg_postings(stored, w=3)
+    batch_counts = dedup.line_seg_counts(batch, w=3)
+    newly = dedup.newly_common_segments(
+        index, batch_counts, boilerplate_min_docs=3)
+    work = dedup.retro_reclean_ids(postings, newly)
+    affected = stored.join(F.broadcast(work), "doc_id", "left_semi")
+    return dedup.retro_reclean(
+        affected, index, batch_counts, w=3, boilerplate_min_docs=3)
