@@ -341,3 +341,60 @@ class TestStratifiedSampleNullStrata:
             key = f"web:{lang}:{doc_id}"
             gate = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 10000
             assert gate < r.rate_bp  # kept rows satisfy the COALESCED key
+
+
+class TestTemperatureSampleNullGroup:
+    """ADVICE r9: NULL group_col must not silently vanish — unlabeled
+    docs fold to the '__null__' sentinel and are sampled as their own
+    source; non-null groups keep the identical hash gate."""
+
+    def test_null_group_docs_sampled_as_own_source(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "t", None if i < 20 else "en") for i in range(60)],
+            "doc_id bigint, text string, lang string")
+        out = {r.doc_id: r for r in curate.temperature_sample(
+            docs, alpha=0.5, group_col="lang").collect()}
+        assert out, "some docs survive"
+        null_rows = [r for r in out.values() if r.lang is None]
+        assert null_rows, "unlabeled docs reach the manifest"
+        assert all(r.n_source == 20 for r in null_rows)
+        # smallest source (the NULL group, 20 docs) is kept whole
+        assert all(r.rate_bp == 10000 for r in null_rows)
+        assert len(null_rows) == 20
+
+    def test_non_null_gate_unchanged_by_sentinel(self, spark):
+        import hashlib
+
+        docs = spark.createDataFrame(
+            [(i, "t", "en" if i % 3 else "fr") for i in range(60)],
+            "doc_id bigint, text string, lang string")
+        out = {r.doc_id: r for r in curate.temperature_sample(
+            docs, alpha=0.5, group_col="lang").collect()}
+        for doc_id, r in out.items():
+            key = f"{r.lang}:{doc_id}"
+            gate = int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 10000
+            assert gate < r.rate_bp
+
+
+class TestBpeTrainSampling:
+    def test_sampled_merges_apply_corpus_wide(self, spark):
+        # VERDICT r10 directive #6: merges trained on a sample must be a
+        # valid merge table for the WHOLE corpus — same (l, r) schema,
+        # and bpe_apply_merges encodes every doc with them cleanly
+        docs = spark.createDataFrame(
+            [(i, "a b a b c d a b") for i in range(30)],
+            "doc_id bigint, text string")
+        merges = curate.bpe_train(docs, n_merges=2, sample_fraction=0.5)
+        assert merges, "sample still learns the dominant pair"
+        assert merges[0] == ("a", "b")
+        encoded = curate.bpe_apply_merges(docs, merges).collect()
+        assert len(encoded) == 30
+        assert all(r.n_tok_after < r.n_tok_before for r in encoded)
+
+    def test_sampling_is_deterministic(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x y x y z") for i in range(40)],
+            "doc_id bigint, text string")
+        a = curate.bpe_train(docs, n_merges=2, sample_fraction=0.4)
+        b = curate.bpe_train(docs, n_merges=2, sample_fraction=0.4)
+        assert a == b

@@ -791,6 +791,29 @@ class TestSearch:
         got = tiered_search(advisories, "pysec").collect()
         assert len(got) == 3 and all(r.tier == 3 for r in got)
 
+    def test_tiered_search_agg_shape_equals_window(self, advisories):
+        # ADVICE r9: the window shape's single-partition exchange carries
+        # the match set (page-bound assumption); shape='agg' is the
+        # enforced-safe alternative — outputs must be identical and the
+        # safe plan must not contain the single-partition window at all
+        import io
+        from contextlib import redirect_stdout
+
+        from vulnerablecode_spark.operators.search import tiered_search
+
+        for q in ("PYSEC-2024-1", "CVE-2024-1111", "pysec"):
+            fast = [tuple(r) for r in tiered_search(advisories, q).collect()]
+            safe = [tuple(r) for r in
+                    tiered_search(advisories, q, shape="agg").collect()]
+            assert fast == safe and fast
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            tiered_search(advisories, "pysec", shape="agg").explain("formatted")
+        plan = buf.getvalue()
+        assert "Window" not in plan
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
     def test_search_packages_purl_aware(self, spark):
         from vulnerablecode_spark.operators.search import search_packages
 

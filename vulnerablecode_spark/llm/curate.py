@@ -425,6 +425,7 @@ def bpe_train(
     n_merges: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sample_fraction: float | None = None,
 ) -> "list[tuple[str, str]]":
     """Distributed BPE training: ``n_merges`` rounds of (count adjacent
     pairs over the currently-encoded corpus → adopt the most frequent
@@ -434,11 +435,23 @@ def bpe_train(
     (``n_merges`` rows), never data. Rounds are bounded by construction;
     ties break (count desc, pair asc) like ``bpe_merge_stats``, so the
     learned table is deterministic.
+
+    Exact BPE is inherently iterative — one full-corpus aggregation per
+    merge — so at 100 TB you train on a SAMPLE, not the corpus (the
+    standard tokenizer-training practice: GPT-2/SentencePiece vocabs are
+    fit on a few GB regardless of corpus size). ``sample_fraction``
+    makes that explicit: the merge statistics are computed on a
+    deterministic Bernoulli sample (seeded, so the learned table is
+    reproducible) while :func:`bpe_apply_merges` still encodes the full corpus
+    with the resulting merges. Leave it ``None`` only for corpus-sized
+    utilities and tests.
     """
     from pyspark.sql import functions as F  # noqa: F811 — local for clarity
 
     merges: list[tuple[str, str]] = []
     corpus = docs.select(id_col, text_col)
+    if sample_fraction is not None:
+        corpus = corpus.sample(fraction=float(sample_fraction), seed=7)
     for _ in range(int(n_merges)):
         if merges:
             # re-encode is one mapInPandas pass; the fingerprint columns
@@ -570,10 +583,19 @@ def temperature_sample(docs: DataFrame, *, alpha: float = 0.5,
     (per-engine libm, deterministic on fixed data but not guaranteed
     identical in the last ulp).
 
+    NULL ``group_col`` (unlabeled docs — common in web corpora) is
+    folded to the ``'__null__'`` sentinel for counting, joining and
+    gating (ADVICE r9: an inner join on a NULL key silently dropped
+    those docs from the manifest), so unlabeled docs are sampled as
+    their own source; the output reports the ORIGINAL group value.
+
     Scale: one groupBy on the handful of sources; the rate dim
     broadcasts back onto the corpus — the corpus itself never shuffles.
     """
-    counts = docs.groupBy(group_col).agg(
+    sent = docs.withColumn(
+        "_grp", F.coalesce(F.col(group_col).cast("string"),
+                           F.lit("__null__")))
+    counts = sent.groupBy("_grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_source"))
     wall = Window.partitionBy()  # source-count frame: a handful of rows
     ratio = (F.min("n_source").over(wall).cast("double")
@@ -583,10 +605,9 @@ def temperature_sample(docs: DataFrame, *, alpha: float = 0.5,
     rates = counts.withColumn(
         "rate_bp", F.floor(F.lit(10000) * scale).cast("bigint"))
     gate = hash64(F.concat_ws(
-        ":", F.col(group_col).cast("string"),
-        F.col(id_col).cast("string"))) % 10000
+        ":", F.col("_grp"), F.col(id_col).cast("string"))) % 10000
     return (
-        docs.join(F.broadcast(rates), group_col)
+        sent.join(F.broadcast(rates), "_grp")
         .filter(gate < F.col("rate_bp"))
         .select(F.col(id_col), F.col(group_col), "n_source", "rate_bp")
     )

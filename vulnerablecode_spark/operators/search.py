@@ -14,10 +14,28 @@ from pyspark.sql import functions as F
 from vulnerablecode_spark.kernel.purl import PurlError, parse_purl
 
 
-def tiered_search(advisories: DataFrame, query: str) -> DataFrame:
+def tiered_search(advisories: DataFrame, query: str,
+                  shape: str = "window") -> DataFrame:
     """Tier 1: exact advisory_id; 2: exact alias; 3: id/alias contains;
     4: summary/reference-url contains. Rows of the best populated tier
-    only, ordered by advisory_id (models.py:150-178)."""
+    only, ordered by advisory_id (models.py:150-178).
+
+    ``shape`` picks the global-min strategy (equal outputs, tested):
+
+    - ``'window'`` (default): empty-partition window over the filtered
+      match set — one corpus scan, fastest measured (r9). The single-
+      partition exchange carries the MATCH SET, which the serving layer
+      page-bounds; a pathological broad query (tier-4 contains matching
+      most of the corpus) would serialize those matches through one
+      task, so serving paths that cannot bound matches use:
+    - ``'agg'``: the unconditionally safe shape — the match set is
+      checkpointed once (still one corpus scan), its min tier computed
+      by a map-side-combined aggregate (partial min per partition, a
+      scalar exchange), and the single-row result broadcast back. No
+      operator ever holds more than one partition's matches
+      (ADVICE r9: the window shape's page-bound assumption was
+      load-bearing but unenforced — this makes the bound a choice).
+    """
     q = (query or "").strip()
     ql = q.lower()
     tier = (
@@ -36,11 +54,25 @@ def tiered_search(advisories: DataFrame, query: str) -> DataFrame:
         .otherwise(F.lit(None).cast("int"))
     )
     scored = advisories.withColumn("tier", tier).filter(F.col("tier").isNotNull())
+    if shape == "agg":
+        # checkpoint = ONE corpus scan materializing the match set
+        # distributed across partitions (the r9 measurement against this
+        # shape was the un-checkpointed variant paying a second scan);
+        # min-agg is map-side combined, the 1-row result broadcasts back
+        scored = scored.localCheckpoint(eager=False)
+        best_row = scored.agg(F.min("tier").alias("best_tier"))
+        return (
+            scored.join(F.broadcast(best_row),
+                        F.col("tier") == F.col("best_tier"))
+            .drop("best_tier")
+            .orderBy("advisory_id")
+        )
+    if shape != "window":
+        raise ValueError(f"unknown shape: {shape!r}")
     # Global-min via an empty-partition window over the FILTERED match set:
-    # one corpus scan total. The broadcast-agg alternative needs a second
-    # full scan to re-derive `scored` for the join side (1.8x slower at
-    # sf0.1, r9). The single-partition exchange carries only search matches
-    # (page-bounded in the serving layer), never the corpus.
+    # one corpus scan total, no checkpoint storage. The single-partition
+    # exchange carries only search matches, never the corpus — callers
+    # that cannot page-bound matches use shape='agg'.
     best = Window.partitionBy()
     return (
         scored.withColumn("best_tier", F.min("tier").over(best))
