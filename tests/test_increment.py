@@ -1,0 +1,145 @@
+"""Composed incremental maintenance (streaming/increment.py): one pass
+per batch updates the near-dup LSH index, the line-dedup count/postings/
+cleaned artifacts (incl. the q110 retro re-clean), and the IVF
+assignments — atomically, idempotently, and crash-resumably."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.llm import dedup as nd
+from vulnerablecode_spark.streaming import increment as inc
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BATCH1 = [
+    (1, "common seg one alpha beta gamma"),
+    (2, "common seg one delta eps zeta"),
+    (3, "totally unique text in here now"),
+]
+BATCH2 = [
+    (10, "common seg one batch two tail"),
+    (11, "alpha beta gamma delta eps zeta"),
+    (12, "totally unique text in here now"),
+]
+
+
+def _emb(spark, ids, dim=4):
+    rows = [(i, [float((i * 7 + j * 3) % 5 + 1) for j in range(dim)])
+            for i in ids]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestApplyIncrement:
+    def _apply_both(self, spark, root, **kw):
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1,
+                            embeddings=_emb(spark, [1, 2, 3]), **kw)
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2,
+                            embeddings=_emb(spark, [10, 11, 12]), **kw)
+
+    def test_cleaned_equals_batch_clean_of_full_corpus(self, spark, tmp_path):
+        # the q110 invariant, driven end-to-end through the composed
+        # driver: incremental clean + retro re-clean across two batches
+        # == batch line_level_dedup over everything, for ALL docs
+        root = str(tmp_path / "store")
+        self._apply_both(spark, root)
+        served = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+                  for r in inc.read_cleaned(spark, root).collect()}
+        full = _docs(spark, BATCH1 + BATCH2)
+        batch = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+                 for r in nd.line_level_dedup(
+                     full, w=3, boilerplate_min_docs=3).collect()}
+        assert served == batch
+        # batch 2 pushes "common seg one" to 3 docs -> docs 1/2 must have
+        # been retro re-cleaned (shadowed by a _batch=2 row)
+        assert served[1][0] == "alpha beta gamma"
+        assert served[2][0] == "delta eps zeta"
+
+    def test_pairs_union_equals_batch_near_dup(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        self._apply_both(spark, root)
+        got = {(r.doc_a, r.doc_b, r.jaccard)
+               for r in inc.read_pairs(spark, root).collect()}
+        want = {(r.doc_a, r.doc_b, r.jaccard)
+                for r in nd.near_dup_pairs(
+                    _docs(spark, BATCH1 + BATCH2), threshold=0.4).collect()}
+        assert got == want and got  # (3,12) is an exact dup pair
+
+    def test_seg_counts_additive(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        self._apply_both(spark, root)
+        got = {(r.seg, r.n_docs)
+               for r in inc.read_seg_counts(spark, root).collect()}
+        want = {(r.seg, r.n_docs)
+                for r in nd.line_seg_counts(
+                    _docs(spark, BATCH1 + BATCH2), w=3).collect()}
+        assert got == want
+
+    def test_ivf_assignments_cover_all_vectors(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        self._apply_both(spark, root)
+        assigned = inc.read_ivf_assigned(spark, root)
+        assert {r.vec_id for r in assigned.collect()} == {1, 2, 3, 10, 11, 12}
+        assert inc.read_ivf_centroids(spark, root) is not None
+        ledger = inc.read_ledger(root)
+        assert [b["batch_id"] for b in ledger["batches"]] == [1, 2]
+        assert ledger["batches"][0]["ivf_first_build"] is True
+        assert ledger["batches"][1]["ivf_first_build"] is False
+        assert ledger["watermark"] == "2"
+
+    def test_replay_is_noop(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        self._apply_both(spark, root)
+        before = sorted(map(tuple, inc.read_cleaned(spark, root).collect()))
+        out = inc.apply_increment(spark, _docs(spark, BATCH2), root,
+                                  batch_id=2)
+        assert out == {"applied": False, "batch_id": 2}
+        after = sorted(map(tuple, inc.read_cleaned(spark, root).collect()))
+        assert before == after
+        assert [b["batch_id"] for b in inc.read_ledger(root)["batches"]] \
+            == [1, 2]
+
+
+class TestCrashResume:
+    @pytest.mark.parametrize("fault", ["staged", "committed", "mid-install"])
+    def test_kill_then_resume_matches_clean_run(self, spark, tmp_path, fault):
+        crashed = str(tmp_path / "crashed")
+        clean = str(tmp_path / "clean")
+        for root in (crashed, clean):
+            inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1,
+                                embeddings=_emb(spark, [1, 2, 3]))
+        with pytest.raises(RuntimeError, match="fault injection"):
+            inc.apply_increment(spark, _docs(spark, BATCH2), crashed,
+                                batch_id=2, embeddings=_emb(spark, [10, 11, 12]),
+                                fault_after=fault)
+        # next driver entry recovers, then (re)applies the batch — a
+        # pre-marker crash rolls back and re-runs; a post-marker crash
+        # rolls forward and the apply becomes a ledger no-op
+        inc.apply_increment(spark, _docs(spark, BATCH2), crashed, batch_id=2,
+                            embeddings=_emb(spark, [10, 11, 12]))
+        inc.apply_increment(spark, _docs(spark, BATCH2), clean, batch_id=2,
+                            embeddings=_emb(spark, [10, 11, 12]))
+        for reader in (inc.read_cleaned, inc.read_pairs, inc.read_seg_counts,
+                       inc.read_postings, inc.read_hashed, inc.read_bands,
+                       inc.read_docs, inc.read_ivf_assigned):
+            a = sorted(map(tuple, reader(spark, crashed).collect()))
+            b = sorted(map(tuple, reader(spark, clean).collect()))
+            assert a == b, reader.__name__
+        assert [b["batch_id"] for b in inc.read_ledger(crashed)["batches"]] \
+            == [1, 2]
+
+    def test_rollback_leaves_prebatch_state_readable(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        before = sorted(map(tuple, inc.read_cleaned(spark, root).collect()))
+        with pytest.raises(RuntimeError):
+            inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2,
+                                fault_after="staged")
+        # reader entry rolls the uncommitted staging back
+        after = sorted(map(tuple, inc.read_cleaned(spark, root).collect()))
+        assert before == after
+        assert [b["batch_id"] for b in inc.read_ledger(root)["batches"]] == [1]
