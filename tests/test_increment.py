@@ -143,3 +143,66 @@ class TestCrashResume:
         after = sorted(map(tuple, inc.read_cleaned(spark, root).collect()))
         assert before == after
         assert [b["batch_id"] for b in inc.read_ledger(root)["batches"]] == [1]
+
+
+class TestCompaction:
+    def _store(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1,
+                            embeddings=_emb(spark, [1, 2, 3]))
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2,
+                            embeddings=_emb(spark, [10, 11, 12]))
+        return root
+
+    def _snapshot(self, spark, root):
+        out = {}
+        for reader in (inc.read_cleaned, inc.read_pairs,
+                       inc.read_seg_counts, inc.read_postings,
+                       inc.read_hashed, inc.read_bands, inc.read_docs,
+                       inc.read_ivf_assigned):
+            out[reader.__name__] = sorted(
+                map(tuple, reader(spark, root).collect()))
+        return out
+
+    def test_readers_identical_before_and_after(self, spark, tmp_path):
+        import os
+
+        root = self._store(spark, tmp_path)
+        before = self._snapshot(spark, root)
+        res = inc.compact(spark, root)
+        assert res["compacted"] and res["through_batch"] == 2
+        assert self._snapshot(spark, root) == before
+        # delta count actually bounded: one base delta per artifact
+        for rel in (inc.LD_COUNTS, inc.LD_CLEANED, inc.ND_PAIRS):
+            deltas = [d for d in os.listdir(os.path.join(root, rel))
+                      if d.startswith("delta-")]
+            assert deltas == ["delta-base-2"], (rel, deltas)
+        assert [c["through_batch"]
+                for c in inc.read_ledger(root)["compactions"]] == [2]
+
+    def test_apply_after_compact_still_exact(self, spark, tmp_path):
+        root = self._store(spark, tmp_path)
+        inc.compact(spark, root)
+        batch3 = [(20, "common seg one appended later"),
+                  (21, "alpha beta gamma more text")]
+        inc.apply_increment(spark, _docs(spark, batch3), root, batch_id=3)
+        full = _docs(spark, BATCH1 + BATCH2 + batch3)
+        served = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+                  for r in inc.read_cleaned(spark, root).collect()}
+        batch = {r.doc_id: (r.cleaned_text, r.segs_total, r.segs_dropped)
+                 for r in nd.line_level_dedup(
+                     full, w=3, boilerplate_min_docs=3).collect()}
+        assert served == batch
+
+    @pytest.mark.parametrize("fault", ["staged", "committed"])
+    def test_compact_crash_resume(self, spark, tmp_path, fault):
+        root = self._store(spark, tmp_path)
+        before = self._snapshot(spark, root)
+        with pytest.raises(RuntimeError, match="fault injection"):
+            inc.compact(spark, root, fault_after=fault)
+        # any reader entry recovers to a consistent state: pre-compaction
+        # for a pre-marker crash, post-compaction for a post-marker one —
+        # either way the resolved frames are identical
+        assert self._snapshot(spark, root) == before
+        if fault == "committed":
+            assert inc.read_ledger(root).get("compactions")

@@ -1329,3 +1329,75 @@ class TestNearDupCompositionTierEquality:
                           for r in near_dup_pairs(
                               hashed=hashed, threshold=0.2).collect()}
         assert outs["hof"] == outs["arrow"] and outs["hof"]
+
+
+class TestMinhashCalibration:
+    def test_estimate_tracks_exact_and_exact_matches_near_dup(self, spark):
+        from vulnerablecode_spark.llm.dedup import (minhash_estimate_pairs,
+                                                    near_dup_pairs)
+
+        base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+        docs = spark.createDataFrame(
+            [(1, base), (2, base), (3, base + " tail tok"),
+             (4, "other words entirely unrelated here now")],
+            "doc_id long, text string")
+        rows = {(r.doc_a, r.doc_b): (r.est_bp, r.jaccard)
+                for r in minhash_estimate_pairs(docs).collect()}
+        assert rows, "identical docs must be LSH candidates"
+        # exact column == near_dup_pairs at threshold 0 for same pairs
+        exact = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in near_dup_pairs(docs, threshold=0.0).collect()}
+        for pair, (est, jac) in rows.items():
+            assert exact[pair] == jac
+            assert 0 <= est <= 10000 and est % 625 == 0
+        # an identical pair estimates 10000 exactly (all lanes agree)
+        assert rows[(1, 2)] == (10000, 1.0)
+
+
+class TestDecontaminationIncremental:
+    """decontamination_incremental == decontamination_overlap(corpus,
+    old ∪ delta) restricted to docs touched by (delta \\ old) — random
+    corpora and random benchmark splits."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_batch_restricted_to_affected(self, spark, seed):
+        import random
+
+        from vulnerablecode_spark.llm.dedup import (
+            decontamination_incremental, decontamination_overlap,
+            hashed_shingles)
+
+        rng = random.Random(seed)
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        n = rng.randint(4, 12)
+        docs = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(3, 10))))
+                for i in range(n)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        c1 = rng.randint(0, n)
+        c2 = rng.randint(c1, n)
+        old_docs = df.filter(F.col("doc_id") < c1)
+        delta_docs = df.filter(
+            (F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+
+        index = hashed_shingles(df).localCheckpoint(eager=True)
+        old = hashed_shingles(old_docs).localCheckpoint(eager=True)
+        delta = hashed_shingles(delta_docs).localCheckpoint(eager=True)
+        got = {r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_bp)
+               for r in decontamination_incremental(
+                   index, old, delta).collect()}
+
+        old_h = {r.h for r in old.collect()}
+        fresh = {r.h for r in delta.collect()} - old_h
+        affected = {r.doc_id for r in index.collect() if r.h in fresh}
+        bench_union = old_docs.unionByName(delta_docs)
+        want = {r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_bp)
+                for r in decontamination_overlap(
+                    df, bench_union).collect()
+                if r.doc_id in affected}
+        assert got == want

@@ -430,3 +430,19 @@ class TestRound10PlanQuality:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_q111_candidate_bounded_no_cartesian(self, spark):
+        # calibration: every join is candidate- or band-bucketed — no
+        # cartesian/nested-loop pair enumeration anywhere
+        plan = plan_of(spark, "q111_minhash_calibration")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q112_delta_dim_broadcasts(self, spark):
+        # incremental decontamination: the (delta \ old) hash dim and the
+        # affected-doc dim broadcast into the index scans — the corpus
+        # index is never sort-merge shuffled
+        plan = plan_of(spark, "q112_decontam_incremental")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan

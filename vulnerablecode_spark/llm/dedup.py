@@ -1040,3 +1040,105 @@ def retro_reclean(affected_docs: DataFrame, index_counts: DataFrame,
         F.col("_n") >= boilerplate_min_docs).select("seg")
     return _clean_against_common(with_segs, exploded, common, id_col=id_col,
                                  broadcast_limit=broadcast_limit)
+
+
+def minhash_estimate_pairs(df: DataFrame | None = None,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 3,
+                           hashed: DataFrame | None = None,
+                           impl: str = "arrow") -> DataFrame:
+    """MinHash-estimated vs EXACT Jaccard, side by side, for every LSH
+    candidate pair — the calibration a curator reads before trusting a
+    banding configuration: if the 16-lane agreement fraction tracks the
+    exact intersection well at the working threshold, candidate
+    verification can be sampled; if not, the band/row split needs
+    changing. (The MinHash property: P[lane agrees] = J(A,B), so
+    agreement/16 is an unbiased J estimate with σ ≈ 0.12 at 16 lanes.)
+
+    Output: (doc_a, doc_b, est_bp, jaccard) — ``est_bp`` = agreeing
+    lanes × 625 (exact integer basis points, 10000/16), ``jaccard``
+    the exact candidate-verified value (4dp, engine-identical).
+
+    Scale: candidates come from the LSH band equi-join (never all
+    pairs); the signature frame is 16 ints per doc and joins the (small)
+    candidate frame twice — candidate-proportional; the exact side is
+    :func:`near_dup_pairs`'s semi-gated verify at threshold 0 (all
+    candidates kept, quadratic step bounded to candidates as always).
+    """
+    if hashed is None:
+        hashed = hashed_shingles(df, text_col, id_col, n,
+                                 impl=impl).localCheckpoint(eager=True)
+    sig = minhash_signatures(hashed=hashed, id_col=id_col, n=n,
+                             with_sizes=True).localCheckpoint(eager=True)
+    bands = band_frame(sig, id_col, with_sizes=True)
+    candidates = (
+        bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig",
+                     F.col("n_sh").alias("na"))
+        .join(bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig",
+                           F.col("n_sh").alias("nb")),
+              ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "na", "nb")
+        .distinct()
+    )
+    exact = near_dup_pairs(hashed=hashed, candidates=candidates,
+                           id_col=id_col, n=n, threshold=0.0)
+    lanes = [F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}")
+             for j in range(N_HASHES)]
+    agree = sum(F.when(c, 1).otherwise(0) for c in lanes)
+    sa = sig.select(F.col(id_col).alias("doc_a"),
+                    *[F.col(f"mh_{j}").alias(f"a_mh_{j}")
+                      for j in range(N_HASHES)])
+    sb = sig.select(F.col(id_col).alias("doc_b"),
+                    *[F.col(f"mh_{j}").alias(f"b_mh_{j}")
+                      for j in range(N_HASHES)])
+    est = (
+        exact.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b",
+                (agree * F.lit(625)).cast("bigint").alias("est_bp"),
+                "jaccard")
+    )
+    return est
+
+
+def decontamination_incremental(index_hashed: DataFrame,
+                                bench_old_hashes: DataFrame,
+                                bench_delta_hashes: DataFrame,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Incremental benchmark decontamination — the :func:`retro_reclean`
+    shape applied to :func:`decontamination_overlap`: when the benchmark
+    set GROWS (a new eval suite lands), name exactly which already-
+    ingested corpus documents become (more) contaminated and emit their
+    UPDATED overlap, without rescanning the corpus.
+
+    Inputs are stored artifacts: ``index_hashed`` = the corpus's
+    (id, h) distinct shingle-hash index (the same frame the q63 LSH
+    index persists), ``bench_old_hashes`` / ``bench_delta_hashes`` =
+    distinct benchmark shingle hashes before the delta and in the delta.
+
+    Only hashes in (delta \\ old) can change any document's overlap, so
+    the work list is that (small) anti-joined dim broadcast against ONE
+    pass of the stored index (bucketed stores prune it); the updated
+    overlap re-aggregates ONLY the affected documents' index rows
+    against the merged benchmark set. Output matches
+    ``decontamination_overlap(corpus, old ∪ delta)`` restricted to the
+    affected documents (property-tested): (id, n_shingles, n_overlap,
+    overlap_bp).
+    """
+    old = bench_old_hashes.select("h").distinct()
+    fresh = (bench_delta_hashes.select("h").distinct()
+             .join(old, "h", "left_anti"))
+    affected = (index_hashed.join(F.broadcast(fresh), "h", "left_semi")
+                .select(id_col).distinct())
+    aff_rows = index_hashed.join(F.broadcast(affected), id_col, "left_semi")
+    merged = old.unionByName(
+        bench_delta_hashes.select("h").distinct()).distinct()
+    flagged = aff_rows.join(merged.withColumn("_hit", F.lit(1)), "h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+             F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint")
+             .alias("n_overlap"))
+        .selectExpr(id_col, "n_shingles", "n_overlap",
+                    "(n_overlap * 10000) div n_shingles AS overlap_bp")
+    )

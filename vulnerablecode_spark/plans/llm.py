@@ -2229,3 +2229,103 @@ def q110_line_dedup_reclean(spark, sf_dir):
     affected = stored.join(F.broadcast(work), "doc_id", "left_semi")
     return dedup.retro_reclean(
         affected, index, batch_counts, w=3, boilerplate_min_docs=3)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-estimate vs exact-Jaccard calibration — the diagnostic a
+# curator reads before trusting a banding configuration: per LSH
+# candidate pair, the 16-lane agreement estimate (integer basis points,
+# agreement x 625) next to the exact candidate-verified Jaccard. If the
+# estimate tracks the exact value at the working threshold, candidate
+# verification can be sampled; if not, the band/row split is wrong.
+# Scale: candidates from the band equi-join (never all pairs), signature
+# joins candidate-proportional, exact side is the semi-gated verify
+# (llm/dedup.py minhash_estimate_pairs).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_minhash_calibration",
+    oracle=f"""
+    WITH {_SQL_BANDS},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ma.minhash = mb.minhash
+                        THEN 625 ELSE 0 END) AS BIGINT) AS est_bp
+        FROM cand c
+        JOIN m ma ON ma.doc_id = c.doc_a
+        JOIN m mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN hs ha ON ha.doc_id = c.doc_a
+        JOIN hs hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.est_bp,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes sa ON sa.doc_id = e.doc_a
+    JOIN sizes sb ON sb.doc_id = e.doc_b
+    """,
+)
+def q111_minhash_calibration(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.minhash_estimate_pairs(docs, impl="arrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental benchmark decontamination — the q110 retro shape applied
+# to q57: a benchmark DELTA (a new eval suite) names exactly which
+# already-ingested corpus docs become (more) contaminated, via the
+# stored (doc_id, h) shingle index, and emits their UPDATED overlap
+# against the merged benchmark — without rescanning the corpus. Work ∝
+# delta: the (delta \ old) hash dim broadcasts into one prunable index
+# pass; re-aggregation touches only affected docs' index rows
+# (llm/dedup.py decontamination_incremental).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_decontam_incremental",
+    oracle=f"""
+    WITH hs AS ({_SQL_HASHED_SHINGLES}),
+    old_b AS (SELECT DISTINCT h FROM hs WHERE doc_id < 20),
+    delta_b AS (SELECT DISTINCT h FROM hs
+                WHERE doc_id >= 20 AND doc_id < 40),
+    fresh AS (SELECT h FROM delta_b
+              WHERE h NOT IN (SELECT h FROM old_b)),
+    affected AS (SELECT DISTINCT doc_id FROM hs JOIN fresh USING (h)),
+    merged AS (SELECT h FROM old_b UNION SELECT h FROM delta_b)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_overlap,
+           CAST((SUM(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END) * 10000)
+                // COUNT(*) AS BIGINT) AS overlap_bp
+    FROM hs
+    JOIN affected USING (doc_id)
+    LEFT JOIN merged m USING (h)
+    GROUP BY doc_id
+    """,
+)
+def q112_decontam_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    index = dedup.hashed_shingles(docs, impl="arrow")
+    old = dedup.hashed_shingles(
+        docs.filter(F.col("doc_id") < 20), impl="arrow")
+    delta = dedup.hashed_shingles(
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)),
+        impl="arrow")
+    return dedup.decontamination_incremental(index, old, delta)

@@ -137,11 +137,32 @@ def _finish_commit(root: str) -> None:
         os.makedirs(os.path.dirname(live), exist_ok=True)
         if os.path.exists(staged):
             os.replace(staged, live)
+    # swaps replace a WHOLE live artifact dir (compaction): park the old
+    # dir, install the staged replacement, then drop the parking — each
+    # step idempotent so a resumed roll-forward finishes cleanly
+    for staged_rel, live_rel in manifest.get("swaps", []):
+        staged = os.path.join(_staging(root), staged_rel)
+        live = os.path.join(root, live_rel)
+        parked = live.rstrip("/") + ".compact-old"
+        if os.path.exists(staged):
+            if os.path.exists(live) and not os.path.exists(parked):
+                os.replace(live, parked)
+            elif os.path.exists(live):
+                shutil.rmtree(live)
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            os.replace(staged, live)
+        shutil.rmtree(parked, ignore_errors=True)
     ledger = read_ledger(root)
-    if manifest["entry"]["batch_id"] not in [
+    entry = manifest.get("entry")
+    if entry is not None and entry["batch_id"] not in [
             b["batch_id"] for b in ledger["batches"]]:
-        ledger["batches"].append(manifest["entry"])
-        ledger["watermark"] = manifest["entry"]["watermark"]
+        ledger["batches"].append(entry)
+        ledger["watermark"] = entry["watermark"]
+        _write_ledger(root, ledger)
+    comp = manifest.get("compaction")
+    if comp is not None and comp["id"] not in [
+            c["id"] for c in ledger.get("compactions", [])]:
+        ledger["compactions"] = ledger.get("compactions", []) + [comp]
         _write_ledger(root, ledger)
     shutil.rmtree(_staging(root), ignore_errors=True)
 
@@ -362,3 +383,83 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
 
     _finish_commit(root)
     return {"applied": True, "batch_id": batch_id, **ivf_stats}
+
+
+def compact(spark: SparkSession, root: str,
+            fault_after: str | None = None) -> dict:
+    """Merge every artifact's accumulated delta dirs into ONE base delta
+    — the parquet stand-in for Delta/Iceberg compaction that keeps
+    read-time delta counts bounded by compaction cadence instead of
+    batch count (the module doc's read-time-resolution caveat, made
+    real).
+
+    Resolution happens AT compaction exactly as at read time: segment
+    counts compact to their summed rows, the cleaned serving copy to its
+    last-batch-wins current view (shadowed rows are physically dropped —
+    the SCD-current materialization), everything else to a plain merge.
+    Readers before/after see identical frames (tested).
+
+    Runs through the same staged commit as :func:`apply_increment`, with
+    whole-dir SWAPS instead of delta adds: all compacted artifacts stage
+    first, one marker commits them, and the swap parks each old dir
+    before installing its replacement — a kill at any point leaves every
+    artifact either fully pre- or fully post-compaction. ``fault_after``
+    ∈ {'staged', 'committed'} injects the crash (tests)."""
+    recover_increment(root)
+    ledger = read_ledger(root)
+    batches = [b["batch_id"] for b in ledger["batches"]]
+    if not batches:
+        return {"compacted": False}
+    base = f"delta-base-{max(batches)}"
+    st = _staging(root)
+    shutil.rmtree(st, ignore_errors=True)
+    swaps: list[tuple[str, str]] = []
+
+    def resolved(rel: str) -> DataFrame | None:
+        # NOTE: must be called BEFORE any staging write — frame
+        # construction runs recover_increment, which treats marker-less
+        # staging as an aborted run and rolls it back (single-writer
+        # protocol; a mid-staging recover would wipe our own outputs)
+        path = os.path.join(root, rel)
+        if not (os.path.isdir(path) and any(
+                d.startswith("delta-") for d in os.listdir(path))):
+            return None
+        if rel == LD_COUNTS:
+            return read_seg_counts(spark, root)
+        if rel == LD_CLEANED:
+            from pyspark.sql import Window
+
+            w = (Window.partitionBy("doc_id")
+                 .orderBy(F.col("_batch").desc()))
+            return (_read_artifact(spark, root, rel)
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
+        return _read_artifact(spark, root, rel)
+
+    rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
+            LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED)
+    frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
+    for rel, df in frames.items():
+        if df is None:
+            continue
+        staged_rel = rel.replace("/", "__") + "-compacted"
+        df.write.mode("overwrite").parquet(
+            os.path.join(st, staged_rel, base))
+        swaps.append((staged_rel, rel))
+
+    if fault_after == "staged":
+        raise RuntimeError("fault injection: staged")
+    comp_id = f"c{max(batches)}-{len(ledger.get('compactions', []))}"
+    tmp = _marker(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"installs": [], "swaps": swaps, "entry": None,
+                   "compaction": {"id": comp_id,
+                                  "through_batch": max(batches),
+                                  "artifacts": [s[1] for s in swaps]}},
+                  fh)
+    os.replace(tmp, _marker(root))
+    if fault_after == "committed":
+        raise RuntimeError("fault injection: committed")
+    _finish_commit(root)
+    return {"compacted": True, "id": comp_id,
+            "through_batch": max(batches)}
