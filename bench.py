@@ -52,7 +52,8 @@ EXTRAS = [
     "q75_dsir_importance", "q76_surprisal_partition",
     "q78_curation_pipeline", "q81_advisory_pipeline",
     "q97_ivf_incremental", "q101_line_dedup",
-    "q105_line_dedup_incremental",
+    "q105_line_dedup_incremental", "q110_line_dedup_reclean",
+    "q112_decontam_incremental", "q113_range_count_window",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

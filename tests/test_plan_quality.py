@@ -446,3 +446,14 @@ class TestRound10PlanQuality:
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_q113_single_scan_single_exchange_no_join(self, spark):
+        # same-table range count: ONE parquet scan, ONE hash exchange on
+        # user_id feeding the range-frame window — no join, no explode
+        # (q21 keeps the general two-relation bucketed shape)
+        plan = plan_of(spark, "q113_range_count_window")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+        assert "Join" not in plan
+        assert "Generate" not in plan
+        assert "Window" in plan

@@ -875,3 +875,46 @@ def q108_sessionize(spark, sf_dir):
         F.min("ts").alias("t_start"),
         F.max("ts").alias("t_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.3/§2.5 single-scan range-count — the SAME-TABLE special case of
+# q21's bucketed range join, rewritten as one window: when probe and
+# build rows live in one table, "count clicks within [t, t+1h) of each
+# signup" needs no join at all — hash the table by user once, sort by
+# integer-microsecond ts, and a value-range window frame counts the
+# conditional rows. One scan + ONE exchange vs q21's two scans + three
+# (probe explode, build, final agg). q21 stays the general shape (two
+# DIFFERENT relations); this is the plan a planner should pick when the
+# self-join is syntactic. Range arithmetic in integer µs on BOTH
+# engines — [0, 3599999999] inclusive ≡ c_ts < s_ts + 1h at µs
+# resolution.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_range_count_window",
+    oracle="""
+    SELECT s.event_id, s.user_id, CAST(COUNT(c.event_id) AS BIGINT) AS click_count
+    FROM events s
+    LEFT JOIN events c
+      ON c.user_id = s.user_id AND c.event_type = 'click'
+     AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+    WHERE s.event_type = 'signup'
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def q113_range_count_window(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(0, 3_599_999_999)
+    )
+    counted = events.withColumn(
+        "click_count",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w)
+        .cast("bigint"),
+    )
+    return counted.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "click_count")
