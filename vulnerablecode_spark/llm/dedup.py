@@ -909,6 +909,7 @@ def line_level_dedup_incremental(index_counts: DataFrame,
                                  text_col: str = "text",
                                  id_col: str = "doc_id",
                                  broadcast_limit: int | None = 4_000_000,
+                                 batch_counts: DataFrame | None = None,
                                  ) -> DataFrame:
     """Incremental :func:`line_level_dedup`: clean a NEW batch against a
     STORED per-segment count index (``line_seg_counts`` of everything
@@ -937,10 +938,17 @@ def line_level_dedup_incremental(index_counts: DataFrame,
     with_segs = _line_segs(new_docs, w=w, text_col=text_col, id_col=id_col)
     exploded = with_segs.select(
         id_col, F.posexplode("segs").alias("seg_idx", "seg"))
-    batch_counts = (
-        exploded.groupBy("seg")
-        .agg(F.count_distinct(F.col(id_col)).alias("_batch_docs"))
-    )
+    if batch_counts is None:
+        batch_counts = (
+            exploded.groupBy("seg")
+            .agg(F.count_distinct(F.col(id_col)).alias("_batch_docs"))
+        )
+    else:
+        # injected line_seg_counts frame — the apply_increment driver
+        # builds it ONCE for cleaning, the retro work list and the
+        # stored count delta (the new_hashed/new_bands discipline)
+        batch_counts = batch_counts.select(
+            "seg", F.col("n_docs").alias("_batch_docs"))
     # ONE scan of the stored index, semi-joined down to batch-present
     # segments by the broadcast batch frame (only those can matter for
     # cleaning the batch); the merge with batch counts is then
@@ -1071,16 +1079,11 @@ def minhash_estimate_pairs(df: DataFrame | None = None,
     sig = minhash_signatures(hashed=hashed, id_col=id_col, n=n,
                              with_sizes=True).localCheckpoint(eager=True)
     bands = band_frame(sig, id_col, with_sizes=True)
-    candidates = (
-        bands.select(F.col(id_col).alias("doc_a"), "band", "band_sig",
-                     F.col("n_sh").alias("na"))
-        .join(bands.select(F.col(id_col).alias("doc_b"), "band", "band_sig",
-                           F.col("n_sh").alias("nb")),
-              ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "na", "nb")
-        .distinct()
-    )
+    # ONE definition of "LSH candidate" — the injected-band path of the
+    # operator every other near-dup query uses (duplicating the
+    # self-join here could silently drift from the graded composition)
+    candidates = lsh_candidate_pairs(bands=bands, id_col=id_col,
+                                     with_sizes=True)
     exact = near_dup_pairs(hashed=hashed, candidates=candidates,
                            id_col=id_col, n=n, threshold=0.0)
     lanes = [F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}")
@@ -1104,7 +1107,9 @@ def minhash_estimate_pairs(df: DataFrame | None = None,
 def decontamination_incremental(index_hashed: DataFrame,
                                 bench_old_hashes: DataFrame,
                                 bench_delta_hashes: DataFrame,
-                                id_col: str = "doc_id") -> DataFrame:
+                                id_col: str = "doc_id",
+                                broadcast_limit: int | None = 4_000_000,
+                                ) -> DataFrame:
     """Incremental benchmark decontamination — the :func:`retro_reclean`
     shape applied to :func:`decontamination_overlap`: when the benchmark
     set GROWS (a new eval suite lands), name exactly which already-
@@ -1120,7 +1125,11 @@ def decontamination_incremental(index_hashed: DataFrame,
     the work list is that (small) anti-joined dim broadcast against ONE
     pass of the stored index (bucketed stores prune it); the updated
     overlap re-aggregates ONLY the affected documents' index rows
-    against the merged benchmark set. Output matches
+    against the merged benchmark set. The affected-doc dim is usually
+    delta-proportional but adversarially corpus-proportional (one
+    ubiquitous shingle in the delta), so it goes through the same
+    probed ``broadcast_limit`` guard as the line-dedup dims
+    (``_dim_side`` — over the limit it degrades to a shuffle join). Output matches
     ``decontamination_overlap(corpus, old ∪ delta)`` restricted to the
     affected documents (property-tested): (id, n_shingles, n_overlap,
     overlap_bp).
@@ -1130,7 +1139,8 @@ def decontamination_incremental(index_hashed: DataFrame,
              .join(old, "h", "left_anti"))
     affected = (index_hashed.join(F.broadcast(fresh), "h", "left_semi")
                 .select(id_col).distinct())
-    aff_rows = index_hashed.join(F.broadcast(affected), id_col, "left_semi")
+    aff_rows = index_hashed.join(_dim_side(affected, broadcast_limit),
+                                 id_col, "left_semi")
     merged = old.unionByName(
         bench_delta_hashes.select("h").distinct()).distinct()
     flagged = aff_rows.join(merged.withColumn("_hit", F.lit(1)), "h", "left")

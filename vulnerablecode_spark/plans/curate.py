@@ -276,19 +276,22 @@ def q70_epoch_upsample(spark, sf_dir):
     "q109_temperature_sample",
     oracle=f"""
     WITH counts AS (
-        SELECT lang, COUNT(*) AS n_source FROM documents GROUP BY lang
+        SELECT COALESCE(lang, '__null__') AS g, COUNT(*) AS n_source
+        FROM documents GROUP BY COALESCE(lang, '__null__')
     ),
     rates AS (
-        SELECT lang, n_source,
+        SELECT g, n_source,
                CAST(FLOOR(10000 * sqrt(
                    CAST((SELECT MIN(n_source) FROM counts) AS DOUBLE)
                    / CAST(n_source AS DOUBLE))) AS BIGINT) AS rate_bp
         FROM counts
     )
     SELECT d.doc_id, d.lang, r.n_source, r.rate_bp
-    FROM documents d JOIN rates r USING (lang)
+    FROM documents d
+    JOIN rates r ON COALESCE(d.lang, '__null__') = r.g
     WHERE {_SQL_HASH64.format(
-        s="(d.lang || ':' || CAST(d.doc_id AS VARCHAR))")} % 10000
+        s="(COALESCE(d.lang, '__null__') || ':' "
+          "|| CAST(d.doc_id AS VARCHAR))")} % 10000
           < r.rate_bp
     """,
 )

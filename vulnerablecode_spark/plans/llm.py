@@ -2226,7 +2226,9 @@ def q110_line_dedup_reclean(spark, sf_dir):
     newly = dedup.newly_common_segments(
         index, batch_counts, boilerplate_min_docs=3)
     work = dedup.retro_reclean_ids(postings, newly)
-    affected = stored.join(F.broadcast(work), "doc_id", "left_semi")
+    # probed broadcast: the work list is adversarially store-proportional
+    affected = stored.join(dedup._dim_side(work, 4_000_000),
+                           "doc_id", "left_semi")
     return dedup.retro_reclean(
         affected, index, batch_counts, w=3, boilerplate_min_docs=3)
 

@@ -90,7 +90,9 @@ _SCHEMAS = {
     LD_POSTINGS: "seg string, doc_id long",
     LD_CLEANED: ("doc_id long, cleaned_text string, segs_total long, "
                  "segs_dropped long, _batch long"),
-    IVF_ASSIGNED: "vec_id long, embedding array<double>, cell int",
+    # cell carries the centroid id = a seed vec_id (ivf_index seeds
+    # centroids from corpus rows), hence long, not a 0..n-1 int
+    IVF_ASSIGNED: "vec_id long, embedding array<double>, cell long",
 }
 
 
@@ -222,17 +224,25 @@ def read_seg_counts(spark, root) -> DataFrame:
             .groupBy("seg").agg(F.sum("n_docs").alias("n_docs")))
 
 
-def read_cleaned(spark, root) -> DataFrame:
-    """Current cleaned serving copy: last batch wins per doc (re-cleaned
-    rows shadow the batch that first cleaned the doc) — the SCD current
-    view over the cleaned deltas."""
+def _cleaned_current(df: DataFrame, keep_batch: bool) -> DataFrame:
+    """The ONE definition of the cleaned copy's current view: last batch
+    wins per doc (re-cleaned rows shadow the batch that first cleaned
+    the doc — SCD current). Shared by the read path and compaction so
+    the physically compacted store can never diverge from what readers
+    resolve."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.col("_batch").desc())
-    return (_read_artifact(spark, root, LD_CLEANED)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("doc_id", "cleaned_text", "segs_total", "segs_dropped"))
+    out = (df.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") == 1).drop("_rn"))
+    return out if keep_batch else out.select(
+        "doc_id", "cleaned_text", "segs_total", "segs_dropped")
+
+
+def read_cleaned(spark, root) -> DataFrame:
+    """Current cleaned serving copy (see :func:`_cleaned_current`)."""
+    return _cleaned_current(
+        _read_artifact(spark, root, LD_CLEANED), keep_batch=False)
 
 
 def read_ivf_assigned(spark, root):
@@ -292,12 +302,16 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     index_counts = read_seg_counts(spark, root).localCheckpoint(eager=True)
     batch_counts = nd.line_seg_counts(batch, w=w).localCheckpoint(eager=True)
     cleaned_new = nd.line_level_dedup_incremental(
-        index_counts, batch, w=w, boilerplate_min_docs=boilerplate_min_docs)
+        index_counts, batch, w=w, boilerplate_min_docs=boilerplate_min_docs,
+        batch_counts=batch_counts)
     newly = nd.newly_common_segments(
         index_counts, batch_counts, boilerplate_min_docs=boilerplate_min_docs)
     work = nd.retro_reclean_ids(read_postings(spark, root), newly)
+    # the work list is usually small but adversarially stale-store-
+    # proportional (an increment that poisons a near-universal segment)
+    # — same probed guard as every other dim in the family
     affected = read_docs(spark, root).join(
-        F.broadcast(work), "doc_id", "left_semi")
+        nd._dim_side(work, 4_000_000), "doc_id", "left_semi")
     recleaned = nd.retro_reclean(
         affected, index_counts, batch_counts, w=w,
         boilerplate_min_docs=boilerplate_min_docs)
@@ -337,11 +351,9 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     delta = f"delta-{batch_id}"
     installs: list[tuple[str, str]] = []
 
-    def stage(df: DataFrame, rel: str, cols: str | None = None) -> None:
+    def stage(df: DataFrame, rel: str) -> None:
         staged_rel = rel.replace("/", "__") + "-" + delta
-        out = os.path.join(st, staged_rel)
-        d = df if cols is None else df.selectExpr(*cols.split(","))
-        d.write.mode("overwrite").parquet(out)
+        df.write.mode("overwrite").parquet(os.path.join(st, staged_rel))
         installs.append((staged_rel, f"{rel}/{delta}"))
 
     stage(batch, DOCS)
@@ -427,13 +439,8 @@ def compact(spark: SparkSession, root: str,
         if rel == LD_COUNTS:
             return read_seg_counts(spark, root)
         if rel == LD_CLEANED:
-            from pyspark.sql import Window
-
-            w = (Window.partitionBy("doc_id")
-                 .orderBy(F.col("_batch").desc()))
-            return (_read_artifact(spark, root, rel)
-                    .withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1).drop("_rn"))
+            return _cleaned_current(
+                _read_artifact(spark, root, rel), keep_batch=True)
         return _read_artifact(spark, root, rel)
 
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
