@@ -1401,3 +1401,22 @@ class TestDecontaminationIncremental:
                     df, bench_union).collect()
                 if r.doc_id in affected}
         assert got == want
+
+
+class TestDimSideGuard:
+    def test_probe_boundary(self, spark):
+        # exactly at the limit -> broadcast hint kept; one over -> plain
+        from pyspark.sql.functions import broadcast  # noqa: F401
+
+        from vulnerablecode_spark.llm.dedup import _dim_side
+
+        dim = spark.createDataFrame([(i,) for i in range(5)], "seg long")
+        at_limit = _dim_side(dim, 5)
+        over_limit = _dim_side(dim, 4)
+        none_limit = _dim_side(dim, None)
+        # a broadcast hint shows up as ResolvedHint in the analyzed plan
+        def hinted(df):
+            return "hint" in df._jdf.queryExecution().analyzed().toString().lower()
+        assert hinted(at_limit)
+        assert not hinted(over_limit)
+        assert hinted(none_limit)
