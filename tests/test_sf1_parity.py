@@ -47,6 +47,14 @@ SF1_QUERIES = [
     "q77_packing_efficiency",
     "q78_curation_pipeline",
     "q79_cluster_size_histogram",
+    # round-10 incremental family: retro re-clean and incremental
+    # decontamination are the two operators whose exactness argument
+    # (additive counts / delta-bounded work lists) is worth 10x-ing;
+    # q113's window range-count exercises the integer-µs frame over a
+    # 1M-row events table
+    "q110_line_dedup_reclean",
+    "q112_decontam_incremental",
+    "q113_range_count_window",
 ]
 
 
