@@ -1420,3 +1420,29 @@ class TestDimSideGuard:
         assert hinted(at_limit)
         assert not hinted(over_limit)
         assert hinted(none_limit)
+
+
+class TestKeepBestPerCluster:
+    def test_longest_member_wins_not_min_id(self, spark):
+        from vulnerablecode_spark.llm.dedup import keep_best_per_cluster
+
+        comps = spark.createDataFrame(
+            [(1, 1), (2, 1)], "node long, component long")
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 50), (3, 7)], "doc_id long, n_chars long")
+        got = {r.doc_id: (r.cluster_id, r.n_chars, r.keep)
+               for r in keep_best_per_cluster(docs, comps).collect()}
+        # min-id member 1 LOSES to the longer member 2 (the q60 rule
+        # would have kept 1); singleton 3 keeps trivially
+        assert got == {1: (1, 10, False), 2: (1, 50, True), 3: (3, 7, True)}
+
+    def test_tie_breaks_on_min_id(self, spark):
+        from vulnerablecode_spark.llm.dedup import keep_best_per_cluster
+
+        comps = spark.createDataFrame(
+            [(5, 5), (6, 5), (7, 5)], "node long, component long")
+        docs = spark.createDataFrame(
+            [(5, 20), (6, 20), (7, 20)], "doc_id long, n_chars long")
+        got = {r.doc_id: r.keep
+               for r in keep_best_per_cluster(docs, comps).collect()}
+        assert got == {5: True, 6: False, 7: False}

@@ -1152,3 +1152,47 @@ def decontamination_incremental(index_hashed: DataFrame,
         .selectExpr(id_col, "n_shingles", "n_overlap",
                     "(n_overlap * 10000) div n_shingles AS overlap_bp")
     )
+
+
+def keep_best_per_cluster(docs: DataFrame, components: DataFrame, *,
+                          quality_col: str = "n_chars",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware duplicate-cluster resolution — the curation rule
+    that decides WHICH member of a near-dup cluster survives: keep the
+    highest-``quality_col`` member (tie-break: lowest id), drop the
+    rest. :func:`exact_dedup`/q60 keep by min id, which is right for
+    byte-identical advisories; for near-dup web documents the keeper
+    should be the best copy (longest / highest quality score — the
+    RefinedWeb/Gopher practice), not the one with the smallest id.
+
+    Inputs: ``docs`` (id, quality, …) and ``components`` (node,
+    component) from :func:`~vulnerablecode_spark.operators.components.
+    connected_components` over the near-dup pairs. Output: one row per
+    document — (id, cluster_id, quality, keep).
+
+    Scale: the per-cluster argmax window runs ONLY over cluster MEMBERS
+    (the inner join against the component frame), never the corpus —
+    singletons bypass the window through the anti-join branch with
+    keep=true, so the window shuffle is duplicated-docs-proportional.
+    Both joins are plain equi-joins on the id (AQE picks broadcast when
+    the component frame is small, shuffle when dedup found half the
+    corpus duplicated — the dim here is legitimately data-proportional,
+    so no hard hint).
+    """
+    quality = F.col(quality_col).cast("bigint")
+    members = (
+        docs.join(components, docs[id_col] == components["node"])
+        .select(F.col(id_col), F.col("component").alias("cluster_id"),
+                quality.alias(quality_col))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc())
+    ranked = members.withColumn(
+        "keep", F.row_number().over(w) == 1)
+    singles = (
+        docs.join(components, docs[id_col] == components["node"],
+                  "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias("cluster_id"),
+                quality.alias(quality_col), F.lit(True).alias("keep"))
+    )
+    return ranked.unionByName(singles)

@@ -2331,3 +2331,41 @@ def q112_decontam_incremental(spark, sf_dir):
         docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 40)),
         impl="arrow")
     return dedup.decontamination_incremental(index, old, delta)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware cluster resolution — q60 keeps the MIN-ID member of each
+# near-dup cluster (right for byte-identical advisories); the curation
+# rule for near-dup web documents keeps the BEST member (longest /
+# highest quality, RefinedWeb practice). Window runs only over cluster
+# members (duplicated-docs-proportional); singletons bypass it via the
+# anti-join branch (llm/dedup.py keep_best_per_cluster).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_keep_best_per_cluster",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BANDS},
+    {_SQL_NEAR_DUP_COMP}
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           (ROW_NUMBER() OVER (
+                PARTITION BY COALESCE(c.component, d.doc_id)
+                ORDER BY d.n_chars DESC, d.doc_id) = 1) AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q114_keep_best_per_cluster(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import \
+        connected_components
+
+    art = _near_dup_artifacts(spark, sf_dir)
+    pairs = dedup.near_dup_pairs(
+        hashed=art["hashed"], candidates=art["candidates"], threshold=0.8)
+    comps = connected_components(
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return dedup.keep_best_per_cluster(docs, comps, quality_col="n_chars")
