@@ -1446,3 +1446,59 @@ class TestKeepBestPerCluster:
         got = {r.doc_id: r.keep
                for r in keep_best_per_cluster(docs, comps).collect()}
         assert got == {5: True, 6: False, 7: False}
+
+
+class TestComponentsIncremental:
+    """connected_components_incremental == batch CC over old ∪ new edges
+    — random graphs, random splits (min-labels compose under union)."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.integers(0, 2**32 - 1))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_matches_batch_cc(self, spark, seed):
+        import random
+
+        from vulnerablecode_spark.operators.components import (
+            connected_components, connected_components_incremental)
+
+        rng = random.Random(seed)
+        n_nodes = rng.randint(4, 20)
+        n_edges = rng.randint(1, 24)
+        edges = [(rng.randrange(n_nodes), rng.randrange(n_nodes))
+                 for _ in range(n_edges)]
+        cut = rng.randint(0, n_edges)
+        old, new = edges[:cut], edges[cut:]
+
+        def df(rows):
+            return spark.createDataFrame(
+                rows or [(None, None)], "src long, dst long").filter(
+                F.col("src").isNotNull())
+
+        stored = connected_components(df(old)) if old else \
+            spark.createDataFrame([], "node long, component long")
+        got = {(r.node, r.component)
+               for r in connected_components_incremental(
+                   stored, df(new)).collect()}
+        want = {(r.node, r.component)
+                for r in connected_components(df(edges)).collect()} \
+            if edges else set()
+        assert got == want
+
+    def test_new_node_bridges_two_old_components(self, spark):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from vulnerablecode_spark.operators.components import (
+            connected_components, connected_components_incremental)
+
+        old = spark.createDataFrame([(3, 4), (9, 11)], "src long, dst long")
+        stored = connected_components(old)
+        # new node 120 bridges components 3 and 9
+        new = spark.createDataFrame([(4, 120), (120, 11)],
+                                    "src long, dst long")
+        got = {r.node: r.component
+               for r in connected_components_incremental(
+                   stored, new).collect()}
+        assert got == {3: 3, 4: 3, 9: 3, 11: 3, 120: 3}

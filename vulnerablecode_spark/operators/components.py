@@ -96,3 +96,62 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
             f"connected_components did not converge in {max_iterations} "
             "iterations")
     return labels
+
+
+def connected_components_incremental(stored_labels: DataFrame,
+                                     new_edges: DataFrame,
+                                     src: str = "src", dst: str = "dst",
+                                     max_iterations: int = 30) -> DataFrame:
+    """Merge NEW edges into stored (node, component) labels WITHOUT
+    re-running connected components over the corpus graph — the
+    incremental twin of :func:`connected_components`, and the missing
+    piece between ``near_dup_pairs_incremental`` (which scores only
+    pairs touching a batch) and a maintained cluster labeling.
+
+    New edges can only UNION existing components (min-labels only
+    shrink), so the merge reduces to a component-LEVEL meta-graph:
+    meta-nodes are the endpoints' current labels (a previously-unseen
+    node stands in with its own id), meta-edges are the new pairs
+    projected onto those labels, and ONE :func:`connected_components`
+    over that — proportional to TOUCHED components + batch nodes, never
+    the corpus. Relabeling is then a broadcast map join onto the stored
+    frame (the remap dim is batch-proportional by construction).
+
+    Exactness: labels are min-reachable-node ids and min COMPOSES — the
+    min over a union of components is the min of their labels and any
+    new node ids — so the output equals batch CC over old ∪ new edges
+    (property-tested). Returns (node, component) covering stored nodes
+    plus every new-edge endpoint.
+    """
+    e = (new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .distinct())
+    lab_a = stored_labels.select(F.col("node").alias("a"),
+                                 F.col("component").alias("_ca"))
+    lab_b = stored_labels.select(F.col("node").alias("b"),
+                                 F.col("component").alias("_cb"))
+    meta_edges = (
+        e.join(lab_a, "a", "left").join(lab_b, "b", "left")
+        .select(F.coalesce("_ca", F.col("a")).alias("src"),
+                F.coalesce("_cb", F.col("b")).alias("dst"))
+    )
+    meta = connected_components(meta_edges, max_iterations=max_iterations)
+    remap = meta.select(F.col("node").alias("_old"),
+                        F.col("component").alias("_new"))
+    relabeled = (
+        stored_labels.join(
+            F.broadcast(remap),
+            stored_labels["component"] == remap["_old"], "left")
+        .select("node", F.coalesce("_new", "component").alias("component"))
+    )
+    new_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .join(stored_labels.select("node"), "node", "left_anti")
+    )
+    new_labeled = (
+        new_nodes.join(F.broadcast(remap),
+                       new_nodes["node"] == remap["_old"], "left")
+        .select("node", F.coalesce("_new", F.col("node")).alias("component"))
+    )
+    return relabeled.unionByName(new_labeled)

@@ -2369,3 +2369,60 @@ def q114_keep_best_per_cluster(spark, sf_dir):
                      F.col("doc_b").alias("dst")))
     docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return dedup.keep_best_per_cluster(docs, comps, quality_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Incremental cluster maintenance — the missing piece between q63 (pairs
+# touching a batch) and a SERVED cluster labeling: merge the batch's new
+# near-dup pairs into stored component labels via a component-LEVEL
+# meta-graph (meta-nodes = touched labels, one CC over that — work ∝
+# touched components + batch, never the corpus), then a broadcast remap.
+# Exact because min-labels compose under union (operators/components.py
+# connected_components_incremental). The graded output is the full
+# corpus labeling, which must equal batch CC over ALL pairs — the q60
+# oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q115_components_incremental",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_BANDS},
+    {_SQL_NEAR_DUP_COMP}
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    """,
+)
+def q115_components_incremental(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import (
+        connected_components, connected_components_incremental)
+
+    docs = _load(spark, sf_dir, "documents")
+    stored_docs = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    # stored state: index + labels over the old corpus only
+    idx_hashed = dedup.hashed_shingles(
+        stored_docs, impl="arrow").localCheckpoint(eager=True)
+    idx_bands = dedup.band_frame(
+        dedup.minhash_signatures(hashed=idx_hashed, with_sizes=True),
+        with_sizes=True).localCheckpoint(eager=True)
+    old_pairs = dedup.near_dup_pairs(hashed=idx_hashed, threshold=0.8)
+    stored_labels = connected_components(
+        old_pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # the increment: only pairs touching the batch are scored (q63),
+    # and only touched components are re-labeled
+    new_pairs = dedup.near_dup_pairs_incremental(
+        batch, idx_hashed, idx_bands, threshold=0.8, impl="arrow")
+    merged = connected_components_incremental(
+        stored_labels,
+        new_pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst")))
+    return (
+        docs.select("doc_id")
+        .join(merged, docs["doc_id"] == merged["node"], "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").alias("cluster_id"))
+    )
