@@ -91,6 +91,25 @@ class TestApplyIncrement:
         assert ledger["batches"][1]["ivf_first_build"] is False
         assert ledger["watermark"] == "2"
 
+    def test_cluster_labels_match_batch_cc(self, spark, tmp_path):
+        # q115 composed: the maintained labels equal batch CC over the
+        # near-dup pairs of the FULL corpus (docs 3 and 12 are exact
+        # dups across batches -> one merged cluster)
+        from vulnerablecode_spark.operators.components import \
+            connected_components
+
+        root = str(tmp_path / "store")
+        self._apply_both(spark, root)
+        got = {(r.node, r.component)
+               for r in inc.read_components(spark, root).collect()}
+        pairs = nd.near_dup_pairs(_docs(spark, BATCH1 + BATCH2),
+                                  threshold=0.4)
+        want = {(r.node, r.component)
+                for r in connected_components(
+                    pairs.select(F.col("doc_a").alias("src"),
+                                 F.col("doc_b").alias("dst"))).collect()}
+        assert got == want and got
+
     def test_replay_is_noop(self, spark, tmp_path):
         root = str(tmp_path / "store")
         self._apply_both(spark, root)
@@ -125,7 +144,8 @@ class TestCrashResume:
                             embeddings=_emb(spark, [10, 11, 12]))
         for reader in (inc.read_cleaned, inc.read_pairs, inc.read_seg_counts,
                        inc.read_postings, inc.read_hashed, inc.read_bands,
-                       inc.read_docs, inc.read_ivf_assigned):
+                       inc.read_docs, inc.read_ivf_assigned,
+                       inc.read_components):
             a = sorted(map(tuple, reader(spark, crashed).collect()))
             b = sorted(map(tuple, reader(spark, clean).collect()))
             assert a == b, reader.__name__
@@ -159,7 +179,7 @@ class TestCompaction:
         for reader in (inc.read_cleaned, inc.read_pairs,
                        inc.read_seg_counts, inc.read_postings,
                        inc.read_hashed, inc.read_bands, inc.read_docs,
-                       inc.read_ivf_assigned):
+                       inc.read_ivf_assigned, inc.read_components):
             out[reader.__name__] = sorted(
                 map(tuple, reader(spark, root).collect()))
         return out

@@ -80,6 +80,8 @@ LD_POSTINGS = "linededup/postings"
 LD_CLEANED = "linededup/cleaned"
 IVF_CENTROIDS = "ivf/centroids"
 IVF_ASSIGNED = "ivf/assigned"
+CC_LABELS = "components/labels"
+CC_REMAPS = "components/remaps"
 
 _SCHEMAS = {
     DOCS: "doc_id long, text string",
@@ -93,6 +95,8 @@ _SCHEMAS = {
     # cell carries the centroid id = a seed vec_id (ivf_index seeds
     # centroids from corpus rows), hence long, not a 0..n-1 int
     IVF_ASSIGNED: "vec_id long, embedding array<double>, cell long",
+    CC_LABELS: "node long, component long, _batch long",
+    CC_REMAPS: "_old long, _new long, _batch long",
 }
 
 
@@ -249,6 +253,30 @@ def read_ivf_assigned(spark, root):
     return _read_artifact(spark, root, IVF_ASSIGNED)
 
 
+def read_components(spark, root) -> DataFrame:
+    """Current near-dup cluster labels (node, component): per-batch NEW-
+    node label rows resolved through the ordered chain of per-batch
+    label REMAPS (a remap at batch b folds the components batch b
+    merged — min-labels compose, and a remapped-away label can never
+    reappear later, so each remap applies safely to every older row;
+    chains like 9→3 then 3→1 require the batch-ordered fold). The
+    chain length is bounded by compaction cadence: :func:`compact`
+    materializes the resolved labels as the new base and empties the
+    remap log."""
+    labels = _read_artifact(spark, root, CC_LABELS).select(
+        "node", "component")
+    remaps = _read_artifact(spark, root, CC_REMAPS)
+    batches = sorted(r["_batch"] for r in
+                     remaps.select("_batch").distinct().collect())
+    for b in batches:
+        r = remaps.filter(F.col("_batch") == b).select("_old", "_new")
+        labels = (labels.join(F.broadcast(r),
+                              labels["component"] == r["_old"], "left")
+                  .select("node", F.coalesce("_new", "component")
+                          .alias("component")))
+    return labels
+
+
 def read_ivf_centroids(spark, root) -> DataFrame | None:
     recover_increment(root)
     path = os.path.join(root, IVF_CENTROIDS)
@@ -296,7 +324,35 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
         with_sizes=True).localCheckpoint(eager=True)
     pairs = nd.near_dup_pairs_incremental(
         None, read_hashed(spark, root), read_bands(spark, root),
-        threshold=threshold, new_hashed=new_hashed, new_bands=new_bands)
+        threshold=threshold, new_hashed=new_hashed,
+        new_bands=new_bands).localCheckpoint(eager=True)
+
+    # --- cluster labels: fold the batch's pairs into the stored
+    # labeling via the component-level meta-CC (q115) — work ∝ touched
+    # components; the stored frame is never re-clustered. Persisted as
+    # batch-proportional DELTAS: label rows for NEW nodes + the label
+    # remap this batch induced (read_components folds them in order).
+    from vulnerablecode_spark.operators.components import \
+        connected_components_incremental
+
+    stored_labels = read_components(spark, root).localCheckpoint(eager=True)
+    merged_labels = connected_components_incremental(
+        stored_labels,
+        pairs.select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst"))).localCheckpoint(
+        eager=True)
+    label_remap = (
+        stored_labels.withColumnRenamed("component", "_old")
+        .join(merged_labels.withColumnRenamed("component", "_new"), "node")
+        .filter(F.col("_old") != F.col("_new"))
+        .select("_old", "_new").distinct()
+        .withColumn("_batch", F.lit(batch_id).cast("long"))
+    )
+    new_label_rows = (
+        merged_labels.join(stored_labels.select("node"), "node",
+                           "left_anti")
+        .withColumn("_batch", F.lit(batch_id).cast("long"))
+    )
 
     # --- line dedup: clean batch, emit + repair the retro work list ---
     index_counts = read_seg_counts(spark, root).localCheckpoint(eager=True)
@@ -361,6 +417,8 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     stage(new_bands, ND_BANDS)
     stage(pairs, ND_PAIRS)
     stage(batch_counts.select("seg", "n_docs"), LD_COUNTS)
+    stage(label_remap, CC_REMAPS)
+    stage(new_label_rows.select("node", "component", "_batch"), CC_LABELS)
     stage(nd.line_seg_postings(batch, w=w), LD_POSTINGS)
     stage(cleaned_delta, LD_CLEANED)
     if assigned_delta is not None:
@@ -441,10 +499,15 @@ def compact(spark: SparkSession, root: str,
         if rel == LD_CLEANED:
             return _cleaned_current(
                 _read_artifact(spark, root, rel), keep_batch=True)
+        if rel == CC_LABELS:
+            # resolved through the remap chain; the compacted base
+            # carries the current batch stamp and the remap log empties
+            return read_components(spark, root).withColumn(
+                "_batch", F.lit(max(batches)).cast("long"))
         return _read_artifact(spark, root, rel)
 
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
-            LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED)
+            LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS)
     frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
     for rel, df in frames.items():
         if df is None:
@@ -453,6 +516,12 @@ def compact(spark: SparkSession, root: str,
         df.write.mode("overwrite").parquet(
             os.path.join(st, staged_rel, base))
         swaps.append((staged_rel, rel))
+    if frames.get(CC_LABELS) is not None:
+        # fold-complete: swap in an EMPTY remap log (no delta- subdirs
+        # -> read_components sees zero pending remaps)
+        empty_rel = CC_REMAPS.replace("/", "__") + "-compacted"
+        os.makedirs(os.path.join(st, empty_rel), exist_ok=True)
+        swaps.append((empty_rel, CC_REMAPS))
 
     if fault_after == "staged":
         raise RuntimeError("fault injection: staged")
