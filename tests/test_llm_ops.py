@@ -1502,3 +1502,151 @@ class TestComponentsIncremental:
                for r in connected_components_incremental(
                    stored, new).collect()}
         assert got == {3: 3, 4: 3, 9: 3, 11: 3, 120: 3}
+
+
+class TestBm25IncrementalIndex:
+    """q116's invariant: N disjoint appends into the stored BM25 index
+    score identically to a from-scratch index over the union — for any
+    split, any term set, including terms absent from one side."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    def _score(self, postings, lengths, terms):
+        from vulnerablecode_spark.llm.text import bm25_topk_from_index
+        return sorted(
+            tuple(r) for r in
+            bm25_topk_from_index(postings, lengths, terms, k=50).collect())
+
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 5))
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_appends_equal_rebuild(self, spark, seed, mod):
+        import numpy as np
+        import pyspark.sql.functions as F
+
+        from vulnerablecode_spark.llm.text import (bm25_index,
+                                                   bm25_index_increment)
+
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [(i, " ".join(rng.choice(vocab,
+                                        size=int(rng.integers(3, 20)))))
+                for i in range(20)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        is_new = F.col("doc_id") % (mod + 1) == 0
+        old, batch = docs.filter(~is_new), docs.filter(is_new)
+        terms = ["w0", "w3", "w11"]
+        p, ln = bm25_index(old)
+        p, ln = bm25_index_increment(p, ln, batch)
+        assert self._score(p, ln, terms) == \
+            self._score(*bm25_index(docs), terms)
+
+    def test_batch_only_and_empty_batch(self, spark):
+        from vulnerablecode_spark.llm.text import (bm25_index,
+                                                   bm25_index_increment)
+        docs = spark.createDataFrame(
+            [(1, "a b a"), (2, "b c"), (3, "a c c")],
+            "doc_id long, text string")
+        empty = docs.filter("doc_id < 0")
+        # empty stored index + full batch ≡ batch build
+        p, ln = bm25_index_increment(*bm25_index(empty), docs)
+        assert self._score(p, ln, ["a", "c"]) == \
+            self._score(*bm25_index(docs), ["a", "c"])
+        # empty batch is a no-op
+        p2, ln2 = bm25_index_increment(*bm25_index(docs), empty)
+        assert self._score(p2, ln2, ["a", "c"]) == \
+            self._score(*bm25_index(docs), ["a", "c"])
+
+
+class TestHashSplit:
+    def test_deterministic_and_stable_under_growth(self, spark):
+        """A doc's split never depends on what else is in the corpus —
+        the property a rand()-based split violates."""
+        from vulnerablecode_spark.llm.curate import hash_split
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(200)], "doc_id long, text string")
+        full = {r.doc_id: (r.bucket, r.split)
+                for r in hash_split(docs).collect()}
+        sub = {r.doc_id: (r.bucket, r.split)
+               for r in hash_split(docs.filter("doc_id < 50")).collect()}
+        assert all(full[i] == sub[i] for i in sub)
+        again = {r.doc_id: (r.bucket, r.split)
+                 for r in hash_split(docs).collect()}
+        assert full == again
+
+    def test_salt_rerolls_and_percents_validated(self, spark):
+        from vulnerablecode_spark.llm.curate import hash_split
+        import pytest as _pytest
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(300)], "doc_id long, text string")
+        a = {r.doc_id: r.split for r in hash_split(docs, salt="v1").collect()}
+        b = {r.doc_id: r.split for r in hash_split(docs, salt="v2").collect()}
+        assert a != b  # a re-roll moves at least one of 300 docs
+        with _pytest.raises(ValueError):
+            hash_split(docs, splits=(("train", 90), ("val", 5)))
+
+    def test_split_fractions_approximate_percents(self, spark):
+        from vulnerablecode_spark.llm.curate import hash_split
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(2000)], "doc_id long, text string")
+        counts = {r.split: r.n for r in hash_split(docs).groupBy("split")
+                  .agg(__import__("pyspark.sql.functions",
+                                  fromlist=["F"]).count("*").alias("n"))
+                  .collect()}
+        assert 0.75 * 2000 < counts["train"] < 0.85 * 2000
+        assert counts["train"] + counts["val"] + counts["test"] == 2000
+
+
+class TestGopherRules:
+    def test_handcrafted_failures(self, spark):
+        from vulnerablecode_spark.llm.text import gopher_rules_report
+        good = "the of and a " + " ".join(
+            f"word{i}" for i in range(56))  # 60 tokens, all distinct
+        rows = [
+            (1, good),                              # passes everything
+            (2, "tiny doc the of and a"),           # fails word_count
+            (3, " ".join(["zq"] * 60)),             # fails stopword+ttr+awl
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        rep = {r.rule: r.n_failed
+               for r in gopher_rules_report(docs).collect()}
+        assert rep["word_count"] == 1
+        assert rep["stopword_presence"] == 1
+        assert rep["distinct_ratio"] == 1
+        # doc3 ('zq'×60 → awl 200) and doc2 (short words, awl 266)
+        assert rep["mean_word_len"] == 2
+
+
+class TestSourceDupMatrix:
+    def test_mirrored_sources_show_off_diagonal(self, spark):
+        from vulnerablecode_spark.llm.dedup import source_dup_matrix
+        t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(1, t, "crawl_a"), (2, t, "crawl_b"),
+                (3, "totally different words here all unique ones now",
+                 "crawl_a")]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string")
+        got = {(r.src_a, r.src_b): (r.n_pairs, r.max_jaccard)
+               for r in source_dup_matrix(docs, threshold=0.5).collect()}
+        assert got == {("crawl_a", "crawl_b"): (1, 1.0)}
+
+
+class TestBigramLm:
+    def test_corpus_typical_beats_outlier(self, spark):
+        from vulnerablecode_spark.llm.text import bigram_lm_scores
+        common = "the cat sat on the mat"
+        rows = [(i, common) for i in range(9)] + [
+            (9, "zyx wvu tsr qpo nml kji")]  # bigrams seen once each
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        scores = {r.doc_id: r.lm_score_bp
+                  for r in bigram_lm_scores(docs).collect()}
+        assert scores[0] > scores[9]
+        assert all(0 <= s <= 10000 for s in scores.values())
+
+    def test_short_docs_excluded(self, spark):
+        from vulnerablecode_spark.llm.text import bigram_lm_scores
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "two words")], "doc_id long, text string")
+        got = {r.doc_id for r in bigram_lm_scores(docs).collect()}
+        assert got == {2}

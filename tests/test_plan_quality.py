@@ -457,3 +457,57 @@ class TestRound10PlanQuality:
         assert "Join" not in plan
         assert "Generate" not in plan
         assert "Window" in plan
+
+
+class TestRound10NewOps:
+    def test_q116_index_probe_broadcast_stats_takeordered(self, spark):
+        # BM25 from the stored index: per-term stats broadcast onto the
+        # postings probe, top-k is TakeOrdered — identical scoring shape
+        # to q107; the index append is a plan union, never a shuffle
+        plan = plan_of(spark, "q116_bm25_incremental")
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q117_split_is_map_only(self, spark):
+        # deterministic hash split: pure projection — no shuffle, no
+        # join, no Python; computable at scan time for partition layout
+        plan = plan_of(spark, "q117_hash_split")
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_q118_single_counter_aggregation(self, spark):
+        # per-rule report: all flags map-side, ONE map-side-combined
+        # aggregation to a single counter row — the corpus never
+        # shuffles, only sub-kilobyte partial sums do
+        plan = plan_of(spark, "q118_gopher_rules")
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 1
+        assert "Join" not in plan
+        # the only Generate is the 4-row stack AFTER the global agg (the
+        # flag computation itself is map-side, no corpus explode): every
+        # Generate node must sit above the single-partition exchange
+        gen_ids = [int(m) for m in re.findall(r"\((\d+)\) Generate", plan)]
+        exch_ids = [int(m) for m in re.findall(r"\((\d+)\) Exchange", plan)]
+        assert all(g > e for g in gen_ids for e in exch_ids)
+        assert "BatchEvalPython" not in plan
+
+    def test_q119_pairs_broadcast_no_pair_blowup(self, spark):
+        # source matrix: the near-dup-proportional pair frame broadcasts
+        # onto the (id, source) projection — never a cartesian or
+        # nested-loop pair enumeration
+        plan = plan_of(spark, "q119_source_dup_matrix")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q120_lm_pure_catalyst_no_cartesian(self, spark):
+        # bigram LM: vocab scalar broadcasts, the model joins the
+        # scoring frame on (w1, w2) as a hash join — no Python, no
+        # cartesian (the V scalar rides a broadcast on a lit key)
+        plan = plan_of(spark, "q120_bigram_lm_score")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

@@ -611,3 +611,47 @@ def temperature_sample(docs: DataFrame, *, alpha: float = 0.5,
         .filter(gate < F.col("rate_bp"))
         .select(F.col(id_col), F.col(group_col), "n_source", "rate_bp")
     )
+
+
+def hash_split(docs: DataFrame, *, salt: str = "v1",
+               splits: tuple[tuple[str, int], ...] = (
+                   ("train", 80), ("val", 10), ("test", 10)),
+               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic train/val/test assignment by keyed hash — the split
+    every training pipeline needs to be REPRODUCIBLE and STABLE under
+    corpus growth: a document's split depends only on (salt, id), never
+    on row order, partitioning, or what else is in the corpus, so
+    re-runs, incremental appends, and cross-team reproductions all agree
+    (the property a `rand()`-based split violates on every shuffle).
+
+    The bucket is the first 60 bits of md5(salt ':' id) mod 100 —
+    md5-derived like every other cross-engine hash in this repo
+    (llm/dedup.py hash64) so the oracle reproduces it bit-for-bit.
+    ``splits`` are (name, percent) in priority order and must sum to
+    100. Changing ``salt`` re-rolls the assignment; keeping it pins
+    every historical doc to its historical split.
+
+    Output: (id, bucket, split) — one row per document.
+
+    Scale: pure map-side projection — no shuffle, no join, no Python;
+    the split column is computable at scan time for partition layout.
+    """
+    total = sum(p for _, p in splits)
+    if total != 100:
+        raise ValueError(f"split percents must sum to 100, got {total}")
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt),
+                              F.col(id_col).cast("string"))), 1, 15),
+               16, 10).cast("bigint") % 100
+    )
+    expr = None
+    lo = 0
+    for name, pct in splits:
+        lo += pct
+        cond = F.col("bucket") < lo
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return (
+        docs.select(F.col(id_col), bucket.alias("bucket"))
+        .withColumn("split", expr)
+    )

@@ -1196,3 +1196,47 @@ def keep_best_per_cluster(docs: DataFrame, components: DataFrame, *,
                 quality.alias(quality_col), F.lit(True).alias("keep"))
     )
     return ranked.unionByName(singles)
+
+
+def source_dup_matrix(docs: DataFrame, *, threshold: float = 0.4,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      source_col: str = "source") -> DataFrame:
+    """Cross-source duplication matrix — where is the duplication COMING
+    FROM? Verified near-dup pairs (the LSH-gated exact-Jaccard path of
+    :func:`near_dup_pairs`, never all-pairs) are labeled with each
+    side's source and rolled up per unordered source pair. The readout a
+    curator takes to source triage: a heavy diagonal cell means a source
+    re-crawls itself; a heavy off-diagonal cell means two sources mirror
+    each other and one of them can be dropped wholesale before any
+    per-document dedup spend.
+
+    Output: (src_a, src_b, n_pairs, max_jaccard) with src_a ≤ src_b.
+    max (not mean) keeps the statistic summation-order-independent —
+    a float mean over a shuffled frame is not bit-reproducible.
+
+    Scale: the pair frame is near-dup-proportional (tiny next to the
+    corpus) and BROADCASTS onto the (id, source) projection twice; the
+    final rollup groups on source pairs — group-cardinality bounded by
+    (#sources)². The corpus is scanned once for shingles and once for
+    the source projection; it never shuffles on anything
+    pair-proportional.
+    """
+    pairs = near_dup_pairs(docs, text_col, id_col, threshold=threshold)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    labeled = (
+        src.withColumnRenamed(id_col, "doc_a")
+        .withColumnRenamed(source_col, "_sa")
+        .join(F.broadcast(pairs), "doc_a")
+        .join(src.withColumnRenamed(id_col, "doc_b")
+                 .withColumnRenamed(source_col, "_sb"), "doc_b")
+    )
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("src_a"),
+            F.greatest("_sa", "_sb").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+             F.max("jaccard").alias("max_jaccard"))
+    )

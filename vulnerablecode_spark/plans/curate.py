@@ -300,3 +300,34 @@ def q109_temperature_sample(spark, sf_dir):
     # fr at sf0.01), so the rebalance actually downsamples the head
     docs = _load(spark, sf_dir, "documents")
     return curate.temperature_sample(docs, alpha=0.5, group_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split — reproducible train/val/test assignment that
+# is stable under corpus growth (a doc's split depends only on
+# (salt, id)). Pure map-side projection: no shuffle, no join — the split
+# is computable at scan time for partition layout (llm/curate.py
+# hash_split).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_hash_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT doc_id,
+               {_SQL_HASH64.format(
+                   s="concat_ws(':', 'v1', CAST(doc_id AS VARCHAR))")}
+                   % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q117_hash_split(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.hash_split(docs)

@@ -2426,3 +2426,229 @@ def q115_components_incremental(spark, sf_dir):
         .select("doc_id",
                 F.coalesce("component", "doc_id").alias("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental BM25 index maintenance — the serving counterpart of q107:
+# the inverted index (postings + doc lengths) is a stored artifact,
+# disjoint document batches fold in by pure UNION (per-batch cost ∝
+# batch; the stored postings are appended, never rescanned), and a
+# query probe scores against the merged index. The oracle is the
+# from-scratch batch BM25 over old ∪ new — grading that N appends ≡ one
+# rebuild (llm/text.py bm25_index / bm25_index_increment /
+# bm25_topk_from_index).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q116_bm25_incremental",
+    oracle="""
+    WITH lengths AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    corpus AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               AVG(dl) AS avgdl FROM lengths
+    ),
+    hits AS (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ) WHERE tok IN ('table', 'hash', 'merge')
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM hits GROUP BY doc_id, tok
+    ),
+    df_stats AS (
+        SELECT tok,
+               ln((c.n_docs - CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5)
+                  / (CAST(COUNT(DISTINCT doc_id) AS DOUBLE) + 0.5) + 1.0)
+                   AS idf,
+               c.avgdl AS avgdl
+        FROM tf, corpus c GROUP BY tok, c.n_docs, c.avgdl
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               ROUND(SUM(s.idf * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                     4) AS score
+        FROM tf t
+        JOIN df_stats s ON t.tok = s.tok
+        JOIN lengths l ON t.doc_id = l.doc_id
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM scored
+    ) WHERE rk <= 15
+    """,
+)
+def q116_bm25_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    postings, lengths = text.bm25_index(stored)
+    postings, lengths = text.bm25_index_increment(postings, lengths, batch)
+    return text.bm25_topk_from_index(
+        postings, lengths, ["table", "hash", "merge"], k=15)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style per-rule quality failure report — "which rule is doing
+# the filtering?": every document tested against every rule, one report
+# row per rule. One corpus scan, all flags map-side, ONE map-side-
+# combined aggregation to a single counter row, then a 4-row stack —
+# the corpus never shuffles (llm/text.py gopher_rules_report).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_gopher_rules",
+    oracle=rf"""
+    WITH base AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                   AS n_distinct,
+               CAST(len(regexp_extract_all(lower(text), '{_SQL_EN}'))
+                   AS BIGINT) AS stop_hits
+        FROM documents
+    ), parts AS (
+        SELECT n_tokens,
+               ((n_chars - (n_tokens - 1)) * 100) // n_tokens AS awl_x100,
+               (n_distinct * 10000) // n_tokens AS ttr_bp,
+               stop_hits
+        FROM base
+    ), totals AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_tokens BETWEEN 50 AND 100000
+                        THEN 0 ELSE 1 END) AS BIGINT) AS wc,
+               CAST(SUM(CASE WHEN awl_x100 BETWEEN 300 AND 1000
+                        THEN 0 ELSE 1 END) AS BIGINT) AS awl,
+               CAST(SUM(CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS stop,
+               CAST(SUM(CASE WHEN ttr_bp < 2000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ttr
+        FROM parts
+    )
+    SELECT u.rule, t.n_docs, u.n_failed,
+           (u.n_failed * 10000) // t.n_docs AS fail_bp
+    FROM totals t, (
+        SELECT 'word_count' AS rule, wc AS n_failed FROM totals
+        UNION ALL SELECT 'mean_word_len', awl FROM totals
+        UNION ALL SELECT 'stopword_presence', stop FROM totals
+        UNION ALL SELECT 'distinct_ratio', ttr FROM totals
+    ) u
+    """,
+)
+def q118_gopher_rules(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.gopher_rules_report(docs)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — where is the duplication coming
+# from? LSH-gated exact-verified near-dup pairs labeled with each side's
+# source, rolled up per unordered source pair (heavy diagonal = source
+# re-crawls itself; heavy off-diagonal = mirrored sources — drop one
+# wholesale before per-document dedup spend). The pair frame broadcasts
+# onto the (id, source) projection; the rollup is (#sources)²-bounded
+# (llm/dedup.py source_dup_matrix).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_source_dup_matrix",
+    oracle=f"""
+    WITH {_SQL_BANDS},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM hs GROUP BY doc_id),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN hs ha ON ha.doc_id = c.doc_a
+        JOIN hs hb ON hb.doc_id = c.doc_b AND hb.h = ha.h
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    verified AS (
+        SELECT i.doc_a, i.doc_b,
+               ROUND(CAST(i.n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - i.n_common), 4) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    labeled AS (
+        SELECT LEAST(da.source, db.source) AS src_a,
+               GREATEST(da.source, db.source) AS src_b,
+               v.jaccard
+        FROM verified v
+        JOIN documents da ON da.doc_id = v.doc_a
+        JOIN documents db ON db.doc_id = v.doc_b
+        WHERE v.jaccard >= 0.4
+    )
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(jaccard) AS max_jaccard
+    FROM labeled GROUP BY src_a, src_b
+    """,
+)
+def q119_source_dup_matrix(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return dedup.source_dup_matrix(docs, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality score — the CCNet "does this doc look like the
+# corpus?" signal with the LM trained on the corpus itself (add-one
+# smoothed bigram model), integer basis points end-to-end. Two token-
+# proportional explodes; the model dim is bigram-type-proportional and
+# hash-joins the scoring frame on (w1, w2); both count frames additive
+# under appends (llm/text.py bigram_lm_scores).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q120_bigram_lm_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    c_big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        FROM pairs GROUP BY w1, w2
+    ),
+    c_pre AS (
+        SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_pre
+        FROM c_big GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_size
+        FROM (SELECT UNNEST(toks) AS tok FROM t)
+    ),
+    model AS (
+        SELECT b.w1, b.w2,
+               ((b.c_big + 1) * 10000) // (p.c_pre + v.v_size) AS p_bp
+        FROM c_big b JOIN c_pre p ON b.w1 = p.w1, vocab v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
+    FROM pairs pr
+    JOIN model m ON m.w1 = pr.w1 AND m.w2 = pr.w2
+    GROUP BY doc_id
+    """,
+)
+def q120_bigram_lm_score(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs)
