@@ -226,3 +226,29 @@ class TestCompaction:
         assert self._snapshot(spark, root) == before
         if fault == "committed":
             assert inc.read_ledger(root).get("compactions")
+
+
+class TestBm25Artifacts:
+    def test_index_equals_batch_build_and_survives_compact(
+            self, spark, tmp_path):
+        # the q116 invariant driven through the composed driver: scoring
+        # from the stored postings/lengths after two appends == one-shot
+        # bm25_topk over the full corpus; compaction preserves it
+        from vulnerablecode_spark.llm.text import (bm25_topk,
+                                                   bm25_topk_from_index)
+
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2)
+        terms = ["common", "gamma", "unique"]
+
+        def served():
+            return sorted(tuple(r) for r in bm25_topk_from_index(
+                inc.read_bm25_postings(spark, root),
+                inc.read_bm25_lengths(spark, root), terms, k=10).collect())
+
+        want = sorted(tuple(r) for r in bm25_topk(
+            _docs(spark, BATCH1 + BATCH2), terms, k=10).collect())
+        assert served() == want
+        inc.compact(spark, root)
+        assert served() == want

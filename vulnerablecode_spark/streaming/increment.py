@@ -27,6 +27,8 @@ Layout (all under one ``root``)::
       linededup/cleaned/delta-<b>/  cleaned rows (+ _batch), LAST BATCH WINS
       ivf/centroids/             centroid snapshot (written on first build)
       ivf/assigned/delta-<b>/    (vec_id, embedding, cell) assignments
+      bm25/postings/delta-<b>/   (doc_id, tok, tf) inverted index rows
+      bm25/lengths/delta-<b>/    (doc_id, dl) document lengths
 
 Every artifact is delta-append (per-batch work ∝ batch — the q63/q97/
 q105 discipline): segment counts are ADDITIVE across disjoint batches,
@@ -82,6 +84,8 @@ IVF_CENTROIDS = "ivf/centroids"
 IVF_ASSIGNED = "ivf/assigned"
 CC_LABELS = "components/labels"
 CC_REMAPS = "components/remaps"
+BM25_POSTINGS = "bm25/postings"
+BM25_LENGTHS = "bm25/lengths"
 
 _SCHEMAS = {
     DOCS: "doc_id long, text string",
@@ -97,6 +101,8 @@ _SCHEMAS = {
     IVF_ASSIGNED: "vec_id long, embedding array<double>, cell long",
     CC_LABELS: "node long, component long, _batch long",
     CC_REMAPS: "_old long, _new long, _batch long",
+    BM25_POSTINGS: "doc_id long, tok string, tf long",
+    BM25_LENGTHS: "doc_id long, dl long",
 }
 
 
@@ -219,6 +225,14 @@ def read_pairs(spark, root):
 
 def read_postings(spark, root):
     return _read_artifact(spark, root, LD_POSTINGS)
+
+
+def read_bm25_postings(spark, root):
+    return _read_artifact(spark, root, BM25_POSTINGS)
+
+
+def read_bm25_lengths(spark, root):
+    return _read_artifact(spark, root, BM25_LENGTHS)
 
 
 def read_seg_counts(spark, root) -> DataFrame:
@@ -421,6 +435,14 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     stage(new_label_rows.select("node", "component", "_batch"), CC_LABELS)
     stage(nd.line_seg_postings(batch, w=w), LD_POSTINGS)
     stage(cleaned_delta, LD_CLEANED)
+    # --- BM25 inverted index: disjoint doc ids make both artifacts
+    # extend by pure delta-append of the batch's own index (q116) —
+    # the stored postings are never read during the increment
+    from vulnerablecode_spark.llm.text import bm25_index
+
+    bm25_postings, bm25_lengths = bm25_index(batch)
+    stage(bm25_postings, BM25_POSTINGS)
+    stage(bm25_lengths, BM25_LENGTHS)
     if assigned_delta is not None:
         stage(assigned_delta.select("vec_id", "embedding", "cell"),
               IVF_ASSIGNED)
@@ -507,7 +529,8 @@ def compact(spark: SparkSession, root: str,
         return _read_artifact(spark, root, rel)
 
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
-            LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS)
+            LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS,
+            BM25_POSTINGS, BM25_LENGTHS)
     frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
     for rel, df in frames.items():
         if df is None:
