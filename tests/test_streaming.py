@@ -551,3 +551,64 @@ class TestPackStreamNullText:
         # advanced nothing, so it spans seqs 0 and 1 exactly like the
         # batch manifest would
         assert rows == {(1, 0, 0, 2), (3, 0, 0, 0), (3, 1, 1, 1)}
+
+
+class TestStreamApplyIncrement:
+    def test_stream_drives_composed_store(self, spark, tmp_path):
+        """Two availableNow triggers route micro-batches through the
+        atomic multi-artifact store; every serving read equals the batch
+        recompute over the full corpus, and a checkpoint replay of an
+        already-applied batch is a ledger no-op."""
+        from vulnerablecode_spark.llm.dedup import (line_level_dedup,
+                                                    near_dup_pairs)
+        from vulnerablecode_spark.llm.text import (bm25_topk,
+                                                   bm25_topk_from_index)
+        from vulnerablecode_spark.streaming import increment as inc
+        from vulnerablecode_spark.streaming.incremental import \
+            stream_apply_increment
+
+        src = tmp_path / "docs"; src.mkdir()
+        root = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+
+        words = [f"w{i}" for i in range(24)]
+        base = " ".join(words)
+        d2 = " ".join("x2" if w == "w11" else w for w in words)
+        _write_record(src, "d1.json", {"doc_id": 1, "text": base})
+        _write_record(src, "d2.json", {"doc_id": 2, "text": d2})
+        stream_apply_increment(spark, str(src), root, ckpt, threshold=0.4)
+        n_batches = len(inc.read_ledger(root)["batches"])
+        assert n_batches >= 1
+
+        d4 = " ".join("x4" if w == "w5" else w for w in words)
+        _write_record(src, "d4.json", {"doc_id": 4, "text": d4})
+        stream_apply_increment(spark, str(src), root, ckpt, threshold=0.4)
+
+        docs = spark.read.schema("doc_id long, text string").option(
+            "multiLine", "true").json(str(src))
+        # near-dup pairs == batch recompute
+        got_pairs = {(r.doc_a, r.doc_b)
+                     for r in inc.read_pairs(spark, root).collect()}
+        want_pairs = {(r.doc_a, r.doc_b)
+                      for r in near_dup_pairs(docs, threshold=0.4).collect()}
+        assert got_pairs == want_pairs
+        # cleaned serving copy == batch line dedup
+        got_clean = {r.doc_id: r.cleaned_text
+                     for r in inc.read_cleaned(spark, root).collect()}
+        want_clean = {r.doc_id: r.cleaned_text
+                      for r in line_level_dedup(
+                          docs, w=3, boilerplate_min_docs=3).collect()}
+        assert got_clean == want_clean
+        # BM25 index == batch build
+        got_bm = sorted(tuple(r) for r in bm25_topk_from_index(
+            inc.read_bm25_postings(spark, root),
+            inc.read_bm25_lengths(spark, root), ["w1", "x4"]).collect())
+        want_bm = sorted(tuple(r) for r in
+                         bm25_topk(docs, ["w1", "x4"]).collect())
+        assert got_bm == want_bm
+        # replaying the drained stream adds no batches and changes nothing
+        before = len(inc.read_ledger(root)["batches"])
+        stream_apply_increment(spark, str(src), root, ckpt, threshold=0.4)
+        assert len(inc.read_ledger(root)["batches"]) == before
+        assert {(r.doc_a, r.doc_b)
+                for r in inc.read_pairs(spark, root).collect()} == want_pairs

@@ -280,3 +280,42 @@ def stream_dedup(spark: SparkSession, source_dir: str, out_dir: str,
         .start()
         .awaitTermination()
     )
+
+
+def stream_apply_increment(spark: SparkSession, source_dir: str, root: str,
+                           checkpoint_dir: str, **increment_kw) -> None:
+    """Structured Streaming front-end for the COMPOSED increment store:
+    each micro-batch of documents is routed through
+    :func:`~vulnerablecode_spark.streaming.increment.apply_increment`,
+    so ONE stream maintains every stored artifact — the LSH near-dup
+    index + pairs, cluster labels, the line-dedup counts/postings/
+    cleaned serving copy (incl. retro re-clean), and the BM25 inverted
+    index — atomically per batch.
+
+    This closes the txn caveat noted on :func:`stream_near_dup`: the
+    store's ledger keys on the checkpointed ``batch_id``, so a crashed-
+    then-replayed foreachBatch is a no-op instead of a double-append
+    (increment.py's commit marker covers the multi-artifact install; the
+    checkpoint covers source-file tracking — together a kill at ANY
+    point resumes exactly). ``availableNow`` drains what exists and
+    stops: the scheduled-ingest shape (streaming/incremental.py module
+    doc); a continuous trigger is the same call without the trigger.
+    """
+    from vulnerablecode_spark.streaming.increment import apply_increment
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.head(1):
+            return
+        apply_increment(batch.sparkSession, batch.select("doc_id", "text"),
+                        root, batch_id=batch_id, **increment_kw)
+
+    (
+        spark.readStream.schema("doc_id long, text string")
+        .option("multiLine", "true")
+        .json(source_dir)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
