@@ -54,6 +54,8 @@ EXTRAS = [
     "q97_ivf_incremental", "q101_line_dedup",
     "q105_line_dedup_incremental", "q110_line_dedup_reclean",
     "q112_decontam_incremental", "q113_range_count_window",
+    "q116_bm25_incremental", "q119_source_dup_matrix",
+    "q120_bigram_lm_score",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

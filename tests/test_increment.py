@@ -252,3 +252,35 @@ class TestBm25Artifacts:
         assert served() == want
         inc.compact(spark, root)
         assert served() == want
+
+
+class TestBigramLmArtifact:
+    def test_counts_additive_and_scoring_matches_batch(self, spark,
+                                                       tmp_path):
+        # the q121 invariant through the composed driver: summed count
+        # deltas == from-scratch counts; scoring any docs against the
+        # store's model == scoring against a fresh full-corpus model
+        from vulnerablecode_spark.llm.text import (bigram_counts,
+                                                   bigram_lm_scores,
+                                                   bigram_lm_scores_for)
+
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2)
+        full = _docs(spark, BATCH1 + BATCH2)
+        got = {(r.w1, r.w2): r.c_big
+               for r in inc.read_bigram_counts(spark, root).collect()}
+        want = {(r.w1, r.w2): r.c_big
+                for r in bigram_counts(full).collect()}
+        assert got == want
+        vocab = (inc.read_bm25_postings(spark, root).select("tok")
+                 .agg(F.countDistinct("tok").cast("bigint")
+                      .alias("v_size")))
+        served = sorted(tuple(r) for r in bigram_lm_scores_for(
+            full, inc.read_bigram_counts(spark, root), vocab).collect())
+        batch = sorted(tuple(r) for r in bigram_lm_scores(full).collect())
+        assert served == batch
+        inc.compact(spark, root)
+        got2 = {(r.w1, r.w2): r.c_big
+                for r in inc.read_bigram_counts(spark, root).collect()}
+        assert got2 == want

@@ -1650,3 +1650,19 @@ class TestBigramLm:
             [(1, "solo"), (2, "two words")], "doc_id long, text string")
         got = {r.doc_id for r in bigram_lm_scores(docs).collect()}
         assert got == {2}
+
+    def test_unseen_bigrams_take_smoothing_floor(self, spark):
+        # scoring docs against a FOREIGN model: every bigram unseen →
+        # p_bp = 10000 div v_size for each (left-join floor, not a drop)
+        from vulnerablecode_spark.llm.text import (bigram_counts,
+                                                   bigram_lm_scores_for)
+        model_docs = spark.createDataFrame(
+            [(1, "aa bb aa bb")], "doc_id long, text string")
+        score_docs = spark.createDataFrame(
+            [(2, "qq rr ss")], "doc_id long, text string")
+        vocab = spark.createDataFrame([(4,)], "v_size long")
+        got = bigram_lm_scores_for(
+            score_docs, bigram_counts(model_docs), vocab).collect()
+        assert len(got) == 1
+        assert got[0].n_bigrams == 2
+        assert got[0].lm_score_bp == 10000 // 4

@@ -511,3 +511,11 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_q121_floor_joins_no_cartesian(self, spark):
+        # incremental LM scoring: unseen-bigram floor via LEFT joins,
+        # vocab scalar broadcast — no cartesian, no Python
+        plan = plan_of(spark, "q121_bigram_lm_incremental")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

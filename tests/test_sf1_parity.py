@@ -55,6 +55,13 @@ SF1_QUERIES = [
     "q110_line_dedup_reclean",
     "q112_decontam_incremental",
     "q113_range_count_window",
+    # round-10 additions: the BM25 index-vs-rebuild equivalence and the
+    # corpus-trained bigram LM are the two whose statistics change
+    # materially with corpus size; q119 stresses the verified-pair path
+    # through the 10x near-dup graph
+    "q116_bm25_incremental",
+    "q119_source_dup_matrix",
+    "q120_bigram_lm_score",
 ]
 
 

@@ -445,31 +445,66 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     a plain hash shuffle on both sides; nothing corpus-quadratic
     anywhere. Pure Catalyst.
     """
+    c_big = bigram_counts(df, text_col=text_col)
+    vocab = (df.select(F.explode(F.split(F.col(text_col), " "))
+                       .alias("tok"))
+             .agg(F.countDistinct("tok").cast("bigint").alias("v_size")))
+    return bigram_lm_scores_for(df, c_big, vocab, text_col=text_col,
+                                id_col=id_col)
+
+
+def _doc_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) with multiplicity; docs with < 2 tokens contribute
+    nothing (and so are absent from every downstream score)."""
     toks = F.split(F.col(text_col), " ")
     big = F.transform(
         F.sequence(F.lit(0), F.size(toks) - 2),
         lambda i: F.struct(F.element_at(toks, i + 1).alias("w1"),
                            F.element_at(toks, i + 2).alias("w2")),
     )
-    pairs = (df.filter(F.size(toks) >= 2)
-             .select(F.col(id_col), F.explode(big).alias("bg"))
-             .select(F.col(id_col), F.col("bg.w1").alias("w1"),
-                     F.col("bg.w2").alias("w2")))
-    c_big = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_big"))
+    return (df.filter(F.size(toks) >= 2)
+            .select(F.col(id_col), F.explode(big).alias("bg"))
+            .select(F.col(id_col), F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+
+
+def bigram_counts(df: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Corpus bigram counts (w1, w2, c_big) — the stored LM-model
+    artifact. ADDITIVE under disjoint batches (counts of disjoint row
+    sets sum), so the incremental store keeps per-batch deltas and sums
+    at read time — the same discipline as the line-dedup segment counts
+    (llm/dedup.py line_seg_counts) and the BM25 postings."""
+    return (_doc_bigrams(df, text_col, "doc_id")
+            .groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c_big")))
+
+
+def bigram_lm_scores_for(score_docs: DataFrame, c_big: DataFrame,
+                         vocab: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Score ``score_docs`` against an EXTERNAL bigram-count model —
+    the serving split of :func:`bigram_lm_scores`: counts come from the
+    stored (possibly incrementally-maintained) model artifact, the docs
+    being scored are typically just an arriving batch. ``vocab`` is a
+    1-row (v_size) frame (re-derivable from the BM25 postings store:
+    COUNT(DISTINCT tok)).
+
+    Bigrams absent from the model take the add-one smoothing floor
+    (c=0) via LEFT joins — an arriving batch can always contain
+    never-seen bigrams, and dropping them would silently inflate the
+    batch's scores."""
+    pairs = _doc_bigrams(score_docs, text_col, id_col)
     c_pre = c_big.groupBy("w1").agg(
         F.sum("c_big").cast("bigint").alias("c_pre"))
-    vocab = (df.select(F.explode(toks).alias("tok"))
-             .agg(F.countDistinct("tok").cast("bigint").alias("v_size"))
-             .withColumn("_k", F.lit(1)))
-    model = (c_big.join(c_pre, "w1")
-             .withColumn("_k", F.lit(1))
-             .join(F.broadcast(vocab), "_k")
-             .selectExpr("w1", "w2",
-                         "((c_big + 1) * 10000) div (c_pre + v_size)"
-                         "   AS p_bp"))
     return (
-        pairs.join(model, ["w1", "w2"])
+        pairs.join(c_big, ["w1", "w2"], "left")
+        .join(c_pre, "w1", "left")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(vocab.withColumn("_k", F.lit(1))), "_k")
+        .selectExpr(
+            id_col,
+            "((coalesce(c_big, 0) + 1) * 10000)"
+            " div (coalesce(c_pre, 0) + v_size) AS p_bp")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
              F.sum("p_bp").alias("_sum"))

@@ -2652,3 +2652,68 @@ def q119_source_dup_matrix(spark, sf_dir):
 def q120_bigram_lm_score(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return text.bigram_lm_scores(docs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental bigram-LM maintenance — q120's model as a stored artifact:
+# bigram counts are additive under disjoint batches (per-batch deltas
+# summed at read), the vocabulary re-derives from the BM25 postings
+# store, and an arriving batch is scored against the post-increment
+# model. The oracle is q120's from-scratch model restricted to the
+# batch docs — grading "increment + score ≡ rebuild + score". Unseen
+# bigrams take the add-one floor via LEFT joins (llm/text.py
+# bigram_counts / bigram_lm_scores_for).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q121_bigram_lm_incremental",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    c_big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        FROM pairs GROUP BY w1, w2
+    ),
+    c_pre AS (
+        SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_pre
+        FROM c_big GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_size
+        FROM (SELECT UNNEST(toks) AS tok FROM t)
+    ),
+    model AS (
+        SELECT b.w1, b.w2,
+               ((b.c_big + 1) * 10000) // (p.c_pre + v.v_size) AS p_bp
+        FROM c_big b JOIN c_pre p ON b.w1 = p.w1, vocab v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
+    FROM pairs pr
+    JOIN model m ON m.w1 = pr.w1 AND m.w2 = pr.w2
+    WHERE pr.doc_id < 50
+    GROUP BY doc_id
+    """,
+)
+def q121_bigram_lm_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    # the store's read path: stored count deltas + the batch's delta,
+    # summed; vocabulary from the BM25 postings artifact
+    counts = (text.bigram_counts(stored)
+              .unionByName(text.bigram_counts(batch))
+              .groupBy("w1", "w2").agg(F.sum("c_big").alias("c_big")))
+    postings, _ = text.bm25_index(stored)
+    batch_postings, _ = text.bm25_index(batch)
+    vocab = (postings.select("tok").unionByName(batch_postings.select("tok"))
+             .agg(F.countDistinct("tok").cast("bigint").alias("v_size")))
+    return text.bigram_lm_scores_for(batch, counts, vocab)

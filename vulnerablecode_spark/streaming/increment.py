@@ -29,6 +29,7 @@ Layout (all under one ``root``)::
       ivf/assigned/delta-<b>/    (vec_id, embedding, cell) assignments
       bm25/postings/delta-<b>/   (doc_id, tok, tf) inverted index rows
       bm25/lengths/delta-<b>/    (doc_id, dl) document lengths
+      bigramlm/counts/delta-<b>/ (w1, w2, c_big) LM count deltas
 
 Every artifact is delta-append (per-batch work ∝ batch — the q63/q97/
 q105 discipline): segment counts are ADDITIVE across disjoint batches,
@@ -86,6 +87,7 @@ CC_LABELS = "components/labels"
 CC_REMAPS = "components/remaps"
 BM25_POSTINGS = "bm25/postings"
 BM25_LENGTHS = "bm25/lengths"
+BLM_COUNTS = "bigramlm/counts"
 
 _SCHEMAS = {
     DOCS: "doc_id long, text string",
@@ -103,6 +105,7 @@ _SCHEMAS = {
     CC_REMAPS: "_old long, _new long, _batch long",
     BM25_POSTINGS: "doc_id long, tok string, tf long",
     BM25_LENGTHS: "doc_id long, dl long",
+    BLM_COUNTS: "w1 string, w2 string, c_big long",
 }
 
 
@@ -233,6 +236,15 @@ def read_bm25_postings(spark, root):
 
 def read_bm25_lengths(spark, root):
     return _read_artifact(spark, root, BM25_LENGTHS)
+
+
+def read_bigram_counts(spark, root) -> DataFrame:
+    """Summed per-batch bigram-count deltas — exact because counts over
+    disjoint batches are additive (llm/text.py bigram_counts). The LM
+    vocabulary re-derives from the BM25 postings artifact
+    (COUNT(DISTINCT tok)) — one store, two models."""
+    return (_read_artifact(spark, root, BLM_COUNTS)
+            .groupBy("w1", "w2").agg(F.sum("c_big").alias("c_big")))
 
 
 def read_seg_counts(spark, root) -> DataFrame:
@@ -438,11 +450,14 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     # --- BM25 inverted index: disjoint doc ids make both artifacts
     # extend by pure delta-append of the batch's own index (q116) —
     # the stored postings are never read during the increment
-    from vulnerablecode_spark.llm.text import bm25_index
+    from vulnerablecode_spark.llm.text import bigram_counts, bm25_index
 
     bm25_postings, bm25_lengths = bm25_index(batch)
     stage(bm25_postings, BM25_POSTINGS)
     stage(bm25_lengths, BM25_LENGTHS)
+    # --- bigram LM: additive count deltas (q121); vocabulary re-derives
+    # from the BM25 postings, so this artifact is counts-only
+    stage(bigram_counts(batch), BLM_COUNTS)
     if assigned_delta is not None:
         stage(assigned_delta.select("vec_id", "embedding", "cell"),
               IVF_ASSIGNED)
@@ -518,6 +533,8 @@ def compact(spark: SparkSession, root: str,
             return None
         if rel == LD_COUNTS:
             return read_seg_counts(spark, root)
+        if rel == BLM_COUNTS:
+            return read_bigram_counts(spark, root)
         if rel == LD_CLEANED:
             return _cleaned_current(
                 _read_artifact(spark, root, rel), keep_batch=True)
@@ -530,7 +547,7 @@ def compact(spark: SparkSession, root: str,
 
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
             LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS,
-            BM25_POSTINGS, BM25_LENGTHS)
+            BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS)
     frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
     for rel, df in frames.items():
         if df is None:
