@@ -398,3 +398,51 @@ class TestBpeTrainSampling:
         a = curate.bpe_train(docs, n_merges=2, sample_fraction=0.4)
         b = curate.bpe_train(docs, n_merges=2, sample_fraction=0.4)
         assert a == b
+
+
+class TestBudgetSelect:
+    """q122: two-phase token-budget selection must equal the naive
+    global (quality desc, id) prefix — checked against the operator's
+    own per-doc metrics re-ranked in the driver."""
+
+    def _naive(self, spark, docs, budget):
+        from vulnerablecode_spark.llm.text import quality_metrics
+
+        rows = sorted(
+            quality_metrics(docs).select(
+                "doc_id", "quality_score_bp", "n_tokens").collect(),
+            key=lambda r: (-r.quality_score_bp, r.doc_id))
+        kept, run = {}, 0
+        for r in rows:
+            run += r.n_tokens
+            if run > budget:
+                break
+            kept[r.doc_id] = run
+        return kept
+
+    def test_matches_naive_prefix_across_class_boundary(self, spark):
+        # texts chosen to spread across several score classes so the
+        # boundary class genuinely cuts mid-class
+        docs = spark.createDataFrame(
+            [(i, ("the quick fox " * (1 + i % 7)).strip())
+             for i in range(40)],
+            "doc_id bigint, text string")
+        for budget in (1, 37, 150, 10_000_000):
+            got = {r.doc_id: r.cum_tokens for r in
+                   curate.budget_select(docs, budget).collect()}
+            assert got == self._naive(spark, docs, budget), budget
+
+    def test_single_score_class_degenerates_to_prefix_by_id(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma delta") for i in range(20)],
+            "doc_id bigint, text string")
+        out = sorted(curate.budget_select(docs, 18).collect(),
+                     key=lambda r: r.doc_id)
+        # 4 tokens each -> docs 0..3 fit (16), doc 4 would hit 20 > 18
+        assert [r.doc_id for r in out] == [0, 1, 2, 3]
+        assert [r.cum_tokens for r in out] == [4, 8, 12, 16]
+
+    def test_budget_below_first_doc_selects_nothing(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "one two three")], "doc_id bigint, text string")
+        assert curate.budget_select(docs, 2).count() == 0

@@ -519,3 +519,16 @@ class TestRound10NewOps:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_q122_budget_select_two_scan_broadcast(self, spark):
+        # token-budget selection: the corpus is probed ONCE against the
+        # broadcast class-offset dim; the per-doc running sum partitions
+        # on the score class (never the whole corpus through one task) —
+        # the only single-partition exchange is the tiny class frame
+        plan = plan_of(spark, "q122_budget_select")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange SinglePartition") <= 1
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

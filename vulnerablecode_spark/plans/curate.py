@@ -331,3 +331,55 @@ def q109_temperature_sample(spark, sf_dir):
 def q117_hash_split(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return curate.hash_split(docs)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection — "the best N tokens": order by
+# (quality desc, id) and keep every doc whose inclusive running token
+# total fits the budget. The oracle IS the naive single-window
+# formulation; the Spark plan is the two-phase score-class equivalent
+# (tiny class-totals frame + broadcast semi-filters; only the one
+# boundary class pays a per-doc window) — grading that the scale shape
+# selects the identical set (llm/curate.py budget_select).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q122_budget_select",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and)\b'))
+                   AS BIGINT) AS stop_hits
+        FROM documents
+    ), parts AS (
+        SELECT doc_id, n_tokens,
+               ((n_chars - (n_tokens - 1)) * 100) // n_tokens
+                   AS avg_token_len_x100,
+               (stop_hits * 10000) // n_tokens AS stopword_ratio_bp,
+               (LEAST(n_tokens, 64) * 5000) // 64 AS length_part
+        FROM base
+    ), scored AS (
+        SELECT doc_id, n_tokens,
+               CAST(length_part + (LEAST(stopword_ratio_bp * 4, 10000) // 4) +
+                    (CASE WHEN avg_token_len_x100 BETWEEN 300 AND 800
+                          THEN 2500 ELSE 0 END) AS BIGINT) AS quality_score_bp
+        FROM parts
+    ), running AS (
+        SELECT doc_id, quality_score_bp, n_tokens,
+               SUM(n_tokens) OVER (
+                   ORDER BY quality_score_bp DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, quality_score_bp, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running WHERE cum_tokens <= 15000
+    """,
+)
+def q122_budget_select(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.budget_select(docs, token_budget=15000)
