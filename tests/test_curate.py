@@ -446,3 +446,60 @@ class TestBudgetSelect:
         docs = spark.createDataFrame(
             [(1, "one two three")], "doc_id bigint, text string")
         assert curate.budget_select(docs, 2).count() == 0
+
+
+class TestCcnetBuckets:
+    """q123: head/middle/tail by cumulative char mass per language must
+    equal the naive per-lang (lm_score desc, id) running-sum bucketing."""
+
+    def _naive(self, spark, docs):
+        from vulnerablecode_spark.llm.text import bigram_lm_scores
+
+        scores = {r.doc_id: r.lm_score_bp
+                  for r in bigram_lm_scores(docs).collect()}
+        rows = [(r.doc_id, r.lang or "__null__", r.n_chars)
+                for r in docs.collect() if r.doc_id in scores]
+        expect = {}
+        for lang in {r[1] for r in rows}:
+            mine = sorted((r for r in rows if r[1] == lang),
+                          key=lambda r: (-scores[r[0]], r[0]))
+            total = sum(r[2] for r in mine)
+            run = 0
+            for doc_id, _, n_chars in mine:
+                run += n_chars
+                expect[doc_id] = ("head" if 3 * run <= total else
+                                  "middle" if 3 * run <= 2 * total
+                                  else "tail")
+        return expect
+
+    def test_matches_naive_and_excludes_short_docs(self, spark):
+        rows = [(i, ("the cat sat " * (1 + i % 5)).strip(),
+                 ["en", "fr", None][i % 3], "s",
+                 len(("the cat sat " * (1 + i % 5)).strip()))
+                for i in range(30)]
+        rows.append((99, "solo", "en", "s", 4))  # 1 token: no bigrams
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, "
+                  "source string, n_chars bigint")
+        out = {r.doc_id: (r.lang, r.bucket)
+               for r in curate.ccnet_buckets(docs).collect()}
+        assert 99 not in out, "scoreless docs stay out of the buckets"
+        expect = self._naive(spark, docs)
+        assert {k: v[1] for k, v in out.items()} == expect
+        # NULL lang folded to its own corpus, not dropped
+        assert any(v[0] == "__null__" for v in out.values())
+
+    def test_every_lang_gets_all_three_buckets_when_mass_allows(self, spark):
+        # nine equal-mass docs per lang, three distinct score classes
+        rows = []
+        for li, lang in enumerate(["en", "fr"]):
+            for i in range(9):
+                text = ("aa bb " * (1 + i % 3)).strip()
+                rows.append((li * 100 + i, text, lang, "s", 30))
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, "
+                  "source string, n_chars bigint")
+        out = curate.ccnet_buckets(docs).collect()
+        for lang in ("en", "fr"):
+            got = {r.bucket for r in out if r.lang == lang}
+            assert got == {"head", "middle", "tail"}

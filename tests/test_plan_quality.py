@@ -532,3 +532,21 @@ class TestRound10NewOps:
         assert plan.count("Exchange SinglePartition") <= 1
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_q123_ccnet_buckets_class_partitioned_window(self, spark):
+        # per-language bucketing via (lang, score)-class offsets: the
+        # corpus-side running sum partitions on the class (parallel
+        # within a language); the only single-partition exchanges are
+        # the LM's scalar vocab aggregations, never the doc frame
+        plan = plan_of(spark, "q123_ccnet_buckets")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        # the per-doc running sum (over n_chars) must partition on the
+        # (lang, lm_score_bp) CLASS — never on lang alone, which would
+        # serialize a whole language through one task
+        import re as _re
+        assert _re.search(
+            r"sum\(n_chars#\d+L?\) windowspecdefinition\("
+            r"lang#\d+, lm_score_bp#\d+L?, doc_id#\d+L? ASC", plan)

@@ -657,6 +657,31 @@ def hash_split(docs: DataFrame, *, salt: str = "v1",
     )
 
 
+def score_class_offsets(per_row: DataFrame, *, group_cols: list[str],
+                        score_col: str, weight_col: str) -> DataFrame:
+    """Tokens-before offsets per SCORE CLASS — the factoring that turns
+    a global (score desc, id) running sum into a parallel per-class one.
+
+    Scores are integer basis points, so distinct (group, score) classes
+    number ≤ |groups|·10001 — a broadcast-size frame. Output:
+    (group..., score, cum_before, cum_through) where cum_before is the
+    total weight of strictly-better classes in the same group. Callers
+    then join this dim onto the per-row frame and add an intra-class
+    running sum (window PARTITIONED on the class — never the corpus
+    through one task): `cum_before + intra-class prefix` IS the global
+    within-group running total. Used by budget_select (q122) and
+    ccnet_buckets (q123)."""
+    w_cls = (Window.partitionBy(*group_cols)
+             .orderBy(F.col(score_col).desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (per_row.groupBy(*group_cols, score_col)
+            .agg(F.sum(weight_col).alias("_cls_w"))
+            .withColumn("cum_through", F.sum("_cls_w").over(w_cls))
+            .withColumn("cum_before",
+                        F.col("cum_through") - F.col("_cls_w"))
+            .drop("_cls_w"))
+
+
 def budget_select(docs: DataFrame, token_budget: int, *,
                   text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
@@ -693,18 +718,14 @@ def budget_select(docs: DataFrame, token_budget: int, *,
 
     per_doc = quality_metrics(docs, text_col=text_col, id_col=id_col) \
         .select(id_col, "quality_score_bp", "n_tokens")
-    # phase 1: score-class totals + running totals (tiny frame)
-    w_cls = (Window.orderBy(F.col("quality_score_bp").desc())
-             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    classes = (per_doc.groupBy("quality_score_bp")
-               .agg(F.sum("n_tokens").alias("cls_tokens"))
-               .withColumn("cum_through", F.sum("cls_tokens").over(w_cls))
-               .withColumn("cum_before",
-                           F.col("cum_through") - F.col("cls_tokens")))
+    # phase 1: score-class totals + running offsets (tiny frame);
     # classes whose first doc could still fit: full classes AND the one
     # boundary class share the same predicate on the running start
-    reachable = classes.filter(F.col("cum_before") < token_budget) \
-        .select("quality_score_bp", "cum_before")
+    reachable = (score_class_offsets(
+        per_doc, group_cols=[], score_col="quality_score_bp",
+        weight_col="n_tokens")
+        .filter(F.col("cum_before") < token_budget)
+        .select("quality_score_bp", "cum_before"))
     # phase 2: one probe of the corpus against the broadcast offsets;
     # the running sum partitions on the score class — parallel across
     # classes, and per row `class offset + intra-class prefix` IS the
@@ -719,3 +740,63 @@ def budget_select(docs: DataFrame, token_budget: int, *,
         .filter(F.col("cum_tokens") <= token_budget)
         .select(id_col, "quality_score_bp", "n_tokens", "cum_tokens")
     )
+
+
+def ccnet_buckets(docs: DataFrame, *, lang_col: str = "lang",
+                  text_col: str = "text", id_col: str = "doc_id",
+                  chars_col: str = "n_chars") -> DataFrame:
+    """CCNet head/middle/tail perplexity buckets per language (Wenzek
+    et al. 2020): within each language, rank documents by how
+    corpus-like they are (here the integer bigram-LM score of
+    llm/text.py bigram_lm_scores — higher = more corpus-like = CCNet's
+    "lower perplexity") and split the language's corpus into thirds BY
+    CUMULATIVE CHARACTER MASS — head = the most-fluent third of the
+    bytes, not of the documents.
+
+    Bucketing rule (integer, tie-broken by id): order (lm_score_bp
+    desc, id asc) within the language, take the inclusive running
+    n_chars total, and
+
+        head    3·cum ≤ total
+        middle  3·cum ≤ 2·total
+        tail    otherwise.
+
+    Scale shape: the naive form is a per-language total-order sort +
+    running-sum window — one task per language regardless of language
+    size. This uses the same score-class factoring as budget_select:
+    the (lang, score) class frame (≤ |langs|·10001 rows) carries each
+    class's chars-before offset through a broadcast, and the per-doc
+    running sum partitions on the CLASS — an overwhelming language
+    parallelizes across its score classes instead of serializing
+    through one task. Docs with <2 tokens have no LM score and are
+    excluded (from the totals too), matching bigram_lm_scores; NULL
+    language folds to '__null__' so unlabeled docs bucket as their own
+    corpus rather than silently dropping (same rule as
+    temperature_sample). Output: (id, lang, lm_score_bp, n_chars,
+    bucket)."""
+    from vulnerablecode_spark.llm.text import bigram_lm_scores
+
+    scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col) \
+        .select(id_col, "lm_score_bp")
+    per_doc = (docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(lang_col), F.lit("__null__")).alias("lang"),
+        F.col(chars_col).cast("bigint").alias("n_chars"))
+        .join(scores, id_col))
+    dims = (score_class_offsets(per_doc, group_cols=["lang"],
+                                score_col="lm_score_bp",
+                                weight_col="n_chars")
+            .withColumn("total_chars",
+                        F.max("cum_through").over(
+                            Window.partitionBy("lang")))
+            .select("lang", "lm_score_bp", "cum_before", "total_chars"))
+    w_doc = (Window.partitionBy("lang", "lm_score_bp")
+             .orderBy(F.col(id_col).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.col("cum_before") + F.sum("n_chars").over(w_doc)
+    return (per_doc.join(F.broadcast(dims), ["lang", "lm_score_bp"])
+            .select(
+                F.col(id_col), "lang", "lm_score_bp", "n_chars",
+                F.when(3 * cum <= F.col("total_chars"), "head")
+                 .when(3 * cum <= 2 * F.col("total_chars"), "middle")
+                 .otherwise("tail").alias("bucket")))

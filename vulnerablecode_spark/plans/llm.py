@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from vulnerablecode_spark.llm import dedup, multimodal, similarity, text
+from vulnerablecode_spark.llm import curate, dedup, multimodal, similarity, text
 from vulnerablecode_spark.plans.registry import _load, query
 
 # DuckDB equivalents of the shared kernels (see llm/dedup.py hash64):
@@ -2612,10 +2612,10 @@ def q119_source_dup_matrix(spark, sf_dir):
 # under appends (llm/text.py bigram_lm_scores).
 # ---------------------------------------------------------------------------
 
-
-@query(
-    "q120_bigram_lm_score",
-    oracle="""
+# Shared oracle CTE: the add-one-smoothed bigram model trained on the
+# whole documents corpus — q120 scores everything against it, q121 an
+# arriving batch, q123 buckets per language on the resulting scores.
+_SQL_LM_MODEL = """
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
@@ -2641,6 +2641,12 @@ def q119_source_dup_matrix(spark, sf_dir):
                ((b.c_big + 1) * 10000) // (p.c_pre + v.v_size) AS p_bp
         FROM c_big b JOIN c_pre p ON b.w1 = p.w1, vocab v
     )
+"""
+
+
+@query(
+    "q120_bigram_lm_score",
+    oracle=_SQL_LM_MODEL + """
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(m.p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
@@ -2668,32 +2674,7 @@ def q120_bigram_lm_score(spark, sf_dir):
 
 @query(
     "q121_bigram_lm_incremental",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ),
-    pairs AS (
-        SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
-        FROM t, UNNEST(range(0, len(toks) - 1)) AS u(i)
-        WHERE len(toks) >= 2
-    ),
-    c_big AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
-        FROM pairs GROUP BY w1, w2
-    ),
-    c_pre AS (
-        SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_pre
-        FROM c_big GROUP BY w1
-    ),
-    vocab AS (
-        SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v_size
-        FROM (SELECT UNNEST(toks) AS tok FROM t)
-    ),
-    model AS (
-        SELECT b.w1, b.w2,
-               ((b.c_big + 1) * 10000) // (p.c_pre + v.v_size) AS p_bp
-        FROM c_big b JOIN c_pre p ON b.w1 = p.w1, vocab v
-    )
+    oracle=_SQL_LM_MODEL + """
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            CAST(SUM(m.p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
@@ -2717,3 +2698,49 @@ def q121_bigram_lm_incremental(spark, sf_dir):
     vocab = (postings.select("tok").unionByName(batch_postings.select("tok"))
              .agg(F.countDistinct("tok").cast("bigint").alias("v_size")))
     return text.bigram_lm_scores_for(batch, counts, vocab)
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets — per language, rank by LM score and split
+# into head/middle/tail by cumulative CHARACTER mass thirds (Wenzek et
+# al. 2020). The Spark plan factors the per-language running sum through
+# (lang, score) classes — the same broadcast-offset shape as q122 — so
+# no language serializes through one task (llm/curate.py ccnet_buckets).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_ccnet_buckets",
+    oracle=_SQL_LM_MODEL + """
+    , scored AS (
+        SELECT doc_id,
+               CAST(SUM(m.p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
+        FROM pairs pr
+        JOIN model m ON m.w1 = pr.w1 AND m.w2 = pr.w2
+        GROUP BY doc_id
+    ),
+    lp AS (
+        SELECT d.doc_id, COALESCE(d.lang, '__null__') AS lang,
+               CAST(d.n_chars AS BIGINT) AS n_chars, s.lm_score_bp
+        FROM documents d JOIN scored s USING (doc_id)
+    ),
+    r AS (
+        SELECT *,
+               SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY lm_score_bp DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_chars,
+               SUM(n_chars) OVER (PARTITION BY lang) AS total_chars
+        FROM lp
+    )
+    SELECT doc_id, lang, lm_score_bp, n_chars,
+           CASE WHEN 3 * cum_chars <= total_chars THEN 'head'
+                WHEN 3 * cum_chars <= 2 * total_chars THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """,
+)
+def q123_ccnet_buckets(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.ccnet_buckets(docs)
