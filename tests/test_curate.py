@@ -503,3 +503,45 @@ class TestCcnetBuckets:
         for lang in ("en", "fr"):
             got = {r.bucket for r in out if r.lang == lang}
             assert got == {"head", "middle", "tail"}
+
+
+class TestUnimaxAllocate:
+    def _docs(self, spark, spec):
+        # spec: {lang: n_tokens} via one doc of that many words
+        rows = [(i, " ".join(["w"] * n), lang, "s")
+                for i, (lang, n) in enumerate(spec.items())]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string")
+
+    def test_waterfill_caps_small_langs_and_conserves_budget(self, spark):
+        docs = self._docs(spark, {"aa": 10, "bb": 20, "cc": 1000})
+        out = {r.lang: r for r in
+               curate.unimax_allocate(docs, 500, max_epochs=4).collect()}
+        # aa capacity 40, bb 80 — both under the uniform share → capped
+        assert out["aa"].capped and out["aa"].alloc_tokens == 40
+        assert out["bb"].capped and out["bb"].alloc_tokens == 80
+        # cc takes the floor of what is left: (500-120) div 1
+        assert not out["cc"].capped and out["cc"].alloc_tokens == 380
+        assert sum(r.alloc_tokens for r in out.values()) <= 500
+        assert out["aa"].epochs_bp == 40000  # exactly max_epochs
+
+    def test_all_uncapped_equal_share(self, spark):
+        docs = self._docs(spark, {"aa": 100, "bb": 100, "cc": 100})
+        out = curate.unimax_allocate(docs, 90, max_epochs=1).collect()
+        assert all(not r.capped and r.alloc_tokens == 30 for r in out)
+
+    def test_budget_exceeds_total_capacity_all_capped(self, spark):
+        docs = self._docs(spark, {"aa": 10, "bb": 20})
+        out = {r.lang: r for r in
+               curate.unimax_allocate(docs, 10**9, max_epochs=2).collect()}
+        assert all(r.capped for r in out.values())
+        assert out["aa"].alloc_tokens == 20
+        assert out["bb"].alloc_tokens == 40
+
+    def test_null_lang_gets_its_own_allocation(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "w w w", None, "s"), (2, "w w", "en", "s")],
+            "doc_id bigint, text string, lang string, source string")
+        out = {r.lang: r for r in
+               curate.unimax_allocate(docs, 100, max_epochs=1).collect()}
+        assert "__null__" in out and out["__null__"].alloc_tokens == 3

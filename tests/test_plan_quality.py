@@ -550,3 +550,16 @@ class TestRound10NewOps:
         assert _re.search(
             r"sum\(n_chars#\d+L?\) windowspecdefinition\("
             r"lang#\d+, lm_score_bp#\d+L?, doc_id#\d+L? ASC", plan)
+
+    def test_q124_unimax_one_corpus_agg_no_python(self, spark):
+        # the corpus contributes ONE map-side-combined aggregation (per-
+        # language token totals); the water-fill windows run on the tiny
+        # language frame afterwards — no Python, no joins on the corpus
+        plan = plan_of(spark, "q124_unimax_allocate")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "SortMergeJoin" not in plan
+        # exactly one scan feeds one partial+final agg pair (formatted
+        # explain lists each node once in the tree and once in detail)
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1

@@ -800,3 +800,79 @@ def ccnet_buckets(docs: DataFrame, *, lang_col: str = "lang",
                 F.when(3 * cum <= F.col("total_chars"), "head")
                  .when(3 * cum <= 2 * F.col("total_chars"), "middle")
                  .otherwise("tail").alias("bucket")))
+
+
+def unimax_allocate(docs: DataFrame, token_budget: int, *,
+                    max_epochs: int = 4, lang_col: str = "lang",
+                    text_col: str = "text") -> DataFrame:
+    """UniMax budget allocation across languages (Chung et al. 2023):
+    spread a total token budget as uniformly as possible over languages,
+    capping every language at ``max_epochs`` passes over its own data —
+    the principled alternative to temperature sampling for multilingual
+    mixtures (no head language starves the tail, no tail language
+    over-epochs into memorization).
+
+    Water-filling, integer arithmetic end-to-end: sort languages by
+    capacity k_l = max_epochs·tokens_l ascending; a language is CAPPED
+    when its capacity fits under the running uniform share
+    t_l = (budget − Σ capacities of smaller languages) div (langs left),
+    taking its full capacity; every uncapped language gets the identical
+    floor share of what the capped ones left behind. Floor-division
+    remainders stay unallocated (≤ n_langs−1 tokens) rather than being
+    distributed nondeterministically.
+
+    Scale shape: ONE map-side-combined aggregation over the corpus
+    (per-language token totals); everything after operates on the
+    language frame — thousands of rows at web scale — so the global
+    windows are trivially single-task by design. NULL language folds to
+    '__null__' (same rule as temperature_sample / ccnet_buckets).
+    Output: (lang, lang_tokens, capacity, alloc_tokens, capped,
+    epochs_bp) — epochs_bp = allocated passes over the language's data
+    in basis points.
+    """
+    from vulnerablecode_spark.llm.text import ws_token_count
+
+    per_lang = (docs.groupBy(
+        F.coalesce(F.col(lang_col), F.lit("__null__")).alias("lang"))
+        .agg(F.sum(ws_token_count(F.col(text_col)))
+             .cast("bigint").alias("lang_tokens"))
+        .withColumn("capacity",
+                    (F.lit(int(max_epochs)) * F.col("lang_tokens"))
+                    .cast("bigint")))
+    w_ord = Window.orderBy(F.col("capacity").asc(), F.col("lang").asc())
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    budget = F.lit(int(token_budget)).cast("bigint")
+    # integer `div` throughout (never `/`, which is double division and
+    # loses exactness past 2^53 — web-scale token counts get there)
+    ranked = (per_lang
+              .withColumn("_budget", budget)
+              .withColumn("_cum_before",
+                          F.coalesce(F.sum("capacity").over(w_prev),
+                                     F.lit(0).cast("bigint")))
+              .withColumn("_left",
+                          F.count(F.lit(1)).over(
+                              w_ord.rowsBetween(Window.currentRow,
+                                                Window.unboundedFollowing)))
+              .withColumn("_share",
+                          F.expr("(_budget - _cum_before) div _left"))
+              .withColumn("capped",
+                          F.col("capacity") <= F.col("_share")))
+    w_all = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    return (ranked
+            .withColumn("_capped_total",
+                        F.sum(F.when(F.col("capped"), F.col("capacity"))
+                              .otherwise(F.lit(0))).over(w_all))
+            .withColumn("_n_uncapped",
+                        F.sum(F.when(F.col("capped"), F.lit(0))
+                              .otherwise(F.lit(1))).over(w_all))
+            .withColumn(
+                "alloc_tokens",
+                F.when(F.col("capped"), F.col("capacity"))
+                .otherwise(F.expr(
+                    "(_budget - _capped_total) div _n_uncapped")))
+            .select(
+                "lang", "lang_tokens", "capacity", "alloc_tokens",
+                "capped",
+                F.expr("(alloc_tokens * 10000) div lang_tokens")
+                .cast("bigint").alias("epochs_bp")))

@@ -383,3 +383,63 @@ def q117_hash_split(spark, sf_dir):
 def q122_budget_select(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return curate.budget_select(docs, token_budget=15000)
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al. 2023) — water-fill a token
+# budget across languages, capping each at max_epochs passes. One
+# map-side-combined corpus aggregation; the water-fill itself runs on
+# the tiny language frame (llm/curate.py unimax_allocate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_unimax_allocate",
+    oracle="""
+    WITH per_lang AS (
+        SELECT COALESCE(lang, '__null__') AS lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS lang_tokens
+        FROM documents GROUP BY COALESCE(lang, '__null__')
+    ), cap AS (
+        SELECT lang, lang_tokens,
+               CAST(2 * lang_tokens AS BIGINT) AS capacity
+        FROM per_lang
+    ), ranked AS (
+        SELECT *,
+               CAST(COALESCE(SUM(capacity) OVER (
+                   ORDER BY capacity ASC, lang ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before,
+               CAST(COUNT(*) OVER (
+                   ORDER BY capacity ASC, lang ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_left
+        FROM cap
+    ), flagged AS (
+        SELECT *,
+               capacity <= ((45000 - cum_before) // n_left) AS capped
+        FROM ranked
+    ), totals AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN capped THEN capacity ELSE 0 END)
+                    OVER () AS BIGINT) AS capped_total,
+               CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+                    OVER () AS BIGINT) AS n_uncapped
+        FROM flagged
+    ), alloc AS (
+        SELECT lang, lang_tokens, capacity, capped,
+               CAST(CASE WHEN capped THEN capacity
+                    ELSE (45000 - capped_total) // n_uncapped
+                    END AS BIGINT) AS alloc_tokens
+        FROM totals
+    )
+    SELECT lang, lang_tokens, capacity, alloc_tokens, capped,
+           CAST((alloc_tokens * 10000) // lang_tokens AS BIGINT)
+               AS epochs_bp
+    FROM alloc
+    """,
+)
+def q124_unimax_allocate(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.unimax_allocate(docs, 45000, max_epochs=2)
