@@ -545,3 +545,54 @@ class TestUnimaxAllocate:
         out = {r.lang: r for r in
                curate.unimax_allocate(docs, 100, max_epochs=1).collect()}
         assert "__null__" in out and out["__null__"].alloc_tokens == 3
+
+
+class TestCcnetAssign:
+    def test_thresholds_and_tie_up_unseen_tail(self, spark):
+        buckets = spark.createDataFrame(
+            [(1, "en", 900, 10, "head"), (2, "en", 700, 10, "middle"),
+             (3, "en", 500, 10, "tail"), (4, "fr", 800, 10, "head")],
+            "doc_id bigint, lang string, lm_score_bp bigint, "
+            "n_chars bigint, bucket string")
+        thr = {r.lang: r for r in
+               curate.ccnet_thresholds(buckets).collect()}
+        assert thr["en"].head_min_bp == 900
+        assert thr["en"].middle_min_bp == 700
+        assert thr["fr"].middle_min_bp is None  # no middle mass
+        scored = spark.createDataFrame(
+            [(10, "en", 900), (11, "en", 899), (12, "en", 700),
+             (13, "en", 699), (14, "fr", 100), (15, "zz", 9999)],
+            "doc_id bigint, lang string, lm_score_bp bigint")
+        out = {r.doc_id: r.bucket for r in curate.ccnet_assign(
+            scored, curate.ccnet_thresholds(buckets)).collect()}
+        assert out[10] == "head"      # tie at the cut goes up
+        assert out[11] == "middle"
+        assert out[12] == "middle"
+        assert out[13] == "tail"
+        assert out[14] == "tail"      # fr has no middle threshold
+        assert out[15] == "tail"      # unseen language → conservative
+
+    def test_assignment_consistent_with_batch_operator(self, spark):
+        # a doc already in the corpus must assign to the bucket the
+        # batch operator gave it (scores equal, ties go up at the cut)
+        rows = [(i, ("the cat sat on " * (1 + i % 6)).strip(), "en", "s",
+                 len(("the cat sat on " * (1 + i % 6)).strip()))
+                for i in range(24)]
+        docs = spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, "
+                  "source string, n_chars bigint")
+        from vulnerablecode_spark.llm.text import bigram_lm_scores
+
+        batch_buckets = curate.ccnet_buckets(docs)
+        thr = curate.ccnet_thresholds(batch_buckets)
+        scored = (bigram_lm_scores(docs)
+                  .join(docs.select("doc_id", "lang"), "doc_id")
+                  .select("doc_id", "lang", "lm_score_bp"))
+        assigned = {r.doc_id: r.bucket
+                    for r in curate.ccnet_assign(scored, thr).collect()}
+        for r in batch_buckets.collect():
+            got, want = assigned[r.doc_id], r.bucket
+            # ties across a cut can promote (up-bias by design), never
+            # demote: head stays head, middle may become head, etc.
+            order = {"tail": 0, "middle": 1, "head": 2}
+            assert order[got] >= order[want], (r.doc_id, got, want)

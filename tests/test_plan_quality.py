@@ -563,3 +563,13 @@ class TestRound10NewOps:
         # exactly one scan feeds one partial+final agg pair (formatted
         # explain lists each node once in the tree and once in detail)
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+    def test_q125_assignment_is_broadcast_only_on_batch(self, spark):
+        # serving half of CCNet: the batch scores against the stored
+        # model via hash joins; the threshold frame (one row per
+        # language) broadcasts — no cartesian, no Python
+        plan = plan_of(spark, "q125_ccnet_assign_incremental")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

@@ -876,3 +876,42 @@ def unimax_allocate(docs: DataFrame, token_budget: int, *,
                 "capped",
                 F.expr("(alloc_tokens * 10000) div lang_tokens")
                 .cast("bigint").alias("epochs_bp")))
+
+
+def ccnet_thresholds(buckets: DataFrame) -> DataFrame:
+    """Per-language bucket cut points from a :func:`ccnet_buckets` run —
+    the tiny serving artifact (one row per language) that lets an
+    arriving batch be bucket-assigned WITHOUT recomputing the corpus
+    ranking: head_min_bp / middle_min_bp are the lowest LM scores that
+    made head / middle. A language whose mass never reached a bucket
+    leaves that threshold NULL (assignment falls through toward tail)."""
+    return buckets.groupBy("lang").agg(
+        F.min(F.when(F.col("bucket") == "head",
+                     F.col("lm_score_bp"))).alias("head_min_bp"),
+        F.min(F.when(F.col("bucket") == "middle",
+                     F.col("lm_score_bp"))).alias("middle_min_bp"))
+
+
+def ccnet_assign(scored: DataFrame, thresholds: DataFrame, *,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Assign arriving documents to head/middle/tail against STORED
+    per-language thresholds — the incremental serving half of
+    :func:`ccnet_buckets` (train the LM + cut points offline on the
+    stored corpus, bucket each batch in O(batch)). ``scored`` carries
+    (id, lang, lm_score_bp) — lm_score_bp typically from
+    llm/text.py bigram_lm_scores_for against the stored LM counts.
+
+    Ties at a boundary go UP (score ≥ head_min → head), matching the
+    batch operator where equal-scored docs straddling a cut all rank
+    together; an unseen language (no threshold row) or a NULL threshold
+    falls through to tail — the conservative CCNet choice for text the
+    stored corpus knows nothing about. Broadcast join on the language
+    frame; no shuffle of the batch."""
+    return (scored.join(F.broadcast(thresholds), "lang", "left")
+            .select(
+                F.col(id_col), "lang", "lm_score_bp",
+                F.when(F.col("lm_score_bp") >= F.col("head_min_bp"),
+                       "head")
+                 .when(F.col("lm_score_bp") >= F.col("middle_min_bp"),
+                       "middle")
+                 .otherwise("tail").alias("bucket")))

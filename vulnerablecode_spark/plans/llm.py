@@ -2613,11 +2613,15 @@ def q119_source_dup_matrix(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 # Shared oracle CTE: the add-one-smoothed bigram model trained on the
-# whole documents corpus — q120 scores everything against it, q121 an
-# arriving batch, q123 buckets per language on the resulting scores.
-_SQL_LM_MODEL = """
+# ``where``-selected slice of documents — q120 scores everything against
+# the full-corpus model, q121 an arriving batch, q123 buckets per
+# language on the resulting scores, q125 trains on the STORED slice only
+# (the serving model an increment store holds).
+def _sql_lm_model(where: str = "") -> str:
+    return f"""
     WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        {where}
     ),
     pairs AS (
         SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
@@ -2642,6 +2646,9 @@ _SQL_LM_MODEL = """
         FROM c_big b JOIN c_pre p ON b.w1 = p.w1, vocab v
     )
 """
+
+
+_SQL_LM_MODEL = _sql_lm_model()
 
 
 @query(
@@ -2744,3 +2751,100 @@ def q121_bigram_lm_incremental(spark, sf_dir):
 def q123_ccnet_buckets(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return curate.ccnet_buckets(docs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental CCNet bucket assignment — the serving half of q123: per-
+# language cut points (lowest score that made head / middle) are a tiny
+# stored artifact derived from the STORED corpus; an arriving batch is
+# scored against the stored LM (unseen bigrams at the add-one floor,
+# q121's left-join path) and bucket-assigned by one broadcast join —
+# O(batch), the corpus ranking is never recomputed (llm/curate.py
+# ccnet_thresholds / ccnet_assign).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_ccnet_assign_incremental",
+    oracle=_sql_lm_model("WHERE doc_id >= 50") + """
+    , stored_scored AS (
+        SELECT doc_id,
+               CAST(SUM(m.p_bp) // COUNT(*) AS BIGINT) AS lm_score_bp
+        FROM pairs pr
+        JOIN model m ON m.w1 = pr.w1 AND m.w2 = pr.w2
+        GROUP BY doc_id
+    ),
+    lp AS (
+        SELECT d.doc_id, COALESCE(d.lang, '__null__') AS lang,
+               CAST(d.n_chars AS BIGINT) AS n_chars, s.lm_score_bp
+        FROM documents d JOIN stored_scored s USING (doc_id)
+    ),
+    r AS (
+        SELECT *,
+               SUM(n_chars) OVER (
+                   PARTITION BY lang
+                   ORDER BY lm_score_bp DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_chars,
+               SUM(n_chars) OVER (PARTITION BY lang) AS total_chars
+        FROM lp
+    ),
+    buckets AS (
+        SELECT lang, lm_score_bp,
+               CASE WHEN 3 * cum_chars <= total_chars THEN 'head'
+                    WHEN 3 * cum_chars <= 2 * total_chars THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r
+    ),
+    thr AS (
+        SELECT lang,
+               MIN(CASE WHEN bucket = 'head' THEN lm_score_bp END)
+                   AS head_min_bp,
+               MIN(CASE WHEN bucket = 'middle' THEN lm_score_bp END)
+                   AS middle_min_bp
+        FROM buckets GROUP BY lang
+    ),
+    bt AS (
+        SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 50
+    ),
+    bpairs AS (
+        SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2
+        FROM bt, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 2
+    ),
+    bscored AS (
+        SELECT pr.doc_id,
+               CAST(SUM(((COALESCE(b.c_big, 0) + 1) * 10000)
+                        // (COALESCE(p.c_pre, 0) + v.v_size))
+                    // COUNT(*) AS BIGINT) AS lm_score_bp
+        FROM bpairs pr
+        LEFT JOIN c_big b ON b.w1 = pr.w1 AND b.w2 = pr.w2
+        LEFT JOIN c_pre p ON p.w1 = pr.w1, vocab v
+        GROUP BY pr.doc_id
+    )
+    SELECT s.doc_id, COALESCE(d.lang, '__null__') AS lang, s.lm_score_bp,
+           CASE WHEN s.lm_score_bp >= t2.head_min_bp THEN 'head'
+                WHEN s.lm_score_bp >= t2.middle_min_bp THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM bscored s
+    JOIN documents d USING (doc_id)
+    LEFT JOIN thr t2 ON t2.lang = COALESCE(d.lang, '__null__')
+    """,
+)
+def q125_ccnet_assign_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    thresholds = curate.ccnet_thresholds(curate.ccnet_buckets(stored))
+    counts = text.bigram_counts(stored)
+    postings, _ = text.bm25_index(stored)
+    vocab = postings.agg(
+        F.countDistinct("tok").cast("bigint").alias("v_size"))
+    scored = (text.bigram_lm_scores_for(batch, counts, vocab)
+              .join(batch.select(
+                  "doc_id",
+                  F.coalesce(F.col("lang"), F.lit("__null__"))
+                  .alias("lang")), "doc_id")
+              .select("doc_id", "lang", "lm_score_bp"))
+    return curate.ccnet_assign(scored, thresholds)
