@@ -55,7 +55,8 @@ EXTRAS = [
     "q105_line_dedup_incremental", "q110_line_dedup_reclean",
     "q112_decontam_incremental", "q113_range_count_window",
     "q116_bm25_incremental", "q119_source_dup_matrix",
-    "q120_bigram_lm_score",
+    "q120_bigram_lm_score", "q122_budget_select",
+    "q123_ccnet_buckets", "q125_ccnet_assign_incremental",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

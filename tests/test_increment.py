@@ -284,3 +284,48 @@ class TestBigramLmArtifact:
         got2 = {(r.w1, r.w2): r.c_big
                 for r in inc.read_bigram_counts(spark, root).collect()}
         assert got2 == want
+
+
+class TestLangTokensArtifact:
+    def test_counts_additive_and_unimax_matches_batch(self, spark,
+                                                      tmp_path):
+        # the q126 invariant through the composed driver: summed
+        # per-batch language-token deltas == from-scratch counts, and
+        # the water-fill from the store == the batch operator
+        from vulnerablecode_spark.llm import curate
+
+        def _ldocs(rows):
+            return spark.createDataFrame(
+                rows, "doc_id long, text string, lang string")
+
+        b1 = _ldocs([(1, "a b c", "en"), (2, "d e", "fr"),
+                     (3, "f g h i", None)])
+        b2 = _ldocs([(10, "j k", "en"), (11, "l m n o p q", "de")])
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, b1, root, batch_id=1)
+        inc.apply_increment(spark, b2, root, batch_id=2)
+        got = {r.lang: r.lang_tokens
+               for r in inc.read_lang_tokens(spark, root).collect()}
+        full = b1.unionByName(b2)
+        want = {r.lang: r.lang_tokens
+                for r in curate.lang_token_counts(full).collect()}
+        assert got == want and "__null__" in got
+        served = sorted(tuple(r) for r in curate.unimax_from_counts(
+            inc.read_lang_tokens(spark, root), 12, max_epochs=2)
+            .collect())
+        batch = sorted(tuple(r) for r in curate.unimax_allocate(
+            full, 12, max_epochs=2).collect())
+        assert served == batch
+        # compaction folds the deltas into one base; readers unchanged
+        inc.compact(spark, root)
+        got2 = {r.lang: r.lang_tokens
+                for r in inc.read_lang_tokens(spark, root).collect()}
+        assert got2 == want
+
+    def test_langless_batch_folds_to_null_sentinel(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        got = {r.lang: r.lang_tokens
+               for r in inc.read_lang_tokens(spark, root).collect()}
+        assert set(got) == {"__null__"}
+        assert got["__null__"] == sum(len(t.split()) for _, t in BATCH1)

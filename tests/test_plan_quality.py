@@ -573,3 +573,11 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_q126_incremental_unimax_no_python_no_cartesian(self, spark):
+        # increment path: two count deltas union-summed (one shuffle on
+        # the tiny lang key), then the same language-frame water-fill
+        plan = plan_of(spark, "q126_unimax_incremental")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

@@ -830,15 +830,35 @@ def unimax_allocate(docs: DataFrame, token_budget: int, *,
     epochs_bp) — epochs_bp = allocated passes over the language's data
     in basis points.
     """
+    return unimax_from_counts(
+        lang_token_counts(docs, lang_col=lang_col, text_col=text_col),
+        token_budget, max_epochs=max_epochs)
+
+
+def lang_token_counts(docs: DataFrame, *, lang_col: str = "lang",
+                      text_col: str = "text") -> DataFrame:
+    """(lang, lang_tokens) — the corpus statistic UniMax allocates from.
+    ADDITIVE under disjoint batches (the seg-count / bigram-count
+    discipline): the increment store keeps one delta per batch and sums
+    at read time, so the mixture re-derives after every ingest without
+    touching stored text. NULL language folds to '__null__'."""
     from vulnerablecode_spark.llm.text import ws_token_count
 
-    per_lang = (docs.groupBy(
+    return (docs.groupBy(
         F.coalesce(F.col(lang_col), F.lit("__null__")).alias("lang"))
         .agg(F.sum(ws_token_count(F.col(text_col)))
-             .cast("bigint").alias("lang_tokens"))
-        .withColumn("capacity",
-                    (F.lit(int(max_epochs)) * F.col("lang_tokens"))
-                    .cast("bigint")))
+             .cast("bigint").alias("lang_tokens")))
+
+
+def unimax_from_counts(per_lang: DataFrame, token_budget: int, *,
+                       max_epochs: int = 4) -> DataFrame:
+    """The water-fill half of :func:`unimax_allocate`, taking the
+    (lang, lang_tokens) frame directly — the entry point when counts
+    come from the increment store's summed deltas instead of a corpus
+    scan. Everything here runs on the tiny language frame."""
+    per_lang = per_lang.withColumn(
+        "capacity",
+        (F.lit(int(max_epochs)) * F.col("lang_tokens")).cast("bigint"))
     w_ord = Window.orderBy(F.col("capacity").asc(), F.col("lang").asc())
     w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     budget = F.lit(int(token_budget)).cast("bigint")

@@ -443,3 +443,75 @@ def q122_budget_select(spark, sf_dir):
 def q124_unimax_allocate(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return curate.unimax_allocate(docs, 45000, max_epochs=2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental UniMax — per-language token counts are ADDITIVE deltas
+# (the seg-count discipline), so the mixture re-derives exactly from the
+# store after every batch: summed deltas → water-fill, no corpus rescan.
+# Oracle = the from-scratch q124 formulation over old∪new, grading
+# "increment + allocate ≡ rebuild + allocate" (llm/curate.py
+# lang_token_counts / unimax_from_counts; streaming/increment.py
+# LANG_TOKENS artifact).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q126_unimax_incremental",
+    oracle="""
+    WITH per_lang AS (
+        SELECT COALESCE(lang, '__null__') AS lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS lang_tokens
+        FROM documents GROUP BY COALESCE(lang, '__null__')
+    ), cap AS (
+        SELECT lang, lang_tokens,
+               CAST(3 * lang_tokens AS BIGINT) AS capacity
+        FROM per_lang
+    ), ranked AS (
+        SELECT *,
+               CAST(COALESCE(SUM(capacity) OVER (
+                   ORDER BY capacity ASC, lang ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before,
+               CAST(COUNT(*) OVER (
+                   ORDER BY capacity ASC, lang ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_left
+        FROM cap
+    ), flagged AS (
+        SELECT *,
+               capacity <= ((60000 - cum_before) // n_left) AS capped
+        FROM ranked
+    ), totals AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN capped THEN capacity ELSE 0 END)
+                    OVER () AS BIGINT) AS capped_total,
+               CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+                    OVER () AS BIGINT) AS n_uncapped
+        FROM flagged
+    ), alloc AS (
+        SELECT lang, lang_tokens, capacity, capped,
+               CAST(CASE WHEN capped THEN capacity
+                    ELSE (60000 - capped_total) // n_uncapped
+                    END AS BIGINT) AS alloc_tokens
+        FROM totals
+    )
+    SELECT lang, lang_tokens, capacity, alloc_tokens, capped,
+           CAST((alloc_tokens * 10000) // lang_tokens AS BIGINT)
+               AS epochs_bp
+    FROM alloc
+    """,
+)
+def q126_unimax_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") >= 50)
+    batch = docs.filter(F.col("doc_id") < 50)
+    # the store's read path: per-batch count deltas summed at read
+    counts = (curate.lang_token_counts(stored)
+              .unionByName(curate.lang_token_counts(batch))
+              .groupBy("lang")
+              .agg(F.sum("lang_tokens").alias("lang_tokens")))
+    return curate.unimax_from_counts(counts, 60000, max_epochs=3)

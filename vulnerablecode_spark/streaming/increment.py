@@ -88,6 +88,7 @@ CC_REMAPS = "components/remaps"
 BM25_POSTINGS = "bm25/postings"
 BM25_LENGTHS = "bm25/lengths"
 BLM_COUNTS = "bigramlm/counts"
+LANG_TOKENS = "unimax/langtokens"
 
 _SCHEMAS = {
     DOCS: "doc_id long, text string",
@@ -106,6 +107,7 @@ _SCHEMAS = {
     BM25_POSTINGS: "doc_id long, tok string, tf long",
     BM25_LENGTHS: "doc_id long, dl long",
     BLM_COUNTS: "w1 string, w2 string, c_big long",
+    LANG_TOKENS: "lang string, lang_tokens long",
 }
 
 
@@ -245,6 +247,15 @@ def read_bigram_counts(spark, root) -> DataFrame:
     (COUNT(DISTINCT tok)) — one store, two models."""
     return (_read_artifact(spark, root, BLM_COUNTS)
             .groupBy("w1", "w2").agg(F.sum("c_big").alias("c_big")))
+
+
+def read_lang_tokens(spark, root) -> DataFrame:
+    """Summed per-batch language-token deltas — exact because token
+    counts over disjoint batches are additive (llm/curate.py
+    lang_token_counts). Feed straight into unimax_from_counts (q126):
+    the mixture re-derives after every ingest without a corpus scan."""
+    return (_read_artifact(spark, root, LANG_TOKENS)
+            .groupBy("lang").agg(F.sum("lang_tokens").alias("lang_tokens")))
 
 
 def read_seg_counts(spark, root) -> DataFrame:
@@ -458,6 +469,14 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     # --- bigram LM: additive count deltas (q121); vocabulary re-derives
     # from the BM25 postings, so this artifact is counts-only
     stage(bigram_counts(batch), BLM_COUNTS)
+    # --- UniMax mixture: additive per-language token deltas (q126) —
+    # needs the batch's lang column, which the docs artifact drops;
+    # batches without language labels fold entirely into '__null__'
+    from vulnerablecode_spark.llm.curate import lang_token_counts
+
+    lang_src = (batch_docs if "lang" in batch_docs.columns
+                else batch.withColumn("lang", F.lit(None).cast("string")))
+    stage(lang_token_counts(lang_src), LANG_TOKENS)
     if assigned_delta is not None:
         stage(assigned_delta.select("vec_id", "embedding", "cell"),
               IVF_ASSIGNED)
@@ -535,6 +554,8 @@ def compact(spark: SparkSession, root: str,
             return read_seg_counts(spark, root)
         if rel == BLM_COUNTS:
             return read_bigram_counts(spark, root)
+        if rel == LANG_TOKENS:
+            return read_lang_tokens(spark, root)
         if rel == LD_CLEANED:
             return _cleaned_current(
                 _read_artifact(spark, root, rel), keep_batch=True)
@@ -547,7 +568,7 @@ def compact(spark: SparkSession, root: str,
 
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
             LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS,
-            BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS)
+            BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS, LANG_TOKENS)
     frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
     for rel, df in frames.items():
         if df is None:
