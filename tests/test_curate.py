@@ -596,3 +596,35 @@ class TestCcnetAssign:
             # demote: head stays head, middle may become head, etc.
             order = {"tail": 0, "middle": 1, "head": 2}
             assert order[got] >= order[want], (r.doc_id, got, want)
+
+
+class TestUnimaxManifest:
+    def test_full_passes_plus_gated_partial(self, spark):
+        # aa: 10 tokens cap 40 → capped, alloc 40 = 4 full passes exactly;
+        # bb: alloc = 500-40 = 460 over 200 tokens → 2 full + 60-token
+        # partial (rate 3000bp)
+        docs = spark.createDataFrame(
+            [(1, " ".join(["w"] * 10), "aa", "s")]
+            + [(i, " ".join(["w"] * 20), "bb", "s") for i in range(2, 12)],
+            "doc_id bigint, text string, lang string, source string")
+        out = curate.unimax_manifest(docs, 500, max_epochs=4).collect()
+        aa = [r for r in out if r.lang == "aa"]
+        assert {r.copy_idx for r in aa} == {1, 2, 3, 4}
+        assert all(r.n_copies == 4 for r in aa)
+        bb = {r.doc_id: r.n_copies for r in out if r.lang == "bb"}
+        assert set(bb.values()) <= {2, 3}
+        # manifest rows per doc == n_copies
+        from collections import Counter
+        c = Counter((r.doc_id) for r in out if r.lang == "bb")
+        assert all(c[d] == n for d, n in bb.items())
+
+    def test_deterministic_and_salt_sensitive(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "w w w w", "en", "s") for i in range(40)],
+            "doc_id bigint, text string, lang string, source string")
+        a = sorted(map(tuple, curate.unimax_manifest(docs, 100).collect()))
+        b = sorted(map(tuple, curate.unimax_manifest(docs, 100).collect()))
+        assert a == b
+        c = sorted(map(tuple, curate.unimax_manifest(
+            docs, 100, salt="other").collect()))
+        assert a != c  # different partial-pass membership

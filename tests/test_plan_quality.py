@@ -581,3 +581,10 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_q127_manifest_rate_frame_broadcasts(self, spark):
+        plan = plan_of(spark, "q127_unimax_manifest")
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

@@ -935,3 +935,49 @@ def ccnet_assign(scored: DataFrame, thresholds: DataFrame, *,
                  .when(F.col("lm_score_bp") >= F.col("middle_min_bp"),
                        "middle")
                  .otherwise("tail").alias("bucket")))
+
+
+def unimax_manifest(docs: DataFrame, token_budget: int, *,
+                    max_epochs: int = 4, lang_col: str = "lang",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    salt: str = "unimax-v1") -> DataFrame:
+    """Materialize a :func:`unimax_allocate` mixture into the concrete
+    per-document training manifest a loader consumes: each language's
+    allocation realizes as ``alloc div lang_tokens`` complete passes
+    over its documents plus ONE hash-gated partial pass whose gate rate
+    ``(alloc mod lang_tokens)·10000 div lang_tokens`` admits the
+    remaining fraction of documents — in expectation the partial pass
+    contributes exactly the leftover tokens, and the gate is the
+    deterministic hash64(salt:lang:id) rule every sampler in this repo
+    uses (stratified_sample, temperature_sample), so the manifest is
+    reproducible and stable under corpus growth.
+
+    Scale shape: the water-fill's corpus aggregation plus one broadcast
+    of the per-language rate frame back onto the corpus; the explode
+    multiplies rows by the language's epoch count — output-proportional,
+    exactly the rows a training run reads. Output: (id, lang, n_copies,
+    copy_idx)."""
+    alloc = unimax_allocate(docs, token_budget, max_epochs=max_epochs,
+                            lang_col=lang_col, text_col=text_col)
+    dim = (alloc.selectExpr(
+        "lang", "lang_tokens",
+        "alloc_tokens div lang_tokens AS full_epochs",
+        "alloc_tokens % lang_tokens AS rem_tokens")
+        .withColumn("part_rate_bp",
+                    F.expr("(rem_tokens * 10000) div lang_tokens")))
+    left = docs.select(
+        F.col(id_col),
+        F.coalesce(F.col(lang_col), F.lit("__null__")).alias("lang"))
+    gate = (hash64(F.concat_ws(
+        ":", F.lit(salt), F.col("lang"),
+        F.col(id_col).cast("string"))) % 10000) < F.col("part_rate_bp")
+    return (left.join(F.broadcast(dim), "lang")
+            .withColumn("n_copies",
+                        (F.col("full_epochs")
+                         + F.when(gate, F.lit(1)).otherwise(F.lit(0)))
+                        .cast("bigint"))
+            .filter(F.col("n_copies") >= 1)
+            .withColumn("copy_idx",
+                        F.explode(F.sequence(F.lit(1).cast("bigint"),
+                                             F.col("n_copies"))))
+            .select(F.col(id_col), "lang", "n_copies", "copy_idx"))

@@ -515,3 +515,79 @@ def q126_unimax_incremental(spark, sf_dir):
               .groupBy("lang")
               .agg(F.sum("lang_tokens").alias("lang_tokens")))
     return curate.unimax_from_counts(counts, 60000, max_epochs=3)
+
+
+# ---------------------------------------------------------------------------
+# UniMax manifest — the q124 allocation realized as per-document copies:
+# full passes + one hash-gated partial pass per language (llm/curate.py
+# unimax_manifest). Output-proportional explode; the rate frame
+# broadcasts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q127_unimax_manifest",
+    oracle=f"""
+    WITH per_lang AS (
+        SELECT COALESCE(lang, '__null__') AS lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                   AS lang_tokens
+        FROM documents GROUP BY COALESCE(lang, '__null__')
+    ), cap AS (
+        SELECT lang, lang_tokens,
+               CAST(2 * lang_tokens AS BIGINT) AS capacity
+        FROM per_lang
+    ), ranked AS (
+        SELECT *,
+               CAST(COALESCE(SUM(capacity) OVER (
+                   ORDER BY capacity ASC, lang ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before,
+               CAST(COUNT(*) OVER (
+                   ORDER BY capacity ASC, lang ASC
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_left
+        FROM cap
+    ), flagged AS (
+        SELECT *,
+               capacity <= ((45000 - cum_before) // n_left) AS capped
+        FROM ranked
+    ), totals AS (
+        SELECT *,
+               CAST(SUM(CASE WHEN capped THEN capacity ELSE 0 END)
+                    OVER () AS BIGINT) AS capped_total,
+               CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+                    OVER () AS BIGINT) AS n_uncapped
+        FROM flagged
+    ), alloc AS (
+        SELECT lang, lang_tokens,
+               CAST(CASE WHEN capped THEN capacity
+                    ELSE (45000 - capped_total) // n_uncapped
+                    END AS BIGINT) AS alloc_tokens
+        FROM totals
+    ), rates AS (
+        SELECT lang, lang_tokens,
+               alloc_tokens // lang_tokens AS full_epochs,
+               ((alloc_tokens % lang_tokens) * 10000) // lang_tokens
+                   AS part_rate_bp
+        FROM alloc
+    ), manifest AS (
+        SELECT d.doc_id, r.lang,
+               CAST(r.full_epochs +
+                    (CASE WHEN {_SQL_HASH64.format(
+                        s="('unimax-v1:' || r.lang || ':' "
+                          "|| CAST(d.doc_id AS VARCHAR))")} % 10000
+                          < r.part_rate_bp THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_copies
+        FROM documents d
+        JOIN rates r ON COALESCE(d.lang, '__null__') = r.lang
+    )
+    SELECT doc_id, lang, n_copies,
+           CAST(u.i + 1 AS BIGINT) AS copy_idx
+    FROM manifest, UNNEST(range(0, n_copies)) AS u(i)
+    WHERE n_copies >= 1
+    """,
+)
+def q127_unimax_manifest(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.unimax_manifest(docs, 45000, max_epochs=2)
