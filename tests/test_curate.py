@@ -628,3 +628,29 @@ class TestUnimaxManifest:
         c = sorted(map(tuple, curate.unimax_manifest(
             docs, 100, salt="other").collect()))
         assert a != c  # different partial-pass membership
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses_and_source_attribution(self, spark):
+        def d(rows):
+            return spark.createDataFrame(
+                rows, "doc_id bigint, text string, source string")
+
+        old = d([(1, "same", "s1"), (2, "was this", "s1"),
+                 (3, "going away", "s2")])
+        new = d([(1, "same", "s1"), (2, "now this", "s1"),
+                 (4, "brand new", "s2")])
+        out = {r.source: r for r in curate.corpus_diff(
+            old, new, source_col="source").collect()}
+        assert (out["s1"].n_unchanged, out["s1"].n_changed) == (1, 1)
+        assert out["s1"].n_added == 0 and out["s1"].n_removed == 0
+        # removed reports under its OLD source; added under the new one
+        assert out["s2"].n_removed == 1 and out["s2"].n_added == 1
+
+    def test_identical_snapshots_all_unchanged(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"text {i}", "s") for i in range(10)],
+            "doc_id bigint, text string, source string")
+        out = curate.corpus_diff(docs, docs).collect()[0]
+        assert (out.n_unchanged, out.n_added, out.n_removed,
+                out.n_changed) == (10, 0, 0, 0)

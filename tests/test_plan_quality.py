@@ -588,3 +588,15 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_q128_diff_is_one_join_on_fingerprints(self, spark):
+        # both snapshots reduce to (id, source, md5) before the single
+        # full-outer join — text never shuffles, no Python, no cartesian
+        plan = plan_of(spark, "q128_corpus_diff")
+        assert "FullOuter" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        # the join inputs project away the text column
+        import re as _re
+        m = _re.findall(r"hashpartitioning\(doc_id", plan)
+        assert m, "diff co-partitions on the id key"

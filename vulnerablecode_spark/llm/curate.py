@@ -981,3 +981,41 @@ def unimax_manifest(docs: DataFrame, token_budget: int, *,
                         F.explode(F.sequence(F.lit(1).cast("bigint"),
                                              F.col("n_copies"))))
             .select(F.col(id_col), "lang", "n_copies", "copy_idx"))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, *,
+                id_col: str = "doc_id", text_col: str = "text",
+                source_col: str = "source") -> DataFrame:
+    """Snapshot diff between two corpus versions — the report a
+    recurring-crawl pipeline emits per ingest: how many documents each
+    source ADDED, REMOVED, CHANGED (same id, different content) and kept
+    UNCHANGED between the previous snapshot and this one. The reference
+    runs the same comparison per pipeline run over advisories
+    (content-id SCD2 merge, operators/ingest.py merge_advisories);
+    here it is the corpus-versioning readout.
+
+    Shape: both sides reduce to narrow (id, source, content md5)
+    projections, then ONE full-outer hash join on the id — the canonical
+    co-partitioned diff; counts are a map-side-combined rollup on the
+    source key (a removed doc reports under its OLD source, everything
+    else under the new one). No text leaves the scan — only 32-byte
+    fingerprints shuffle. Output: (source, n_added, n_removed,
+    n_changed, n_unchanged)."""
+    def side(df, tag):
+        return df.select(
+            F.col(id_col),
+            F.col(source_col).alias(f"_src_{tag}"),
+            F.md5(F.col(text_col)).alias(f"_fp_{tag}"))
+
+    joined = side(old, "old").join(side(new, "new"), id_col, "full_outer")
+    status = (F.when(F.col("_fp_old").isNull(), "added")
+              .when(F.col("_fp_new").isNull(), "removed")
+              .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+              .otherwise("unchanged"))
+    return (joined
+            .select(F.coalesce("_src_new", "_src_old").alias("source"),
+                    status.alias("_st"))
+            .groupBy("source")
+            .agg(*[F.sum(F.when(F.col("_st") == s, 1).otherwise(0))
+                   .cast("bigint").alias(f"n_{s}")
+                   for s in ("added", "removed", "changed", "unchanged")]))

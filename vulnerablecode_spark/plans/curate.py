@@ -591,3 +591,57 @@ def q126_unimax_incremental(spark, sf_dir):
 def q127_unimax_manifest(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return curate.unimax_manifest(docs, 45000, max_epochs=2)
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff — per-source added/removed/changed/unchanged
+# between two corpus versions via one full-outer join on 32-byte
+# fingerprints (llm/curate.py corpus_diff). The query slices the
+# documents table into an "old" snapshot (doc_id < 400) and a re-crawl
+# "new" snapshot (doc_id ≥ 50, every 7th doc's text re-cased) so all
+# four statuses occur.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q128_corpus_diff",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, source, md5(text) AS fp
+        FROM documents WHERE doc_id < 400
+    ), new AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id >= 50
+    ), j AS (
+        SELECT COALESCE(n.source, o.source) AS source,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS st
+        FROM old o FULL OUTER JOIN new n USING (doc_id)
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_added,
+           CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged
+    FROM j GROUP BY source
+    """,
+)
+def q128_corpus_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    new = (docs.filter(F.col("doc_id") >= 50)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 7 == 0,
+                              F.upper(F.col("text")))
+                       .otherwise(F.col("text"))))
+    return curate.corpus_diff(old, new)
