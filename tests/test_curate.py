@@ -654,3 +654,34 @@ class TestCorpusDiff:
         out = curate.corpus_diff(docs, docs).collect()[0]
         assert (out.n_unchanged, out.n_added, out.n_removed,
                 out.n_changed) == (10, 0, 0, 0)
+
+
+class TestReviewFixesR10b:
+    def test_ccnet_assign_null_lang_matches_stored_null_thresholds(
+            self, spark):
+        # review fix: unlabeled docs must hit the stored '__null__'
+        # threshold row, not silently fall to tail on a NULL join key
+        buckets = spark.createDataFrame(
+            [(1, "__null__", 900, 10, "head"),
+             (2, "__null__", 500, 10, "middle")],
+            "doc_id bigint, lang string, lm_score_bp bigint, "
+            "n_chars bigint, bucket string")
+        scored = spark.createDataFrame(
+            [(10, None, 950), (11, None, 600), (12, None, 100)],
+            "doc_id bigint, lang string, lm_score_bp bigint")
+        out = {r.doc_id: r.bucket for r in curate.ccnet_assign(
+            scored, curate.ccnet_thresholds(buckets)).collect()}
+        assert out == {10: "head", 11: "middle", 12: "tail"}
+
+    def test_corpus_diff_null_text_is_presence_not_content(self, spark):
+        # review fix: a present row with NULL text is not added/removed;
+        # NULL→'x' is a change, NULL→NULL unchanged
+        def d(rows):
+            return spark.createDataFrame(
+                rows, "doc_id bigint, text string, source string")
+
+        old = d([(1, None, "s"), (2, "x", "s"), (3, None, "s")])
+        new = d([(1, "x", "s"), (2, None, "s"), (3, None, "s")])
+        out = curate.corpus_diff(old, new).collect()[0]
+        assert (out.n_changed, out.n_unchanged,
+                out.n_added, out.n_removed) == (2, 1, 0, 0)

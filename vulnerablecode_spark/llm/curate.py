@@ -925,8 +925,13 @@ def ccnet_assign(scored: DataFrame, thresholds: DataFrame, *,
     batch operator where equal-scored docs straddling a cut all rank
     together; an unseen language (no threshold row) or a NULL threshold
     falls through to tail — the conservative CCNet choice for text the
-    stored corpus knows nothing about. Broadcast join on the language
-    frame; no shuffle of the batch."""
+    stored corpus knows nothing about. NULL lang folds to '__null__'
+    HERE too (not just in ccnet_buckets): unlabeled docs must match the
+    stored '__null__' threshold row, never silently drop to tail on a
+    NULL join key. Broadcast join on the language frame; no shuffle of
+    the batch."""
+    scored = scored.withColumn(
+        "lang", F.coalesce(F.col("lang"), F.lit("__null__")))
     return (scored.join(F.broadcast(thresholds), "lang", "left")
             .select(
                 F.col(id_col), "lang", "lm_score_bp",
@@ -1001,16 +1006,22 @@ def corpus_diff(old: DataFrame, new: DataFrame, *,
     else under the new one). No text leaves the scan — only 32-byte
     fingerprints shuffle. Output: (source, n_added, n_removed,
     n_changed, n_unchanged)."""
+    # presence is a non-nullable flag, NEVER the fingerprint: text is a
+    # nullable column and md5(NULL) is NULL, so a present row with NULL
+    # text would otherwise misreport as added/removed; content equality
+    # is null-safe for the same reason (NULL→'x' is a CHANGE)
     def side(df, tag):
         return df.select(
             F.col(id_col),
             F.col(source_col).alias(f"_src_{tag}"),
-            F.md5(F.col(text_col)).alias(f"_fp_{tag}"))
+            F.md5(F.col(text_col)).alias(f"_fp_{tag}"),
+            F.lit(True).alias(f"_in_{tag}"))
 
     joined = side(old, "old").join(side(new, "new"), id_col, "full_outer")
-    status = (F.when(F.col("_fp_old").isNull(), "added")
-              .when(F.col("_fp_new").isNull(), "removed")
-              .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+    status = (F.when(F.col("_in_old").isNull(), "added")
+              .when(F.col("_in_new").isNull(), "removed")
+              .when(~F.col("_fp_old").eqNullSafe(F.col("_fp_new")),
+                    "changed")
               .otherwise("unchanged"))
     return (joined
             .select(F.coalesce("_src_new", "_src_old").alias("source"),

@@ -385,17 +385,12 @@ def q122_budget_select(spark, sf_dir):
     return curate.budget_select(docs, token_budget=15000)
 
 
-# ---------------------------------------------------------------------------
-# UniMax budget allocation (Chung et al. 2023) — water-fill a token
-# budget across languages, capping each at max_epochs passes. One
-# map-side-combined corpus aggregation; the water-fill itself runs on
-# the tiny language frame (llm/curate.py unimax_allocate).
-# ---------------------------------------------------------------------------
 
-
-@query(
-    "q124_unimax_allocate",
-    oracle="""
+# Shared oracle CTE chain: the UniMax water-fill over per-language token
+# totals, parametrized by (budget, max_epochs) — q124 grades it
+# directly, q126 through the increment store, q127 through the manifest.
+def _sql_unimax(budget: int, max_epochs: int) -> str:
+    return f"""
     WITH per_lang AS (
         SELECT COALESCE(lang, '__null__') AS lang,
                CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
@@ -403,7 +398,7 @@ def q122_budget_select(spark, sf_dir):
         FROM documents GROUP BY COALESCE(lang, '__null__')
     ), cap AS (
         SELECT lang, lang_tokens,
-               CAST(2 * lang_tokens AS BIGINT) AS capacity
+               CAST({max_epochs} * lang_tokens AS BIGINT) AS capacity
         FROM per_lang
     ), ranked AS (
         SELECT *,
@@ -418,7 +413,7 @@ def q122_budget_select(spark, sf_dir):
         FROM cap
     ), flagged AS (
         SELECT *,
-               capacity <= ((45000 - cum_before) // n_left) AS capped
+               capacity <= (({budget} - cum_before) // n_left) AS capped
         FROM ranked
     ), totals AS (
         SELECT *,
@@ -430,15 +425,32 @@ def q122_budget_select(spark, sf_dir):
     ), alloc AS (
         SELECT lang, lang_tokens, capacity, capped,
                CAST(CASE WHEN capped THEN capacity
-                    ELSE (45000 - capped_total) // n_uncapped
+                    ELSE ({budget} - capped_total) // n_uncapped
                     END AS BIGINT) AS alloc_tokens
         FROM totals
     )
+"""
+
+
+_SQL_UNIMAX_SELECT = """
     SELECT lang, lang_tokens, capacity, alloc_tokens, capped,
            CAST((alloc_tokens * 10000) // lang_tokens AS BIGINT)
                AS epochs_bp
     FROM alloc
-    """,
+"""
+
+
+# ---------------------------------------------------------------------------
+# UniMax budget allocation (Chung et al. 2023) — water-fill a token
+# budget across languages, capping each at max_epochs passes. One
+# map-side-combined corpus aggregation; the water-fill itself runs on
+# the tiny language frame (llm/curate.py unimax_allocate).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q124_unimax_allocate",
+    oracle=_sql_unimax(45000, 2) + _SQL_UNIMAX_SELECT,
 )
 def q124_unimax_allocate(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
@@ -458,50 +470,7 @@ def q124_unimax_allocate(spark, sf_dir):
 
 @query(
     "q126_unimax_incremental",
-    oracle="""
-    WITH per_lang AS (
-        SELECT COALESCE(lang, '__null__') AS lang,
-               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-                   AS lang_tokens
-        FROM documents GROUP BY COALESCE(lang, '__null__')
-    ), cap AS (
-        SELECT lang, lang_tokens,
-               CAST(3 * lang_tokens AS BIGINT) AS capacity
-        FROM per_lang
-    ), ranked AS (
-        SELECT *,
-               CAST(COALESCE(SUM(capacity) OVER (
-                   ORDER BY capacity ASC, lang ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS cum_before,
-               CAST(COUNT(*) OVER (
-                   ORDER BY capacity ASC, lang ASC
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                   AS BIGINT) AS n_left
-        FROM cap
-    ), flagged AS (
-        SELECT *,
-               capacity <= ((60000 - cum_before) // n_left) AS capped
-        FROM ranked
-    ), totals AS (
-        SELECT *,
-               CAST(SUM(CASE WHEN capped THEN capacity ELSE 0 END)
-                    OVER () AS BIGINT) AS capped_total,
-               CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
-                    OVER () AS BIGINT) AS n_uncapped
-        FROM flagged
-    ), alloc AS (
-        SELECT lang, lang_tokens, capacity, capped,
-               CAST(CASE WHEN capped THEN capacity
-                    ELSE (60000 - capped_total) // n_uncapped
-                    END AS BIGINT) AS alloc_tokens
-        FROM totals
-    )
-    SELECT lang, lang_tokens, capacity, alloc_tokens, capped,
-           CAST((alloc_tokens * 10000) // lang_tokens AS BIGINT)
-               AS epochs_bp
-    FROM alloc
-    """,
+    oracle=_sql_unimax(60000, 3) + _SQL_UNIMAX_SELECT,
 )
 def q126_unimax_incremental(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -527,45 +496,8 @@ def q126_unimax_incremental(spark, sf_dir):
 
 @query(
     "q127_unimax_manifest",
-    oracle=f"""
-    WITH per_lang AS (
-        SELECT COALESCE(lang, '__null__') AS lang,
-               CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-                   AS lang_tokens
-        FROM documents GROUP BY COALESCE(lang, '__null__')
-    ), cap AS (
-        SELECT lang, lang_tokens,
-               CAST(2 * lang_tokens AS BIGINT) AS capacity
-        FROM per_lang
-    ), ranked AS (
-        SELECT *,
-               CAST(COALESCE(SUM(capacity) OVER (
-                   ORDER BY capacity ASC, lang ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS BIGINT) AS cum_before,
-               CAST(COUNT(*) OVER (
-                   ORDER BY capacity ASC, lang ASC
-                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-                   AS BIGINT) AS n_left
-        FROM cap
-    ), flagged AS (
-        SELECT *,
-               capacity <= ((45000 - cum_before) // n_left) AS capped
-        FROM ranked
-    ), totals AS (
-        SELECT *,
-               CAST(SUM(CASE WHEN capped THEN capacity ELSE 0 END)
-                    OVER () AS BIGINT) AS capped_total,
-               CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END)
-                    OVER () AS BIGINT) AS n_uncapped
-        FROM flagged
-    ), alloc AS (
-        SELECT lang, lang_tokens,
-               CAST(CASE WHEN capped THEN capacity
-                    ELSE (45000 - capped_total) // n_uncapped
-                    END AS BIGINT) AS alloc_tokens
-        FROM totals
-    ), rates AS (
+    oracle=_sql_unimax(45000, 2) + f"""
+    , rates AS (
         SELECT lang, lang_tokens,
                alloc_tokens // lang_tokens AS full_epochs,
                ((alloc_tokens % lang_tokens) * 10000) // lang_tokens
@@ -607,18 +539,18 @@ def q127_unimax_manifest(spark, sf_dir):
     "q128_corpus_diff",
     oracle="""
     WITH old AS (
-        SELECT doc_id, source, md5(text) AS fp
+        SELECT doc_id, source, md5(text) AS fp, TRUE AS present
         FROM documents WHERE doc_id < 400
     ), new AS (
         SELECT doc_id, source,
                md5(CASE WHEN doc_id % 7 = 0 THEN upper(text)
-                        ELSE text END) AS fp
+                        ELSE text END) AS fp, TRUE AS present
         FROM documents WHERE doc_id >= 50
     ), j AS (
         SELECT COALESCE(n.source, o.source) AS source,
-               CASE WHEN o.fp IS NULL THEN 'added'
-                    WHEN n.fp IS NULL THEN 'removed'
-                    WHEN o.fp <> n.fp THEN 'changed'
+               CASE WHEN o.present IS NULL THEN 'added'
+                    WHEN n.present IS NULL THEN 'removed'
+                    WHEN o.fp IS DISTINCT FROM n.fp THEN 'changed'
                     ELSE 'unchanged' END AS st
         FROM old o FULL OUTER JOIN new n USING (doc_id)
     )

@@ -352,7 +352,15 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     if batch_id in [b["batch_id"] for b in ledger["batches"]]:
         return {"applied": False, "batch_id": batch_id}
 
-    batch = batch_docs.select("doc_id", "text").localCheckpoint(eager=True)
+    # the batch is pinned ONCE (with its lang column when present) so
+    # every artifact — including the LANG_TOKENS deltas — derives from
+    # the same frozen row set; re-evaluating batch_docs' lineage later
+    # could diverge if the source is nondeterministic (sample/limit/
+    # changed re-read)
+    _cols = ["doc_id", "text"] + (
+        ["lang"] if "lang" in batch_docs.columns else [])
+    batch_full = batch_docs.select(*_cols).localCheckpoint(eager=True)
+    batch = batch_full.select("doc_id", "text")
 
     # --- near-dup: shared shingle/band frames, pairs vs stored index ---
     new_hashed = nd.hashed_shingles(batch).localCheckpoint(eager=True)
@@ -470,12 +478,13 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     # from the BM25 postings, so this artifact is counts-only
     stage(bigram_counts(batch), BLM_COUNTS)
     # --- UniMax mixture: additive per-language token deltas (q126) —
-    # needs the batch's lang column, which the docs artifact drops;
+    # derived from the SAME checkpointed frame as every other artifact;
     # batches without language labels fold entirely into '__null__'
     from vulnerablecode_spark.llm.curate import lang_token_counts
 
-    lang_src = (batch_docs if "lang" in batch_docs.columns
-                else batch.withColumn("lang", F.lit(None).cast("string")))
+    lang_src = (batch_full if "lang" in batch_full.columns
+                else batch_full.withColumn(
+                    "lang", F.lit(None).cast("string")))
     stage(lang_token_counts(lang_src), LANG_TOKENS)
     if assigned_delta is not None:
         stage(assigned_delta.select("vec_id", "embedding", "cell"),
