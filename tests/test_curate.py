@@ -685,3 +685,67 @@ class TestReviewFixesR10b:
         out = curate.corpus_diff(old, new).collect()[0]
         assert (out.n_changed, out.n_unchanged,
                 out.n_added, out.n_removed) == (2, 1, 0, 0)
+
+
+class TestUnimaxProperties:
+    """Water-fill invariants under random corpora (hypothesis): the
+    Spark plan must match a direct Python transliteration of the spec
+    AND satisfy the allocation laws (never exceed capacity, never
+    exceed budget, leave < n_langs tokens unallocated unless every
+    language is capped)."""
+
+    @staticmethod
+    def _py_waterfill(counts, budget, max_epochs):
+        rows = sorted(((max_epochs * t, lang, t)
+                       for lang, t in counts.items()))
+        out, cum = {}, 0
+        flags = []
+        for i, (cap, lang, t) in enumerate(rows):
+            share = (budget - cum) // (len(rows) - i)
+            flags.append((lang, cap, t, cap <= share))
+            cum += cap
+        capped_total = sum(c for _, c, _, f in flags if f)
+        n_unc = sum(1 for *_, f in flags if not f)
+        unc = (budget - capped_total) // n_unc if n_unc else None
+        for lang, cap, t, f in flags:
+            out[lang] = cap if f else unc
+        return out
+
+    def test_matches_python_spec_and_laws(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        lang_counts = st.dictionaries(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            st.integers(min_value=1, max_value=500),
+            min_size=1, max_size=5)
+        budgets = st.integers(min_value=1, max_value=5000)
+        epochs = st.integers(min_value=1, max_value=4)
+        got_cache = {}
+
+        @given(lang_counts, budgets, epochs)
+        @settings(max_examples=25, deadline=None)
+        def check(counts, budget, max_epochs):
+            key = (tuple(sorted(counts.items())), budget, max_epochs)
+            if key not in got_cache:
+                per_lang = spark.createDataFrame(
+                    list(counts.items()),
+                    "lang string, lang_tokens long")
+                got_cache[key] = {
+                    r.lang: r for r in curate.unimax_from_counts(
+                        per_lang, budget,
+                        max_epochs=max_epochs).collect()}
+            got = got_cache[key]
+            want = self._py_waterfill(counts, budget, max_epochs)
+            assert {k: v.alloc_tokens for k, v in got.items()} == want
+            total = sum(v.alloc_tokens for v in got.values())
+            assert total <= budget
+            assert all(v.alloc_tokens <= v.capacity
+                       for v in got.values())
+            if not all(v.capped for v in got.values()):
+                # floor remainders only: what's left unallocated is
+                # less than one token per uncapped language
+                n_unc = sum(1 for v in got.values() if not v.capped)
+                assert budget - total < n_unc
+
+        check()
