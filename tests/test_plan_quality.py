@@ -600,3 +600,13 @@ class TestRound10NewOps:
         import re as _re
         m = _re.findall(r"hashpartitioning\(doc_id", plan)
         assert m, "diff co-partitions on the id key"
+
+    def test_q129_histogram_reads_stored_payload_no_join(self, spark):
+        # codec-free feature extraction: one MapInPandas over the
+        # pre-spread payload artifact — no join, no shuffle, no
+        # per-byte Python (numpy per Arrow batch)
+        plan = plan_of(spark, "q129_byte_histogram")
+        assert "MapInPandas" in plan
+        assert "ExistingRDD" in plan  # checkpointed stored-column model
+        assert "Join" not in plan
+        assert "Exchange" not in plan

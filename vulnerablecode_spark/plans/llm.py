@@ -2848,3 +2848,50 @@ def q125_ccnet_assign_incremental(spark, sf_dir):
                   .alias("lang")), "doc_id")
               .select("doc_id", "lang", "lm_score_bp"))
     return curate.ccnet_assign(scored, thresholds)
+
+
+# ---------------------------------------------------------------------------
+# Byte-histogram content embedding — the codec-free multimodal feature
+# extractor (llm/multimodal.py byte_histogram_features): normalized
+# 16-bin byte histogram per payload, numpy-vectorized per Arrow batch.
+# The oracle re-derives every byte from hex(payload) — bin = b*16//256 —
+# and int/int division is correctly-rounded IEEE in both engines, so the
+# double arrays hash-match at the comparator's 9dp normalization.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_byte_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS h FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id,
+               (('0x' || substr(h, 2*i + 1, 2))::INT * 16) // 256 AS bin
+        FROM b, UNNEST(range(0, length(h) // 2)) AS u(i)
+    ),
+    hist AS (
+        SELECT doc_id, bin, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM bytes GROUP BY doc_id, bin
+    ),
+    dense AS (
+        SELECT d.doc_id, g.bin, COALESCE(hi.c, 0.0) AS c
+        FROM b d
+        CROSS JOIN (SELECT UNNEST(range(0, 16)) AS bin) g
+        LEFT JOIN hist hi ON hi.doc_id = d.doc_id AND hi.bin = g.bin
+    ),
+    tot AS (
+        SELECT doc_id, SUM(c) AS t FROM dense GROUP BY doc_id
+    )
+    SELECT de.doc_id,
+           list(CASE WHEN tt.t = 0 THEN 0.0 ELSE de.c / tt.t END
+                ORDER BY de.bin) AS features
+    FROM dense de JOIN tot tt USING (doc_id)
+    GROUP BY de.doc_id
+    """,
+)
+def q129_byte_histogram(spark, sf_dir):
+    payload = _payload_artifact(spark, sf_dir)
+    return multimodal.byte_histogram_features(payload, bins=16,
+                                              spread_input=False)
