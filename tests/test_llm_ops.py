@@ -1666,3 +1666,71 @@ class TestBigramLm:
         assert len(got) == 1
         assert got[0].n_bigrams == 2
         assert got[0].lm_score_bp == 10000 // 4
+
+
+class TestSemanticDedupIncremental:
+    """q130: batch-vs-stored SemDeDup — keep flags for the batch plus the
+    retro work list of stored keepers demoted by lower-id arrivals."""
+
+    def _setup(self, spark):
+        from vulnerablecode_spark.llm.similarity import ivf_index
+
+        # two well-separated clusters on axes; stored ids 5,6 / 7,8
+        dim = 64
+
+        def vec(axis, scale=1.0):
+            v = [0.0] * dim
+            v[axis] = scale
+            return v
+
+        stored = spark.createDataFrame(
+            [(5, vec(0)), (6, vec(0, 0.9)), (7, vec(1)), (8, vec(1, 0.9))],
+            "vec_id long, embedding array<double>")
+        centroids, assigned = ivf_index(stored, 2)
+        return vec, centroids, assigned
+
+    def test_lower_id_arrival_demotes_stored_keeper(self, spark):
+        from vulnerablecode_spark.llm.similarity import \
+            semantic_dedup_incremental
+
+        vec, centroids, assigned = self._setup(spark)
+        # id 1 < stored 5: stored 5 lands on the retro list, batch keeps;
+        # id 100 > stored 7: the batch vector itself drops
+        new = spark.createDataFrame(
+            [(1, vec(0)), (100, vec(1))],
+            "vec_id long, embedding array<double>")
+        res = semantic_dedup_incremental(new, centroids, assigned,
+                                         threshold=0.9)
+        keep = {r.vec_id: r.keep for r in res["keep"].collect()}
+        assert keep == {1: True, 100: False}
+        retro = {r.vec_id for r in res["retro_dups"].collect()}
+        assert 5 in retro
+        assert 7 not in retro  # its duplicate has the HIGHER id
+
+    def test_new_vs_new_dedup_within_batch(self, spark):
+        from vulnerablecode_spark.llm.similarity import \
+            semantic_dedup_incremental
+
+        vec, centroids, assigned = self._setup(spark)
+        new = spark.createDataFrame(
+            [(20, vec(0)), (21, vec(0, 0.95))],
+            "vec_id long, embedding array<double>")
+        res = semantic_dedup_incremental(new, centroids, assigned,
+                                         threshold=0.9)
+        keep = {r.vec_id: r.keep for r in res["keep"].collect()}
+        # 20 survives its stored matches only if ids are higher — stored
+        # 5,6 are LOWER, so 20 drops; 21 drops on 20/5/6 either way
+        assert keep == {20: False, 21: False}
+
+    def test_disjoint_batch_all_keep_no_retro(self, spark):
+        from vulnerablecode_spark.llm.similarity import \
+            semantic_dedup_incremental
+
+        vec, centroids, assigned = self._setup(spark)
+        new = spark.createDataFrame(
+            [(30, [float(i % 3 - 1) for i in range(64)])],
+            "vec_id long, embedding array<double>")
+        res = semantic_dedup_incremental(new, centroids, assigned,
+                                         threshold=0.95)
+        assert [r.keep for r in res["keep"].collect()] == [True]
+        assert res["retro_dups"].count() == 0

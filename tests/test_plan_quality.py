@@ -610,3 +610,13 @@ class TestRound10NewOps:
         assert "ExistingRDD" in plan  # checkpointed stored-column model
         assert "Join" not in plan
         assert "Exchange" not in plan
+
+    def test_q130_incremental_semdedup_batch_driven_joins(self, spark):
+        # pairs enumerate only where a batch vector participates — the
+        # cell pair join is an equi hash join, never a cartesian; the
+        # only nested-loop joins are the 16-row centroid-table
+        # assignment broadcasts (the q46-sanctioned IVF shape)
+        plan = plan_of(spark, "q130_semantic_dedup_incremental")
+        assert "CartesianProduct" not in plan
+        assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                or "BroadcastHashJoin" in plan)

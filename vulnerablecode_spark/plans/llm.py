@@ -2895,3 +2895,56 @@ def q129_byte_histogram(spark, sf_dir):
     payload = _payload_artifact(spark, sf_dir)
     return multimodal.byte_histogram_features(payload, bins=16,
                                               spread_input=False)
+
+
+# ---------------------------------------------------------------------------
+# Incremental SemDeDup — q65's serving half (llm/similarity.py
+# semantic_dedup_incremental): batch vectors assign to the STORED
+# centroids (q97's convention: stored = vec_id % 10 != 0), pairs
+# enumerate only new×(stored∪new) within shared cells. The oracle
+# rebuilds the stored-only index with the q46 CTE arithmetic and assigns
+# the batch to its final centroids — grading the incremental semantics
+# itself, not a from-scratch rebuild (clustering drift makes those
+# deliberately different; see the operator docstring).
+# ---------------------------------------------------------------------------
+
+
+_SQL_SEMDEDUP_INCREMENTAL = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                 WHERE vec_id % 10 <> 0),
+    {_SQL_IVF_CTES},
+    newv AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+             WHERE vec_id % 10 = 0),
+    na AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT n.vec_id, n.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY {_SQL_IVF_COS.format(a='n.v',
+                                                     b='c.centroid')}
+                                DESC, c.cell) AS rk
+            FROM newv n CROSS JOIN c2 c)
+        WHERE rk = 1),
+    allv AS (SELECT vec_id, v, cell FROM af
+             UNION ALL SELECT vec_id, v, cell FROM na),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM allv a JOIN na b USING (cell)
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4)
+    SELECT n.vec_id, CAST(n.cell AS BIGINT) AS cell,
+           (d.vec_id IS NULL) AS keep
+    FROM na n LEFT JOIN dups d USING (vec_id)
+"""
+
+
+@query("q130_semantic_dedup_incremental", oracle=_SQL_SEMDEDUP_INCREMENTAL)
+def q130_semantic_dedup_incremental(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 != 0)
+    new = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids, assigned = similarity.ivf_index(old, 16, impl="arrow")
+    res = similarity.semantic_dedup_incremental(
+        new, centroids, assigned, threshold=0.4, impl="arrow")
+    return res["keep"].withColumn("cell", F.col("cell").cast("bigint"))
