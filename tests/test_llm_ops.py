@@ -1734,3 +1734,53 @@ class TestSemanticDedupIncremental:
                                          threshold=0.95)
         assert [r.keep for r in res["keep"].collect()] == [True]
         assert res["retro_dups"].count() == 0
+
+
+class TestNgramNovelty:
+    def test_unique_vs_shared_trigram_fractions(self, spark):
+        from vulnerablecode_spark.llm.text import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"),          # grams: "a b c","b c d"
+             (2, "a b c x"),          # shares "a b c" with doc 1
+             (3, "p q r s t"),        # all unique
+             (4, "xy")],              # < 3 tokens: absent
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in ngram_novelty(docs, n=3).collect()}
+        assert 4 not in out
+        assert (out[1].n_grams, out[1].novel_grams,
+                out[1].novelty_bp) == (2, 1, 5000)
+        assert out[2].novelty_bp == 5000
+        assert out[3].novelty_bp == 10000
+
+    def test_repeated_gram_within_one_doc_is_distinct_typed(self, spark):
+        from vulnerablecode_spark.llm.text import ngram_novelty
+
+        # "a b a b a b" repeats its grams but no OTHER doc has them:
+        # distinct-type counting makes the doc fully novel
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b")], "doc_id long, text string")
+        out = ngram_novelty(docs, n=3).collect()[0]
+        assert out.n_grams == 2  # "a b a", "b a b"
+        assert out.novelty_bp == 10000
+
+
+class TestStitchCandidates:
+    def test_planted_fragment_pair_found_and_verified(self, spark):
+        from vulnerablecode_spark.llm.dedup import stitch_candidates
+
+        docs = spark.createDataFrame(
+            [(1, "one two three four five six seven"),   # tail: 3..7
+             (2, "three four five six seven eight"),     # head: 3..7
+             (3, "unrelated words entirely here now"),
+             (4, "tiny doc")],                           # < w tokens
+            "doc_id long, text string")
+        out = stitch_candidates(docs, w=5).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+
+    def test_self_pair_excluded_even_for_periodic_text(self, spark):
+        from vulnerablecode_spark.llm.dedup import stitch_candidates
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e a b c d e")], "doc_id long, text string")
+        assert stitch_candidates(docs, w=5).count() == 0

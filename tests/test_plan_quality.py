@@ -620,3 +620,17 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
                 or "BroadcastHashJoin" in plan)
+
+    def test_q131_novelty_two_shuffles_no_python(self, spark):
+        plan = plan_of(spark, "q131_ngram_novelty")
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_q132_stitch_single_boundary_key_join(self, spark):
+        # one equi-join on the 32-byte boundary fingerprint; text never
+        # enters a shuffle wider than the two boundary windows
+        plan = plan_of(spark, "q132_stitch_candidates")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan

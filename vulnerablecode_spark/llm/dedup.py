@@ -1240,3 +1240,37 @@ def source_dup_matrix(docs: DataFrame, *, threshold: float = 0.4,
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
              F.max("jaccard").alias("max_jaccard"))
     )
+
+
+def stitch_candidates(df: DataFrame, *, w: int = 5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Crawl-fragment stitching detection: pairs (a, b) where the LAST
+    ``w`` tokens of document a equal the FIRST ``w`` tokens of document
+    b — the signature of one page split across two crawl records (or a
+    pagination boundary), which a cleanup pipeline re-joins before
+    dedup so the halves don't each survive as "unique" text.
+
+    Each document contributes exactly ONE head key and ONE tail key
+    (both the md5 of the w-token boundary window — 32-byte keys, text
+    never shuffles); candidates come from a single hash equi-join of
+    the tail frame against the head frame, verified by comparing the
+    actual boundary strings to squeeze out hash collisions. Docs
+    shorter than ``w`` tokens emit nothing (a fragment boundary needs a
+    full window on both sides). Self-pairs are excluded; a doc whose
+    head equals its own tail (fully periodic text) is not a stitch.
+    Output: (id_a, id_b, boundary_fp)."""
+    toks = F.split(F.col(text_col), " ")
+    head = F.array_join(F.slice(toks, 1, w), " ")
+    tail = F.array_join(F.slice(toks, -w, w), " ")
+    base = df.filter(F.size(toks) >= w)
+    heads = base.select(F.col(id_col).alias("id_b"),
+                        F.md5(head).alias("fp"),
+                        head.alias("_head"))
+    tails = base.select(F.col(id_col).alias("id_a"),
+                        F.md5(tail).alias("fp"),
+                        tail.alias("_tail"))
+    return (tails.join(heads, "fp")
+            .filter((F.col("id_a") != F.col("id_b"))
+                    & (F.col("_tail") == F.col("_head")))
+            .select("id_a", "id_b", F.col("fp").alias("boundary_fp")))

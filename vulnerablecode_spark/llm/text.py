@@ -511,3 +511,39 @@ def bigram_lm_scores_for(score_docs: DataFrame, c_big: DataFrame,
         .selectExpr(id_col, "n_bigrams",
                     "_sum div n_bigrams AS lm_score_bp")
     )
+
+
+def ngram_novelty(df: DataFrame, *, n: int = 3, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's word
+    n-grams appear in NO other document — the memorization/templating
+    signal (a doc of fully corpus-unique trigrams is fresh prose; a doc
+    whose trigrams all recur elsewhere is boilerplate or a near-dup
+    survivor). DISTINCT n-gram types per doc, integer basis points.
+
+    Output: (id, n_grams, novel_grams, novelty_bp) with
+    novelty_bp = novel·10000 div total; docs with < n tokens carry no
+    n-grams and are absent (the bigram-LM convention).
+
+    Shape: one token-proportional explode to DISTINCT (id, gram), a
+    gram-keyed document-frequency count (additive under disjoint
+    batches — the same stored-index discipline as the line-dedup
+    segment counts), and a rejoin of the df=1 verdict back onto the
+    per-doc gram frame on the gram key — two hash shuffles, nothing
+    corpus-quadratic, pure Catalyst."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    per_doc = (df.filter(F.size(toks) >= n)
+               .select(F.col(id_col), F.explode(grams).alias("gram"))
+               .distinct())
+    doc_freq = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    return (per_doc.join(doc_freq, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("novel_grams"))
+            .selectExpr(id_col, "n_grams", "novel_grams",
+                        "(novel_grams * 10000) div n_grams AS novelty_bp"))

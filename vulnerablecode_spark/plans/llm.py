@@ -2948,3 +2948,107 @@ def q130_semantic_dedup_incremental(spark, sf_dir):
     res = similarity.semantic_dedup_incremental(
         new, centroids, assigned, threshold=0.4, impl="arrow")
     return res["keep"].withColumn("cell", F.col("cell").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty — fraction of a doc's DISTINCT word trigrams occurring
+# in no other document (llm/text.py ngram_novelty): the memorization/
+# templating signal. One distinct explode, a gram-df count (additive
+# under batches), one rejoin — two shuffles, pure Catalyst.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q131_ngram_novelty",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    per_doc AS (
+        SELECT DISTINCT doc_id,
+               toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS gram
+        FROM t, UNNEST(range(0, len(toks) - 2)) AS u(i)
+        WHERE len(toks) >= 3
+    ),
+    doc_freq AS (
+        SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+        FROM per_doc GROUP BY gram
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_grams,
+           (SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 10000)
+               // COUNT(*) AS novelty_bp
+    FROM per_doc p JOIN doc_freq f USING (gram)
+    GROUP BY p.doc_id
+    """,
+)
+def q131_ngram_novelty(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.ngram_novelty(docs, n=3)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-fragment stitching — pairs where doc a's last w tokens equal
+# doc b's first w tokens (llm/dedup.py stitch_candidates): one 32-byte
+# boundary-key equi-join, string-verified. The query plants its own
+# fragments by splitting each doc ending in 'x0' into halves sharing a
+# 5-token overlap, so true stitches exist at every SF.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_stitch_candidates",
+    oracle="""
+    WITH halves AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 10
+    ),
+    frags AS (
+        SELECT doc_id * 2 AS doc_id,
+               array_to_string(toks[1 : len(toks) // 2 + 5], ' ') AS text
+        FROM halves
+        UNION ALL
+        SELECT doc_id * 2 + 1 AS doc_id,
+               array_to_string(toks[len(toks) // 2 + 1 : len(toks)], ' ')
+                   AS text
+        FROM halves
+    ),
+    base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM frags
+        WHERE len(string_split(text, ' ')) >= 5
+    ),
+    heads AS (
+        SELECT doc_id AS id_b,
+               array_to_string(toks[1:5], ' ') AS boundary
+        FROM base
+    ),
+    tails AS (
+        SELECT doc_id AS id_a,
+               array_to_string(toks[len(toks)-4 : len(toks)], ' ')
+                   AS boundary
+        FROM base
+    )
+    SELECT t.id_a, h.id_b, md5(t.boundary) AS boundary_fp
+    FROM tails t JOIN heads h ON t.boundary = h.boundary
+    WHERE t.id_a <> h.id_b
+    """,
+)
+def q132_stitch_candidates(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    halves = (docs.filter((F.col("doc_id") % 10 == 0)
+                          & (F.size(toks) >= 10))
+              .select("doc_id", toks.alias("toks")))
+    n = F.size(F.col("toks"))
+    first = halves.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.array_join(F.slice(F.col("toks"), 1,
+                             (n / 2).cast("int") + 5), " ").alias("text"))
+    second = halves.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.array_join(F.slice(F.col("toks"), (n / 2).cast("int") + 1,
+                             n), " ").alias("text"))
+    frags = first.unionByName(second)
+    return dedup.stitch_candidates(frags, w=5)
