@@ -57,6 +57,9 @@ EXTRAS = [
     "q116_bm25_incremental", "q119_source_dup_matrix",
     "q120_bigram_lm_score", "q122_budget_select",
     "q123_ccnet_buckets", "q125_ccnet_assign_incremental",
+    "q133_hybrid_rrf", "q135_serpentine_shards",
+    "q137_chunk_documents", "q138_whitening_summary",
+    "q139_windowed_counts",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

@@ -749,3 +749,156 @@ class TestUnimaxProperties:
                 assert budget - total < n_unc
 
         check()
+
+
+class TestGlobalRank:
+    def test_matches_single_partition_row_number(self, spark):
+        # heavy ties + one extreme value + many input partitions: the
+        # regime where branch-inconsistent partitioning (the
+        # repartitionByRange + spark_partition_id formulation this
+        # operator deliberately avoids) would corrupt ranks
+        import random
+
+        from pyspark.sql import Window
+
+        rng = random.Random(7)
+        rows = [(i, rng.choice([5, 10, 10, 20, 20, 20, 100000]))
+                for i in range(5000)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, tokens long").repartition(16)
+        got = curate.global_rank(df, "tokens", "doc_id").select(
+            "doc_id", "grank")
+        w = Window.orderBy(F.col("tokens").desc(), F.col("doc_id").asc())
+        want = df.select(
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("grank"))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    def test_ascending_and_all_equal_weights(self, spark):
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame(
+            [(i, 42) for i in range(100)], "doc_id long, tokens long")
+        got = curate.global_rank(df, "tokens", "doc_id",
+                                 descending=False).select("doc_id", "grank")
+        w = Window.orderBy(F.col("tokens").asc(), F.col("doc_id").asc())
+        want = df.select(
+            "doc_id", F.row_number().over(w).cast("bigint").alias("grank"))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+class TestSerpentineShards:
+    def test_doc_counts_within_one_and_weight_balanced(self, spark):
+        import random
+
+        rng = random.Random(11)
+        rows = [(i, rng.randint(1, 2000)) for i in range(803)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens long")
+        rep = {r.shard: r for r in
+               curate.shard_balance_report(df, 8).collect()}
+        assert sorted(rep) == list(range(8))
+        n_docs = [rep[s].n_docs for s in range(8)]
+        assert max(n_docs) - min(n_docs) <= 1
+        w_tot = [rep[s].w_total for s in range(8)]
+        # serpentine bounds the spread to ~one document weight per
+        # direction change; assert a conservative multiple and that it
+        # beats a hash split's typical few-percent imbalance
+        assert max(w_tot) - min(w_tot) <= 2 * 2000
+        assert sum(r.share_bp for r in rep.values()) <= 10000
+        assert sum(rep[s].n_docs for s in range(8)) == 803
+
+    def test_assignment_is_a_permutation_of_ranks(self, spark):
+        df = spark.createDataFrame(
+            [(i, 10 * (i % 17) + 1) for i in range(50)],
+            "doc_id long, tokens long")
+        rows = curate.serpentine_shards(df, 4).collect()
+        assert sorted(r.grank for r in rows) == list(range(1, 51))
+        # rank 1..4 deal left-to-right, 5..8 right-to-left
+        by_rank = {r.grank: r.shard for r in rows}
+        assert [by_rank[r] for r in range(1, 9)] == [0, 1, 2, 3, 3, 2, 1, 0]
+
+
+class TestChunkDocuments:
+    def test_windows_cover_every_token_with_overlap(self, spark):
+        import hashlib
+
+        texts = {
+            1: "a b c d e f g",     # 7 tokens, size 4 stride 2 → 4 chunks
+            2: "x",                 # single token → one chunk
+            3: " ".join(f"t{i}" for i in range(9)),  # 9 tokens
+        }
+        df = spark.createDataFrame(
+            [(k, v) for k, v in texts.items()], "doc_id long, text string")
+        got = {(r.doc_id, r.chunk_id): r for r in
+               curate.chunk_documents(df, size=4, stride=2).collect()}
+        for doc_id, text in texts.items():
+            toks = text.split(" ")
+            n = len(toks)
+            starts = list(range(0, n, 2))
+            assert ({c for (d, c) in got if d == doc_id}
+                    == set(range(len(starts))))
+            for cid, start in enumerate(starts):
+                row = got[(doc_id, cid)]
+                want = toks[start:start + 4]
+                assert row.n_tokens == len(want)
+                assert row.chunk_fp == hashlib.md5(
+                    " ".join(want).encode()).hexdigest()
+
+    def test_null_text_drops_like_oracle(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, None)], "doc_id long, text string")
+        rows = curate.chunk_documents(df, size=4, stride=2).collect()
+        assert {r.doc_id for r in rows} == {1}
+
+
+class TestEventAnalytics:
+    def test_funnel_strictly_after_semantics(self, spark):
+        from vulnerablecode_spark.operators.events import funnel_report
+
+        rows = [
+            # user 1: full ordered journey
+            (1, "2024-01-01T00:00:00", "view"),
+            (1, "2024-01-01T01:00:00", "click"),
+            (1, "2024-01-01T02:00:00", "purchase"),
+            # user 2: click BEFORE the first view → stage 1 only
+            (2, "2024-01-01T00:00:00", "click"),
+            (2, "2024-01-01T01:00:00", "view"),
+            # user 3: purchase before click → stops at stage 2
+            (3, "2024-01-01T00:00:00", "view"),
+            (3, "2024-01-01T01:00:00", "purchase"),
+            (3, "2024-01-01T02:00:00", "click"),
+            # user 4: never views → not even stage 1
+            (4, "2024-01-01T00:00:00", "click"),
+            (4, "2024-01-01T01:00:00", "purchase"),
+        ]
+        events = spark.createDataFrame(
+            [(u, t, e) for u, t, e in rows],
+            "user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        rep = {r.stage: r for r in
+               funnel_report(events,
+                             ["view", "click", "purchase"]).collect()}
+        assert rep[1].n_users == 3 and rep[1].conv_bp == 10000
+        assert rep[2].n_users == 2 and rep[2].conv_bp == 6666
+        assert rep[3].n_users == 1 and rep[3].conv_bp == 3333
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            funnel_report(events, ["view"])
+
+    def test_retention_cells(self, spark):
+        from vulnerablecode_spark.operators.events import retention_cohorts
+
+        rows = [
+            (1, "2024-01-01T10:00:00"), (1, "2024-01-01T23:00:00"),
+            (1, "2024-01-03T00:30:00"),
+            (2, "2024-01-02T05:00:00"),
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(r.cohort_day.day, r.day_offset): r.n_users
+               for r in retention_cohorts(events).collect()}
+        assert got == {(1, 0): 1, (1, 2): 1, (2, 0): 1}

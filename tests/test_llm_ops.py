@@ -1784,3 +1784,132 @@ class TestStitchCandidates:
         docs = spark.createDataFrame(
             [(1, "a b c d e a b c d e")], "doc_id long, text string")
         assert stitch_candidates(docs, w=5).count() == 0
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from vulnerablecode_spark.llm.text import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 3)], "doc_id long, rk int")
+        b = spark.createDataFrame(
+            [(20, 1), (40, 2)], "doc_id long, rk int")
+        rows = {r.doc_id: r for r in
+                rrf_fuse([a, b], k_const=60, k=10).collect()}
+        # doc 20: both lists → 1/62 + 1/61; doc 10 only list a → 1/61
+        assert rows[20].n_lists == 2 and rows[20].best_rk == 1
+        assert rows[20].rrf_score == round(1 / 62 + 1 / 61, 6)
+        assert rows[10].rrf_score == round(1 / 61, 6)
+        assert rows[40].rrf_score == round(1 / 62, 6)
+        # fused order: 20 (two votes) first, then 10, then 40, then 30
+        order = sorted(rows.values(), key=lambda r: r.rk)
+        assert [r.doc_id for r in order] == [20, 10, 40, 30]
+
+    def test_topk_truncates_and_requires_input(self, spark):
+        from vulnerablecode_spark.llm.text import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(i, i + 1) for i in range(20)], "doc_id long, rk int")
+        assert rrf_fuse([a], k=5).count() == 5
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+
+class TestHardNegatives:
+    def test_same_label_and_near_dup_excluded(self, spark):
+        from vulnerablecode_spark.llm.similarity import hard_negatives
+
+        # anchor 0 (label 0); 1: same label, highest sim → excluded;
+        # 2: diff label, sim ≈ 1.0 → excluded by the near-dup cap;
+        # 3/4: diff label, moderate sim → ranked by cosine
+        rows = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.99, 0.1, 0.0], 0),
+            (2, [1.0, 0.001, 0.0], 1),
+            (3, [0.8, 0.6, 0.0], 1),
+            (4, [0.5, 0.86, 0.0], 2),
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        got = hard_negatives(emb, emb.filter(F.col("vec_id") == 0),
+                             k=5, sim_cap=0.95).collect()
+        ids = [r.neighbor_id for r in sorted(got, key=lambda r: r.rk)]
+        assert ids == [3, 4]
+        assert all(r.cosine_sim < 0.95 for r in got)
+
+    def test_ranks_are_per_anchor(self, spark):
+        from vulnerablecode_spark.llm.similarity import hard_negatives
+
+        rows = [(i, [float(i % 3 + 1), float(i % 5)], i % 2)
+                for i in range(30)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        got = hard_negatives(emb, emb.filter(F.col("vec_id") < 4), k=3)
+        per = {}
+        for r in got.collect():
+            per.setdefault(r.query_id, []).append(r.rk)
+        assert set(per) == {0, 1, 2, 3}
+        assert all(sorted(v) == list(range(1, len(v) + 1))
+                   for v in per.values())
+
+
+class TestWhitening:
+    def test_constant_dim_passes_through_unscaled(self, spark):
+        from vulnerablecode_spark.llm.similarity import (
+            embedding_dim_stats, whitening_summary)
+
+        emb = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, [1.0, 4.0]), (2, [1.0, 6.0])],
+            "vec_id long, embedding array<double>")
+        stats = {r.dim: r for r in embedding_dim_stats(emb).collect()}
+        assert stats[0].sigma == 0.0 and stats[0].mu == 1.0
+        assert stats[1].mu == 4.0 and abs(stats[1].sigma
+                                          - 1.632993) < 1e-5
+        rows = {r.vec_id: r for r in whitening_summary(emb).collect()}
+        # dim 0: (x - 1)/1 = 0 everywhere; dim 1: standardized values
+        for vid, x in [(0, 2.0), (1, 4.0), (2, 6.0)]:
+            import math
+
+            w = (x - 4.0) / stats[1].sigma
+            assert rows[vid].wsum_q == math.floor(w * 10000 + 0.5)
+            assert rows[vid].wss_q == math.floor(w * w * 10000 + 0.5)
+
+    def test_whitened_corpus_is_centered_unit_variance(self, spark,
+                                                       embeddings):
+        from vulnerablecode_spark.llm.similarity import whitening_summary
+
+        n = embeddings.count()
+        agg = (whitening_summary(
+            embeddings.select(
+                "vec_id",
+                F.transform("embedding",
+                            lambda x: x.cast("double")).alias("embedding")))
+            .agg(F.sum("wsum_q").alias("s"), F.sum("wss_q").alias("ss"))
+            .head())
+        dim = 64
+        # mean ~0: quantized sum per value is ±0.5e-4 off, so the total
+        # drifts at most n·dim half-units; variance ~1: wss ≈ n·dim·1e4
+        assert abs(agg.s) <= n * dim
+        assert abs(agg.ss - n * dim * 10000) <= n * dim * 500
+
+
+class TestTfidfKeywords:
+    def test_hand_computed_scores(self, spark):
+        import math
+
+        from vulnerablecode_spark.llm.text import tfidf_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "apple banana apple"), (2, "banana cherry"),
+             (3, "cherry cherry dog")],
+            "doc_id long, text string")
+        rows = {(r.doc_id, r.rk): r for r in
+                tfidf_keywords(docs, k=2).collect()}
+        assert rows[(1, 1)].tok == "apple"
+        assert rows[(1, 1)].score == round(2 * math.log(3 / 1), 4)
+        assert rows[(1, 2)].tok == "banana"
+        assert rows[(1, 2)].score == round(1 * math.log(3 / 2), 4)
+        # doc 3: cherry tf=2 beats dog idf — 2·ln(1.5) > 1·ln(3)? it
+        # doesn't (0.81 < 1.10): dog wins rank 1
+        assert rows[(3, 1)].tok == "dog"
+        assert rows[(3, 2)].tok == "cherry"

@@ -634,3 +634,82 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
+
+    def test_q133_rrf_fusion_is_topk_bounded(self, spark):
+        # both retriever inputs end in bounded top-k frames; the fused
+        # top-k is a TakeOrderedAndProject, never a global sort, and
+        # nothing in the plan multiplies corpus-scale relations
+        plan = plan_of(spark, "q133_hybrid_rrf")
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_q134_hard_negatives_panel_broadcasts(self, spark):
+        # the anchor panel rides a broadcast nested-loop join onto the
+        # single corpus scan (label + vector on the same scan); the
+        # corpus itself never shuffles on a join key
+        plan = plan_of(spark, "q134_hard_negatives")
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q135_global_rank_never_single_partitions_corpus(self, spark):
+        # the whole point of the offset-recomposition rank: the ONLY
+        # single-partition exchange is the per-bucket offset window
+        # (n_buckets rows); the corpus moves through hash exchanges only
+        plan = plan_of(spark, "q135_serpentine_shards")
+        assert plan.count("SinglePartition") <= 1
+        assert "CartesianProduct" not in plan
+
+    def test_q136_shard_balance_tiny_frames_only(self, spark):
+        # the rollup adds a grand-total scalar and the broadcast offset
+        # frame — every SinglePartition exchange is over an O(shards)
+        # frame, never the corpus (bounded count, asserted structurally
+        # by the operator; here: no explosion of exchanges)
+        plan = plan_of(spark, "q136_shard_balance")
+        assert plan.count("SinglePartition") <= 3
+        assert "CartesianProduct" not in plan
+
+    def test_q137_chunking_is_exchange_free(self, spark):
+        # tokenize → sequence → posexplode → slice: ZERO shuffles —
+        # chunking pipelines straight into the shard writer
+        plan = plan_of(spark, "q137_chunk_documents")
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_q138_whitening_stats_broadcast_no_corpus_shuffle(self, spark):
+        # the O(dim) stats frame broadcasts onto the corpus scan; the
+        # only SinglePartition exchange is the dim-array pivot (64 rows)
+        plan = plan_of(spark, "q138_whitening_summary")
+        assert plan.count("SinglePartition") <= 1
+        assert ("BroadcastHashJoin" in plan
+                or "BroadcastNestedLoopJoin" in plan)
+        assert "SortMergeJoin" not in plan
+
+    def test_q139_windowed_counts_one_partial_agg_shuffle(self, spark):
+        # one (window, key) hash exchange with map-side partial
+        # aggregation; no global sort, no single-partition funnel
+        plan = plan_of(spark, "q139_windowed_counts")
+        assert plan.count("SinglePartition") == 0
+        assert plan.count("hashpartitioning") == 1
+        assert "partial" in plan
+
+    def test_q140_tfidf_per_doc_window_no_global_funnel(self, spark):
+        # per-doc top-k window is partitioned by doc_id; the only
+        # SinglePartition exchange is the 1-row corpus count
+        plan = plan_of(spark, "q140_tfidf_keywords")
+        assert plan.count("SinglePartition") <= 1
+        assert "CartesianProduct" not in plan
+
+    def test_q141_funnel_joins_are_user_keyed(self, spark):
+        # stage frames join on user_id only; the SinglePartition
+        # exchanges are the per-stage scalar counts (post-partial-agg,
+        # one row per task) and the entry-population broadcast
+        plan = plan_of(spark, "q141_event_funnel")
+        assert "CartesianProduct" not in plan
+        assert plan.count("SinglePartition") <= 4
+
+    def test_q142_retention_never_single_partitions(self, spark):
+        plan = plan_of(spark, "q142_retention_cohorts")
+        assert plan.count("SinglePartition") == 0
+        assert "CartesianProduct" not in plan

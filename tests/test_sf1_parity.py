@@ -62,6 +62,15 @@ SF1_QUERIES = [
     "q116_bm25_incremental",
     "q119_source_dup_matrix",
     "q120_bigram_lm_score",
+    # round-10 session 2: the offset-recomposition global rank is the
+    # one operator whose correctness argument is about partitioning
+    # consistency — 10x the rows and 32 real buckets is where a
+    # branch-divergent formulation would break; q138's quantized
+    # whitening sums and q139's micro-unit event sums verify the
+    # order-free integer discipline over 10x the addends
+    "q135_serpentine_shards",
+    "q138_whitening_summary",
+    "q139_windowed_counts",
 ]
 
 

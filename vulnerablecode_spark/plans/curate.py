@@ -577,3 +577,105 @@ def q128_corpus_diff(spark, sf_dir):
                               F.upper(F.col("text")))
                        .otherwise(F.col("text"))))
     return curate.corpus_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# Distributed global rank → serpentine weight-balanced shards
+# (llm/curate.py global_rank / serpentine_shards): global ROW_NUMBER by
+# offset recomposition over range partitions — the corpus shuffles once
+# and NO stage serializes it through one task (the single-partition
+# window runs over the per-partition count frame only, plan-gated).
+# ---------------------------------------------------------------------------
+
+_SQL_SERPENTINE = """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, tokens,
+               CAST(ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id)
+                    AS BIGINT) AS grank
+        FROM t
+    ),
+    assigned AS (
+        SELECT doc_id, tokens, grank,
+               CAST(CASE WHEN ((grank - 1) // 8) % 2 = 0
+                         THEN (grank - 1) % 8
+                         ELSE 7 - ((grank - 1) % 8) END AS INT) AS shard
+        FROM r
+    )
+"""
+
+
+@query(
+    "q135_serpentine_shards",
+    oracle=f"""
+    {_SQL_SERPENTINE}
+    SELECT doc_id, tokens, grank, shard FROM assigned
+    """,
+)
+def q135_serpentine_shards(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
+    return curate.serpentine_shards(weighted, 8)
+
+
+@query(
+    "q136_shard_balance",
+    oracle=f"""
+    {_SQL_SERPENTINE},
+    per_shard AS (
+        SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS w_total
+        FROM assigned GROUP BY shard
+    )
+    SELECT shard, n_docs, w_total,
+           (w_total * 10000) // (SELECT SUM(w_total) FROM per_shard)
+               AS share_bp
+    FROM per_shard
+    """,
+)
+def q136_shard_balance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
+    return curate.shard_balance_report(weighted, 8)
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking — sliding-window training examples
+# (llm/curate.py chunk_documents): zero shuffles, output-proportional
+# posexplode on the scan's own partitioning (plan-gated: no Exchange).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q137_chunk_documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    per AS (
+        SELECT doc_id, toks, CAST(i AS INT) AS chunk_id,
+               CAST(i * 32 AS INT) AS start
+        FROM t, UNNEST(range(0, (len(toks) - 1) // 32 + 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
+           md5(array_to_string(toks[start + 1 : start + 64], ' '))
+               AS chunk_fp
+    FROM per
+    """,
+)
+def q137_chunk_documents(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return curate.chunk_documents(docs, size=64, stride=32)

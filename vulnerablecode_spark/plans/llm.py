@@ -160,6 +160,7 @@ def _embedding_artifacts(spark, sf_dir: str, bucketed: bool = False):
                 "vec_id",
                 F.transform("embedding", lambda x: x.cast("double"))
                  .alias("embedding"),
+                "label",
             )).localCheckpoint(eager=True)}
         _ARTIFACTS[key] = art
     if bucketed and "bucketed" not in art:
@@ -2112,10 +2113,11 @@ def q106_ann_recall_eval(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "q107_bm25_topk",
-    oracle="""
-    WITH lengths AS (
+# shared BM25 oracle CTE block (q107 one-shot ranking, q133 fusion
+# input) — one definition so the fusion oracle can never drift from the
+# graded BM25 arithmetic
+_SQL_BM25_CTES = """
+    lengths AS (
         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
     ),
     corpus AS (
@@ -2139,7 +2141,7 @@ def q106_ann_recall_eval(spark, sf_dir):
                c.avgdl AS avgdl
         FROM tf, corpus c GROUP BY tok, c.n_docs, c.avgdl
     ),
-    scored AS (
+    bm25_scored AS (
         SELECT t.doc_id,
                ROUND(SUM(s.idf * (t.tf * 2.2)
                          / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
@@ -2149,10 +2151,17 @@ def q106_ann_recall_eval(spark, sf_dir):
         JOIN lengths l ON t.doc_id = l.doc_id
         GROUP BY t.doc_id
     )
+"""
+
+
+@query(
+    "q107_bm25_topk",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES}
     SELECT doc_id, score, CAST(rk AS INT) AS rk FROM (
         SELECT doc_id, score,
                ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
-        FROM scored
+        FROM bm25_scored
     ) WHERE rk <= 10
     """,
 )
@@ -3052,3 +3061,202 @@ def q132_stitch_candidates(spark, sf_dir):
                              n), " ").alias("text"))
     frags = first.unionByName(second)
     return dedup.stitch_candidates(frags, w=5)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of the BM25 lexical top-20
+# (q107's term bag) and the dense cosine top-20 around anchor vector 0
+# (llm/text.py rrf_fuse). Both inputs are k-bounded by contract, so the
+# fusion itself costs Σk rows at any corpus size; rank-space fusion
+# needs no score calibration between the two retrievers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q133_hybrid_rrf",
+    oracle=f"""
+    WITH {_SQL_BM25_CTES},
+    bm AS (
+        SELECT doc_id, rk FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM bm25_scored
+        ) WHERE rk <= 20
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+    cand AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+             FROM embeddings),
+    dsc AS (
+        SELECT neighbor_id, {_SQL_COSINE} AS cosine_sim
+        FROM qv CROSS JOIN cand WHERE neighbor_id <> 0
+    ),
+    dn AS (
+        SELECT neighbor_id AS doc_id, rk FROM (
+            SELECT neighbor_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine_sim DESC,
+                                      neighbor_id) AS rk
+            FROM dsc WHERE cosine_sim IS NOT NULL
+        ) WHERE rk <= 20
+    ),
+    unioned AS (
+        SELECT doc_id, rk FROM bm
+        UNION ALL
+        SELECT doc_id, rk FROM dn
+    ),
+    fused AS (
+        SELECT doc_id,
+               ROUND(SUM(1.0 / (60.0 + rk)), 6) AS rrf_score,
+               CAST(COUNT(*) AS BIGINT) AS n_lists,
+               CAST(MIN(rk) AS INT) AS best_rk
+        FROM unioned GROUP BY doc_id
+    )
+    SELECT doc_id, rrf_score, n_lists, best_rk, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rk
+        FROM fused
+    ) WHERE rk <= 10
+    """,
+)
+def q133_hybrid_rrf(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    emb = _embedding_artifacts(spark, sf_dir)["cast"]
+    lexical = (text.bm25_topk(docs, ["spark", "join", "window"], k=20)
+               .select("doc_id", "rk"))
+    dense = (similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20, impl="arrow")
+        .select(F.col("neighbor_id").alias("doc_id"), "rk"))
+    return text.rrf_fuse([lexical, dense], k_const=60, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training — per anchor, the
+# top-k highest-cosine DIFFERENT-label candidates under the near-dup
+# cap (llm/similarity.py hard_negatives): the panel broadcasts, the
+# corpus is scanned once with label and vector on the same scan, and
+# only filtered pairs reach the per-anchor top-k window.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               label AS q_label
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+        SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+               label AS c_label
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {_SQL_COSINE} AS cosine_sim
+        FROM q CROSS JOIN c
+        WHERE q_label <> c_label
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC,
+                                              neighbor_id) AS rk
+        FROM scored
+        WHERE cosine_sim IS NOT NULL AND cosine_sim < 0.95
+    ) WHERE rk <= 5
+    """,
+)
+def q134_hard_negatives(spark, sf_dir):
+    emb = _embedding_artifacts(spark, sf_dir)["cast"]
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return similarity.hard_negatives(emb, anchors, k=5, sim_cap=0.95,
+                                     impl="arrow")
+
+
+# ---------------------------------------------------------------------------
+# Embedding standardization — per-dim (μ, σ) fit + whitening transform,
+# graded via order-free integer summaries of the whitened values
+# (llm/similarity.py embedding_dim_stats / whitening_summary): both
+# moments go through the micro-unit quantization, so the transform's
+# arithmetic is graded bit-for-bit, not just its shape. The O(dim)
+# stats frame broadcasts; the transform is a Catalyst HOF on the scan.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q138_whitening_summary",
+    oracle="""
+    WITH x AS (
+        SELECT vec_id, CAST(i AS INT) AS dim,
+               embedding[i + 1]::DOUBLE AS xd
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    st AS (
+        SELECT dim,
+               FLOOR((2.0 * SUM(CAST(FLOOR(xd * 1000000.0 + 0.5) AS BIGINT))
+                      + COUNT(*)) / (2.0 * COUNT(*))) / 1000000.0 AS mu,
+               FLOOR((2.0 * SUM(CAST(FLOOR(xd * xd * 1000000.0 + 0.5)
+                                     AS BIGINT))
+                      + COUNT(*)) / (2.0 * COUNT(*))) / 1000000.0 AS m2
+        FROM x GROUP BY dim
+    ),
+    sg AS (
+        SELECT dim, mu,
+               CASE WHEN sqrt(greatest(m2 - mu * mu, 0.0)) = 0 THEN 1.0
+                    ELSE sqrt(greatest(m2 - mu * mu, 0.0)) END AS sigma
+        FROM st
+    ),
+    w AS (
+        SELECT x.vec_id, (x.xd - s.mu) / s.sigma AS wv
+        FROM x JOIN sg s USING (dim)
+    )
+    SELECT vec_id,
+           CAST(SUM(CAST(FLOOR(wv * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS wsum_q,
+           CAST(SUM(CAST(FLOOR(wv * wv * 10000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS wss_q
+    FROM w GROUP BY vec_id
+    """,
+)
+def q138_whitening_summary(spark, sf_dir):
+    emb = _embedding_artifacts(spark, sf_dir)["cast"]
+    return similarity.whitening_summary(emb)
+
+
+# ---------------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction (llm/text.py tfidf_keywords):
+# token-proportional tf build, vocabulary-keyed df join (hash join by
+# contract — NOT broadcast: web-scale vocabularies shuffle), 1-row
+# corpus count broadcast, per-doc top-k window. The unsupervised
+# tagging complement of q69's per-source vocabulary lift.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_tfidf_keywords",
+    oracle="""
+    WITH tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+            FROM documents
+        ) GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.tok,
+               ROUND(t.tf * ln(n.n_docs / d.df), 4) AS score
+        FROM tf t JOIN dfreq d USING (tok), nd n
+    )
+    SELECT doc_id, tok, score, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, tok) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q140_tfidf_keywords(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.tfidf_keywords(docs, k=3)

@@ -918,3 +918,101 @@ def q113_range_count_window(spark, sf_dir):
     )
     return counted.filter(F.col("event_type") == "signup").select(
         "event_id", "user_id", "click_count")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 event-time windowed rollup — the batch twin of the Structured
+# Streaming tumbling-window aggregation (streaming/windows.py): one
+# (window, key) hash shuffle with map-side combine; the value sum is
+# quantized to integer micro-units so the double column aggregates
+# order-free and bit-stable. The streaming form (withWatermark + append
+# mode, late-data semantics) runs the SAME rollup and is exercised in
+# tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q139_windowed_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_sum_q
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q139_windowed_counts(spark, sf_dir):
+    from vulnerablecode_spark.streaming.windows import windowed_event_counts
+
+    events = _load(spark, sf_dir, "events")
+    return windowed_event_counts(events, window="1 hour")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 event-sequence analytics (operators/events.py): ordered funnel
+# and day-grain cohort retention. Funnel stage frames are user-
+# cardinality and every join is co-keyed on user_id; retention is two
+# user-keyed aggregates meeting on the user key. Strictly-after stage
+# semantics compare full-microsecond timestamps.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_event_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT 1 AS stage, 'view' AS stage_name,
+               CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM s3
+    )
+    SELECT CAST(stage AS INT) AS stage, stage_name, n_users,
+           (n_users * 10000) // (SELECT COUNT(*) FROM s1) AS conv_bp
+    FROM c
+    """,
+)
+def q141_event_funnel(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import funnel_report
+
+    events = _load(spark, sf_dir, "events")
+    return funnel_report(events, ["view", "click", "purchase"])
+
+
+@query(
+    "q142_retention_cohorts",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    a AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.d) AS INT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q142_retention_cohorts(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import retention_cohorts
+
+    events = _load(spark, sf_dir, "events")
+    return retention_cohorts(events)
