@@ -59,7 +59,8 @@ EXTRAS = [
     "q123_ccnet_buckets", "q125_ccnet_assign_incremental",
     "q133_hybrid_rrf", "q135_serpentine_shards",
     "q137_chunk_documents", "q138_whitening_summary",
-    "q139_windowed_counts",
+    "q139_windowed_counts", "q143_conversion_attribution",
+    "q144_chunk_dedup",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

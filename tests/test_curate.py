@@ -902,3 +902,54 @@ class TestEventAnalytics:
         got = {(r.cohort_day.day, r.day_offset): r.n_users
                for r in retention_cohorts(events).collect()}
         assert got == {(1, 0): 1, (1, 2): 1, (2, 0): 1}
+
+
+class TestAttribution:
+    def test_horizon_order_and_tie_semantics(self, spark):
+        from vulnerablecode_spark.operators.events import (
+            attribute_conversions)
+
+        rows = [
+            # user 1: click 1h before purchase → attributed
+            (1, "2024-01-01T00:00:00", "click", 10),
+            (1, "2024-01-01T01:00:00", "purchase", 11),
+            # user 2: click 25h before purchase → beyond horizon
+            (2, "2024-01-01T00:00:00", "click", 20),
+            (2, "2024-01-02T01:00:00", "purchase", 21),
+            # user 3: click only AFTER the purchase → unattributed
+            (3, "2024-01-01T05:00:00", "purchase", 30),
+            (3, "2024-01-01T06:00:00", "click", 31),
+            # user 4: click at the SAME microsecond → inclusive match;
+            # two same-instant clicks resolve to max event_id
+            (4, "2024-01-01T02:00:00", "click", 40),
+            (4, "2024-01-01T02:00:00", "click", 41),
+            (4, "2024-01-01T02:00:00", "purchase", 42),
+        ]
+        events = spark.createDataFrame(
+            [(u, t, e, i) for u, t, e, i in rows],
+            "user_id long, ts string, event_type string, event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r.conv_id: r for r in
+               attribute_conversions(events).collect()}
+        assert got[11].touch_id == 10
+        assert got[11].gap_us == 3_600_000_000
+        assert got[21].touch_id is None and got[21].gap_us is None
+        assert got[30].touch_id is None
+        assert got[42].touch_id == 41 and got[42].gap_us == 0
+
+
+class TestChunkDedup:
+    def test_planted_duplicate_loses_all_chunks(self, spark):
+        long_text = " ".join(f"w{i}" for i in range(130))
+        docs = spark.createDataFrame(
+            [(1, long_text), (2, long_text),
+             (3, " ".join(f"u{i}" for i in range(70)))],
+            "doc_id long, text string")
+        rep = {r.doc_id: r for r in
+               curate.chunk_dedup_report(docs, size=64).collect()}
+        # doc 1 first by id: keeps all 3 chunks (130 tokens → 3)
+        assert rep[1].n_chunks == 3 and rep[1].kept_bp == 10000
+        # doc 2 is an exact replica: loses every chunk
+        assert rep[2].kept_chunks == 0 and rep[2].kept_bp == 0
+        # doc 3 unique: keeps both chunks
+        assert rep[3].n_chunks == 2 and rep[3].kept_bp == 10000

@@ -713,3 +713,19 @@ class TestRound10NewOps:
         plan = plan_of(spark, "q142_retention_cohorts")
         assert plan.count("SinglePartition") == 0
         assert "CartesianProduct" not in plan
+
+    def test_q143_attribution_no_pair_explosion(self, spark):
+        # time matching is a running-max window over ONE user-keyed
+        # shuffle — never a touch×conversion pair join; the id
+        # resolution is a co-keyed equi join
+        plan = plan_of(spark, "q143_conversion_attribution")
+        assert plan.count("SinglePartition") == 0
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_q144_chunk_dedup_fingerprint_keyed(self, spark):
+        # dedup window partitions by the 32-byte fingerprint; text
+        # never shuffles and nothing funnels through one task
+        plan = plan_of(spark, "q144_chunk_dedup")
+        assert plan.count("SinglePartition") == 0
+        assert "CartesianProduct" not in plan

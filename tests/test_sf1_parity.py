@@ -71,6 +71,10 @@ SF1_QUERIES = [
     "q135_serpentine_shards",
     "q138_whitening_summary",
     "q139_windowed_counts",
+    # the as-of attribution window over 10x events (100k touches /
+    # conversions per user stream) is the union-window shape whose
+    # payoff is exactly the dense-touch regime
+    "q143_conversion_attribution",
 ]
 
 

@@ -1186,3 +1186,35 @@ def chunk_documents(df: DataFrame, *, size: int = 64, stride: int = 32,
         F.size(chunk).cast("int").alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )
+
+
+def chunk_dedup_report(df: DataFrame, *, size: int = 64,
+                       text_col: str = "text", id_col: str = "doc_id"
+                       ) -> DataFrame:
+    """Chunk-grain exact dedup across the corpus — the composition of
+    :func:`chunk_documents` (non-overlapping windows, stride = size)
+    with keep-first fingerprint dedup: a chunk survives only on its
+    first occurrence by (doc, position), so documents assembled from
+    already-seen spans (mirrors, quote-heavy pages, template bodies)
+    shrink to their novel remainder. The chunk-level middle ground
+    between document-level exact dedup (whole doc must match) and
+    line-level dedup (boilerplate segments must be COMMON); chunk dedup
+    removes long verbatim reuse even when it appears exactly twice.
+
+    Output per document: (doc_id, n_chunks, kept_chunks, kept_bp).
+    Scale: the chunking is exchange-free; dedup is ONE window over the
+    32-byte fingerprint key (never the text), and the rollup re-keys by
+    document — the q101 shape with fingerprints standing in for
+    segments.
+    """
+    chunks = chunk_documents(df, size=size, stride=size,
+                             text_col=text_col, id_col=id_col)
+    w = Window.partitionBy("chunk_fp").orderBy(
+        F.col(id_col).asc(), F.col("chunk_id").asc())
+    marked = chunks.withColumn(
+        "_keep", (F.row_number().over(w) == 1).cast("int"))
+    return (marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("_keep").cast("bigint").alias("kept_chunks"))
+        .selectExpr(id_col, "n_chunks", "kept_chunks",
+                    "(kept_chunks * 10000) DIV n_chunks AS kept_bp"))

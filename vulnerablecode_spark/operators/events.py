@@ -98,3 +98,72 @@ def retention_cohorts(events: DataFrame, *, ts_col: str = "ts",
                      F.datediff(F.to_date("d"), F.to_date("cohort_day"))
                      .cast("int").alias("day_offset"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_users")))
+
+
+def attribute_conversions(events: DataFrame, *, touch_type: str = "click",
+                          conv_type: str = "purchase",
+                          horizon_us: int = 86_400_000_000,
+                          ts_col: str = "ts", user_col: str = "user_id",
+                          id_col: str = "event_id") -> DataFrame:
+    """Last-touch attribution: each conversion event is attributed to
+    the user's LATEST touch event at-or-before it, provided the gap is
+    within the horizon; otherwise it reports unattributed (NULL touch).
+    This is the event-stream as-of join — the user-journey counterpart
+    of the version as-of join (operators/versions.py
+    nearest_patched_package) — realized WITHOUT a join for the
+    time-matching step: touches and conversions union into one frame,
+    ONE user-keyed shuffle orders it, and a running MAX of touch
+    timestamps over (ts, touch-first, id) gives every conversion its
+    as-of touch time. Only the id-resolution step joins — co-keyed on
+    (user, touch_ts) against the touch-cardinality frame, with
+    max(event_id) resolving the (physically improbable) same-microsecond
+    duplicate touch deterministically.
+
+    Scale: the union-window form beats the join-then-filter form
+    wherever touches are dense — no touch×conversion pair row ever
+    materializes; state per task is one running max. Gaps compare in
+    INTEGER microseconds (the q108 discipline — second-truncated casts
+    disagree across engines at boundaries).
+    """
+    base = events.select(F.col(user_col).alias("user_id"),
+                         F.col(ts_col).alias("ts"),
+                         F.col(id_col).alias("event_id"),
+                         F.col("event_type"))
+    touches = base.filter(F.col("event_type") == touch_type)
+    convs = base.filter(F.col("event_type") == conv_type)
+    tagged = (touches.select("user_id", "ts", "event_id",
+                             F.lit(1).alias("is_touch"))
+              .unionByName(convs.select("user_id", "ts", "event_id",
+                                        F.lit(0).alias("is_touch"))))
+    from pyspark.sql import Window
+
+    # touch-at-equal-ts sorts BEFORE the conversion (is_touch desc) so
+    # ts <= conv_ts is inclusive
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("is_touch").desc(),
+                  F.col("event_id").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_touch = F.max(
+        F.when(F.col("is_touch") == 1, F.col("ts"))).over(w)
+    attributed = (
+        tagged.withColumn("_lt", last_touch)
+        .filter(F.col("is_touch") == 0)
+        .withColumn(
+            "_gap",
+            F.expr("timestampdiff(MICROSECOND, _lt, ts)"))
+        .withColumn(
+            "touch_ts",
+            F.when(F.col("_gap") <= F.lit(horizon_us), F.col("_lt")))
+    )
+    touch_ids = touches.groupBy(
+        F.col("user_id"), F.col("ts").alias("touch_ts")).agg(
+        F.max("event_id").alias("touch_id"))
+    return (
+        attributed.join(touch_ids, ["user_id", "touch_ts"], "left")
+        .select(
+            F.col("event_id").alias("conv_id"),
+            "user_id",
+            "touch_id",
+            F.when(F.col("touch_ts").isNotNull(), F.col("_gap"))
+            .cast("bigint").alias("gap_us"))
+    )

@@ -679,3 +679,48 @@ def q136_shard_balance(spark, sf_dir):
 def q137_chunk_documents(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return curate.chunk_documents(docs, size=64, stride=32)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-grain exact dedup (llm/curate.py chunk_dedup_report): the
+# chunking composition with keep-first fingerprint dedup — one window
+# over the 32-byte fingerprint key, rollup back to document grain. The
+# query plants true duplicates (every 10th doc re-appears under a
+# shifted id) so the dedup path is exercised at every SF.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q144_chunk_dedup",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src),
+    per AS (
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               md5(array_to_string(toks[i*64 + 1 : i*64 + 64], ' ')) AS fp
+        FROM t, UNNEST(range(0, (len(toks) - 1) // 64 + 1)) AS u(i)
+    ),
+    marked AS (
+        SELECT doc_id,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp
+                        ORDER BY doc_id, chunk_id) = 1
+                    THEN 1 ELSE 0 END AS keep
+        FROM per
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(keep) AS BIGINT) AS kept_chunks,
+           (SUM(keep) * 10000) // COUNT(*) AS kept_bp
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q144_chunk_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return curate.chunk_dedup_report(docs.unionByName(planted), size=64)

@@ -1016,3 +1016,55 @@ def q142_retention_cohorts(spark, sf_dir):
 
     events = _load(spark, sf_dir, "events")
     return retention_cohorts(events)
+
+
+# ---------------------------------------------------------------------------
+# §2.3/§2.9 last-touch conversion attribution — the event-stream as-of
+# join realized as union + running-max window (operators/events.py
+# attribute_conversions): ONE user-keyed shuffle does the time matching
+# (no touch×conversion pair rows), the id-resolution join is co-keyed
+# against the touch-cardinality frame, and gaps compare in integer
+# microseconds with an inclusive at-the-same-instant touch.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_conversion_attribution",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_touch
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+        SELECT *,
+               MAX(CASE WHEN is_touch = 1 THEN ts END) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts ASC, is_touch DESC, event_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS lt
+        FROM t
+    ),
+    conv AS (
+        SELECT user_id, ts, event_id, lt,
+               date_diff('microsecond', lt, ts) AS gap
+        FROM m WHERE is_touch = 0
+    ),
+    tid AS (
+        SELECT user_id, ts AS touch_ts, MAX(event_id) AS touch_id
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    )
+    SELECT c.event_id AS conv_id, c.user_id, t2.touch_id,
+           CASE WHEN t2.touch_id IS NOT NULL
+                THEN CAST(c.gap AS BIGINT) END AS gap_us
+    FROM conv c
+    LEFT JOIN tid t2 ON c.user_id = t2.user_id AND c.lt = t2.touch_ts
+                     AND c.gap <= 86400000000
+    """,
+)
+def q143_conversion_attribution(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import attribute_conversions
+
+    events = _load(spark, sf_dir, "events")
+    return attribute_conversions(events, touch_type="click",
+                                 conv_type="purchase",
+                                 horizon_us=86_400_000_000)
