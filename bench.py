@@ -60,7 +60,8 @@ EXTRAS = [
     "q133_hybrid_rrf", "q135_serpentine_shards",
     "q137_chunk_documents", "q138_whitening_summary",
     "q139_windowed_counts", "q143_conversion_attribution",
-    "q144_chunk_dedup",
+    "q144_chunk_dedup", "q145_vocabulary_growth",
+    "q146_active_users",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

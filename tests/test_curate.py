@@ -953,3 +953,27 @@ class TestChunkDedup:
         assert rep[2].kept_chunks == 0 and rep[2].kept_bp == 0
         # doc 3 unique: keeps both chunks
         assert rep[3].n_chunks == 2 and rep[3].kept_bp == 10000
+
+
+class TestActiveUsers:
+    def test_dau_and_trailing_window(self, spark):
+        from vulnerablecode_spark.operators.events import active_users
+
+        rows = [
+            (1, "2024-01-01T10:00:00"), (2, "2024-01-01T11:00:00"),
+            (1, "2024-01-03T09:00:00"),
+            (3, "2024-01-09T09:00:00"),  # window Jan 3-9 keeps user 1
+            (3, "2024-01-10T09:00:00"),  # window Jan 4-10: only user 3
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {str(r.day): (r.dau, r.wau)
+               for r in active_users(events, window_days=7).collect()}
+        # day 1: users {1,2}; day 3: dau {1}, wau still {1,2};
+        # day 9's trailing window [Jan 3, Jan 9] still holds user 1;
+        # day 10's [Jan 4, Jan 10] holds only user 3
+        assert got["2024-01-01"] == (2, 2)
+        assert got["2024-01-03"] == (1, 2)
+        assert got["2024-01-09"] == (1, 2)
+        assert got["2024-01-10"] == (1, 1)

@@ -1913,3 +1913,19 @@ class TestTfidfKeywords:
         # doesn't (0.81 < 1.10): dog wins rank 1
         assert rows[(3, 1)].tok == "dog"
         assert rows[(3, 2)].tok == "cherry"
+
+
+class TestVocabularyGrowth:
+    def test_new_types_and_cumulative(self, spark):
+        from vulnerablecode_spark.llm.text import vocabulary_growth
+
+        df = spark.createDataFrame(
+            [(0, "a b a"), (1, "b c"), (2, "a")],
+            "batch long, text string")
+        rows = {r.batch: r for r in vocabulary_growth(df).collect()}
+        assert (rows[0].n_tokens, rows[0].new_types,
+                rows[0].cum_types) == (3, 2, 2)
+        assert (rows[1].n_tokens, rows[1].new_types,
+                rows[1].cum_types) == (2, 1, 3)
+        assert (rows[2].n_tokens, rows[2].new_types,
+                rows[2].cum_types) == (1, 0, 3)

@@ -729,3 +729,19 @@ class TestRound10NewOps:
         plan = plan_of(spark, "q144_chunk_dedup")
         assert plan.count("SinglePartition") == 0
         assert "CartesianProduct" not in plan
+
+    def test_q145_vocab_growth_cumulative_over_batches_only(self, spark):
+        # the single-partition window runs over the O(batches) rollup;
+        # the corpus-scale work is the two keyed aggregates
+        plan = plan_of(spark, "q145_vocabulary_growth")
+        assert plan.count("SinglePartition") <= 1
+        assert "CartesianProduct" not in plan
+
+    def test_q146_active_users_day_dim_broadcasts(self, spark):
+        # the day-range theta join is a broadcast nested loop over the
+        # O(days) dimension — bounded <=7-day fan-out per user-day, and
+        # the events table collapsed to DISTINCT (user, day) first
+        plan = plan_of(spark, "q146_active_users")
+        assert plan.count("SinglePartition") == 0
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "CartesianProduct" not in plan

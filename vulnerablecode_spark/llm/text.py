@@ -639,3 +639,41 @@ def tfidf_keywords(df: DataFrame, *, k: int = 3, text_col: str = "text",
         F.col("score").desc(), F.col("tok").asc())
     return (scored.withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= k))
+
+
+def vocabulary_growth(df: DataFrame, *, batch_col: str = "batch",
+                      text_col: str = "text") -> DataFrame:
+    """Vocabulary growth curve across ingest batches (the Heaps'-law
+    monitor): per batch, total token occurrences, the number of token
+    TYPES first seen in that batch, and the cumulative vocabulary size.
+    The corpus-health signal a continuously-ingesting pipeline watches —
+    a crawl whose new-type curve flattens is re-crawling itself (the
+    monitoring complement of the q128 snapshot diff and the q131
+    novelty score).
+
+    Scale: one token explode feeds two aggregates — occurrences keyed
+    by batch (O(batches) rows) and first-batch keyed by token type
+    (vocabulary-sized, the same key the BM25 postings store shuffles
+    on). ``min(batch)`` is additive under new batches, so a stored
+    (token, first_batch) index maintains this incrementally: a new
+    batch's types anti-join the index, exactly the line-dedup
+    segment-count discipline. The cumulative window runs over the
+    O(batches) rollup only.
+    """
+    toks = (df.select(F.col(batch_col).alias("batch"),
+                      F.explode(F.split(F.col(text_col), " "))
+                      .alias("tok")))
+    occ = toks.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    first = toks.groupBy("tok").agg(F.min("batch").alias("batch"))
+    new_types = first.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_types"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (occ.join(new_types, "batch", "left")
+            .withColumn("new_types",
+                        F.coalesce("new_types", F.lit(0)).cast("bigint"))
+            .withColumn("cum_types",
+                        F.sum("new_types").over(w).cast("bigint")))

@@ -167,3 +167,34 @@ def attribute_conversions(events: DataFrame, *, touch_type: str = "click",
             F.when(F.col("touch_ts").isNotNull(), F.col("_gap"))
             .cast("bigint").alias("gap_us"))
     )
+
+
+def active_users(events: DataFrame, *, window_days: int = 7,
+                 ts_col: str = "ts", user_col: str = "user_id"
+                 ) -> DataFrame:
+    """Daily + rolling-window distinct active users (DAU/WAU): per
+    calendar day, the distinct users active that day and the distinct
+    users active in the trailing ``window_days`` window. Distinct-over-
+    a-sliding-window has no window-function form in any SQL engine
+    (COUNT(DISTINCT) OVER RANGE is unsupported everywhere), so the
+    canonical shape is the one here: events collapse to DISTINCT
+    (user, day) FIRST — the only event-scale work — then the O(days)
+    day dimension broadcast-joins the user-day frame on the day-range
+    predicate and re-counts distinct users per anchor day. The
+    intermediate is O(days × users-per-window), i.e. each user-day
+    lands in ≤ ``window_days`` anchor rows — bounded fan-out, never
+    events × days.
+    """
+    ud = (events.select(F.col(user_col).alias("user_id"),
+                        F.to_date(F.col(ts_col)).alias("d"))
+          .distinct())
+    days = ud.select("d").distinct().select(F.col("d").alias("day"))
+    dau = ud.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau"))
+    wau = (ud.join(
+        F.broadcast(days),
+        (F.col("d") <= F.col("day"))
+        & (F.col("d") >= F.date_sub(F.col("day"), window_days - 1)))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("wau")))
+    return dau.join(wau, "day")

@@ -3260,3 +3260,43 @@ def q138_whitening_summary(spark, sf_dir):
 def q140_tfidf_keywords(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return text.tfidf_keywords(docs, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth across ingest batches (llm/text.py
+# vocabulary_growth): Heaps'-law monitoring — one token explode into a
+# batch-keyed occurrence count and a type-keyed first-batch aggregate
+# (min(batch) is additive, so the stored-index incremental form is the
+# segment-count discipline); the cumulative window runs over the
+# O(batches) rollup only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q145_vocabulary_growth",
+    oracle="""
+    WITH d AS (SELECT doc_id % 5 AS batch, text FROM documents),
+    tok AS (
+        SELECT batch, UNNEST(string_split(text, ' ')) AS tok FROM d
+    ),
+    occ AS (
+        SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY batch
+    ),
+    first AS (SELECT tok, MIN(batch) AS batch FROM tok GROUP BY tok),
+    nt AS (
+        SELECT batch, CAST(COUNT(*) AS BIGINT) AS new_types
+        FROM first GROUP BY batch
+    )
+    SELECT o.batch, o.n_tokens,
+           CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+           CAST(SUM(COALESCE(nt.new_types, 0)) OVER (
+                ORDER BY o.batch ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_types
+    FROM occ o LEFT JOIN nt USING (batch)
+    """,
+)
+def q145_vocabulary_growth(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    batched = docs.select((F.col("doc_id") % 5).alias("batch"), "text")
+    return text.vocabulary_growth(batched)

@@ -1068,3 +1068,44 @@ def q143_conversion_attribution(spark, sf_dir):
     return attribute_conversions(events, touch_type="click",
                                  conv_type="purchase",
                                  horizon_us=86_400_000_000)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 daily + rolling distinct actives (operators/events.py
+# active_users): events collapse to DISTINCT (user, day) first, then
+# the O(days) day dimension broadcasts onto the user-day frame with a
+# bounded ≤window_days fan-out — the canonical shape for
+# distinct-over-sliding-window, which no engine's window functions
+# express directly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q146_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    days AS (SELECT DISTINCT d AS day FROM ud),
+    dau AS (
+        SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau
+        FROM ud GROUP BY d
+    ),
+    wau AS (
+        SELECT days.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS wau
+        FROM days JOIN ud
+          ON ud.d <= days.day AND ud.d >= days.day - 6
+        GROUP BY days.day
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def q146_active_users(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import active_users
+
+    events = _load(spark, sf_dir, "events")
+    # DATE stringifies differently between the engines' client layers
+    # (date vs midnight-timestamp repr) — emit ISO strings
+    return active_users(events, window_days=7).withColumn(
+        "day", F.col("day").cast("string"))
