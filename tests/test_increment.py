@@ -329,3 +329,45 @@ class TestLangTokensArtifact:
                for r in inc.read_lang_tokens(spark, root).collect()}
         assert set(got) == {"__null__"}
         assert got["__null__"] == sum(len(t.split()) for _, t in BATCH1)
+
+
+class TestVocabIndex:
+    def test_index_equals_batch_first_seen_and_survives_compact(
+            self, spark, tmp_path):
+        from vulnerablecode_spark.llm.text import (
+            vocabulary_growth, vocabulary_growth_incremental)
+
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2)
+        got = {r.tok: r.first_batch
+               for r in inc.read_vocab(spark, root).collect()}
+        full = _docs(spark, BATCH1 + BATCH2).select(
+            F.when(F.col("doc_id") < 10, 1).otherwise(2).alias("batch"),
+            "text")
+        want = {r.tok: r.batch for r in
+                full.select(
+                    "batch",
+                    F.explode(F.split("text", " ")).alias("tok"))
+                .groupBy("tok").agg(F.min("batch").alias("batch"))
+                .collect()}
+        assert got == want
+        # deltas hold NEW types only: batch-2 delta excludes batch-1 toks
+        d2 = spark.read.parquet(f"{root}/vocab/firstbatch/delta-2")
+        assert d2.filter(F.col("tok") == "common").count() == 0
+        assert d2.filter(F.col("tok") == "batch").count() == 1
+        # the q147 serving row equals the from-scratch growth curve row
+        stored_b1 = inc.read_vocab(spark, root).filter(
+            F.col("first_batch") == 1)
+        inc_row = vocabulary_growth_incremental(
+            stored_b1, _docs(spark, BATCH2), batch_id=2).head()
+        batch_row = {r.batch: r for r in
+                     vocabulary_growth(full).collect()}[2]
+        assert (inc_row.n_tokens, inc_row.new_types, inc_row.cum_types) \
+            == (batch_row.n_tokens, batch_row.new_types,
+                batch_row.cum_types)
+        # compaction preserves the resolved index
+        inc.compact(spark, root)
+        after = {r.tok: r.first_batch
+                 for r in inc.read_vocab(spark, root).collect()}
+        assert after == want

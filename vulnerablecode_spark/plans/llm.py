@@ -3300,3 +3300,48 @@ def q145_vocabulary_growth(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     batched = docs.select((F.col("doc_id") % 5).alias("batch"), "text")
     return text.vocabulary_growth(batched)
+
+
+# ---------------------------------------------------------------------------
+# q145's serving half (llm/text.py vocabulary_growth_incremental): the
+# growth-curve row for ONE arriving batch against the stored
+# (tok, first_batch) index — new types anti-join the index, cum_types
+# adds the stored type count, the corpus never rescans. The oracle
+# re-derives both sides from scratch, grading the incremental
+# semantics (increment ≡ rebuild), the q105/q116 discipline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_vocab_incremental",
+    oracle="""
+    WITH d AS (SELECT doc_id % 5 AS batch, text FROM documents),
+    tok AS (
+        SELECT batch, UNNEST(string_split(text, ' ')) AS tok FROM d
+    ),
+    stored AS (
+        SELECT tok, MIN(batch) AS first_batch FROM tok
+        WHERE batch < 4 GROUP BY tok
+    ),
+    bt AS (SELECT tok FROM tok WHERE batch = 4),
+    occ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM bt),
+    newt AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+            SELECT DISTINCT tok FROM bt
+        ) b WHERE NOT EXISTS (SELECT 1 FROM stored s WHERE s.tok = b.tok)
+    ),
+    oldt AS (SELECT CAST(COUNT(*) AS BIGINT) AS st FROM stored)
+    SELECT CAST(4 AS BIGINT) AS batch, occ.n_tokens, newt.new_types,
+           CAST(oldt.st + newt.new_types AS BIGINT) AS cum_types
+    FROM occ, newt, oldt
+    """,
+)
+def q147_vocab_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    full = docs.select((F.col("doc_id") % 5).alias("batch"), "text")
+    stored = (full.filter(F.col("batch") < 4)
+              .select("batch",
+                      F.explode(F.split("text", " ")).alias("tok"))
+              .groupBy("tok").agg(F.min("batch").alias("first_batch")))
+    return text.vocabulary_growth_incremental(
+        stored, full.filter(F.col("batch") == 4), batch_id=4)

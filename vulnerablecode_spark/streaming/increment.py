@@ -89,6 +89,7 @@ BM25_POSTINGS = "bm25/postings"
 BM25_LENGTHS = "bm25/lengths"
 BLM_COUNTS = "bigramlm/counts"
 LANG_TOKENS = "unimax/langtokens"
+VOCAB = "vocab/firstbatch"
 
 _SCHEMAS = {
     DOCS: "doc_id long, text string",
@@ -108,6 +109,7 @@ _SCHEMAS = {
     BM25_LENGTHS: "doc_id long, dl long",
     BLM_COUNTS: "w1 string, w2 string, c_big long",
     LANG_TOKENS: "lang string, lang_tokens long",
+    VOCAB: "tok string, first_batch long",
 }
 
 
@@ -258,6 +260,16 @@ def read_lang_tokens(spark, root) -> DataFrame:
             .groupBy("lang").agg(F.sum("lang_tokens").alias("lang_tokens")))
 
 
+def read_vocab(spark, root) -> DataFrame:
+    """Vocabulary first-seen index (tok, first_batch) — deltas hold NEW
+    types only (anti-joined against the stored index at apply time, so
+    delta size follows the Heaps-sublinear new-type curve, q145), and
+    min() at read keeps the resolution idempotent under any replayed
+    delta (llm/text.py vocab_first_seen)."""
+    return (_read_artifact(spark, root, VOCAB)
+            .groupBy("tok").agg(F.min("first_batch").alias("first_batch")))
+
+
 def read_seg_counts(spark, root) -> DataFrame:
     """Summed per-batch count deltas — exact because distinct-doc counts
     over disjoint batches are additive (llm/dedup.py line_seg_counts)."""
@@ -399,6 +411,16 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
         .withColumn("_batch", F.lit(batch_id).cast("long"))
     )
 
+    # --- vocabulary first-seen index: the stored side MUST be read
+    # BEFORE staging begins — _read_artifact runs recover_increment,
+    # which rolls back marker-less staging (the compact() single-writer
+    # note); the delta holds NEW types only (anti-join probe, q145/q147)
+    from vulnerablecode_spark.llm.text import vocab_first_seen
+
+    vocab_delta = vocab_first_seen(
+        batch, batch_id=batch_id,
+        stored=read_vocab(spark, root)).localCheckpoint(eager=True)
+
     # --- line dedup: clean batch, emit + repair the retro work list ---
     index_counts = read_seg_counts(spark, root).localCheckpoint(eager=True)
     batch_counts = nd.line_seg_counts(batch, w=w).localCheckpoint(eager=True)
@@ -486,6 +508,7 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
                 else batch_full.withColumn(
                     "lang", F.lit(None).cast("string")))
     stage(lang_token_counts(lang_src), LANG_TOKENS)
+    stage(vocab_delta, VOCAB)
     if assigned_delta is not None:
         stage(assigned_delta.select("vec_id", "embedding", "cell"),
               IVF_ASSIGNED)
@@ -565,6 +588,8 @@ def compact(spark: SparkSession, root: str,
             return read_bigram_counts(spark, root)
         if rel == LANG_TOKENS:
             return read_lang_tokens(spark, root)
+        if rel == VOCAB:
+            return read_vocab(spark, root)
         if rel == LD_CLEANED:
             return _cleaned_current(
                 _read_artifact(spark, root, rel), keep_batch=True)
@@ -577,7 +602,7 @@ def compact(spark: SparkSession, root: str,
 
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
             LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS,
-            BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS, LANG_TOKENS)
+            BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS, LANG_TOKENS, VOCAB)
     frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
     for rel, df in frames.items():
         if df is None:
