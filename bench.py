@@ -61,7 +61,7 @@ EXTRAS = [
     "q137_chunk_documents", "q138_whitening_summary",
     "q139_windowed_counts", "q143_conversion_attribution",
     "q144_chunk_dedup", "q145_vocabulary_growth",
-    "q146_active_users",
+    "q146_active_users", "q148_weighted_sample", "q149_rate_anomalies",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

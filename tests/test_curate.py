@@ -977,3 +977,64 @@ class TestActiveUsers:
         assert got["2024-01-03"] == (1, 2)
         assert got["2024-01-09"] == (1, 2)
         assert got["2024-01-10"] == (1, 1)
+
+
+class TestWeightedSample:
+    def test_exact_es_ordering_and_contracts(self, spark):
+        import hashlib
+        import math
+
+        rows = [(i, "en" if i % 2 == 0 else "fr", (i % 7) + 1)
+                for i in range(1, 41)] + [(99, "en", 0), (100, "fr", -3)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, tokens long")
+        got = curate.weighted_sample(df, 3, group_col="lang").collect()
+
+        def lnkey(doc_id, w):
+            h = int(hashlib.md5(f"ws:{doc_id}".encode())
+                    .hexdigest()[:15], 16)
+            return math.log((h + 1) / float(1 << 60)) / w
+
+        for lang in ("en", "fr"):
+            want = sorted(
+                [(i, l, w) for i, l, w in rows if l == lang and w > 0],
+                key=lambda r: (-lnkey(r[0], r[2]), r[0]))[:3]
+            got_lang = sorted([r for r in got if r.lang == lang],
+                              key=lambda r: r.rk)
+            assert [r.doc_id for r in got_lang] == [w[0] for w in want]
+        # non-positive weights never sampled
+        assert all(r.doc_id not in (99, 100) for r in got)
+
+    def test_heavy_weight_dominates(self, spark):
+        rows = [(i, 1) for i in range(1, 50)] + [(1000, 10_000_000)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens long")
+        top = curate.weighted_sample(df, 1).head()
+        assert top.doc_id == 1000
+
+
+class TestRateAnomalies:
+    def test_spike_flagged_history_required(self, spark):
+        from vulnerablecode_spark.operators.events import rate_anomalies
+
+        rows = []
+        eid = 0
+        # 24 hours alternating 9/11 events (mean 10, var 1), then a
+        # 100-event spike in hour 24
+        for h in range(24):
+            for _ in range(9 if h % 2 == 0 else 11):
+                rows.append((eid, f"2024-01-01T{h:02d}:30:00", "click"))
+                eid += 1
+        for _ in range(100):
+            rows.append((eid, "2024-01-02T00:15:00", "click"))
+            eid += 1
+        events = spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r.hour.isoformat(): r
+               for r in rate_anomalies(events, trailing=24).collect()}
+        spike = got["2024-01-02T00:00:00"]
+        assert spike.is_anomaly is True
+        assert spike.z_bp == 900_000  # (100-10)/1 = 90 sigma
+        # first 24 hours lack a full window → NULL z, NULL flag
+        assert got["2024-01-01T05:00:00"].z_bp is None
+        assert got["2024-01-01T05:00:00"].is_anomaly is None

@@ -745,3 +745,19 @@ class TestRound10NewOps:
         assert plan.count("SinglePartition") == 0
         assert "BroadcastNestedLoopJoin" in plan
         assert "CartesianProduct" not in plan
+
+    def test_q148_weighted_sample_group_windowed(self, spark):
+        # the Efraimidis-Spirakis key is a per-row projection; the
+        # top-k runs per language group — nothing single-partitions
+        plan = plan_of(spark, "q148_weighted_sample")
+        assert plan.count("SinglePartition") == 0
+        assert "CartesianProduct" not in plan
+
+    def test_q149_anomalies_one_event_scale_rollup(self, spark):
+        # the event-scale work is the single (key, hour) aggregate with
+        # a map-side partial; the z windows run over the tiny hourly
+        # frame partitioned by key
+        plan = plan_of(spark, "q149_rate_anomalies")
+        assert plan.count("SinglePartition") == 0
+        assert "CartesianProduct" not in plan
+        assert "partial" in plan

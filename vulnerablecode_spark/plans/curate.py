@@ -724,3 +724,44 @@ def q144_chunk_dedup(spark, sf_dir):
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text")
     return curate.chunk_dedup_report(docs.unionByName(planted), size=64)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (llm/curate.py
+# weighted_sample): Efraimidis–Spirakis keys u^(1/w) with u drawn from
+# the seeded 60-bit hash — reproducible across runs and engines, which
+# is what makes the draw GRADEABLE (the q68/q117/q127 sampler
+# discipline). Per-language top-k window; no global sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, tokens,
+               ln(({_SQL_HASH64.format(
+                   s="'ws:' || CAST(doc_id AS VARCHAR)")} + 1)
+                  / 1152921504606846976.0) / tokens AS lnkey
+        FROM t WHERE tokens > 0
+    )
+    SELECT doc_id, lang, tokens, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY lnkey DESC, doc_id) AS rk
+        FROM keyed
+    ) WHERE rk <= 20
+    """,
+)
+def q148_weighted_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
+    return curate.weighted_sample(weighted, 20, group_col="lang")

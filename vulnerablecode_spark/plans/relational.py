@@ -1109,3 +1109,54 @@ def q146_active_users(spark, sf_dir):
     # (date vs midnight-timestamp repr) — emit ISO strings
     return active_users(events, window_days=7).withColumn(
         "day", F.col("day").cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# §2.5 event-rate anomaly detection (operators/events.py
+# rate_anomalies): hourly (key, hour) rollup with map-side combine,
+# then trailing-24h z-scores derived purely from integer window sums
+# (one sqrt + one division on exact operands, micro-quantized) over the
+# O(keys × hours) frame partitioned by key.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_rate_anomalies",
+    oracle="""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    st AS (
+        SELECT *,
+               COUNT(*) OVER w AS cnt,
+               SUM(n) OVER w AS sx,
+               SUM(n * n) OVER w AS sxx
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+        SELECT event_type, hour, n,
+               CASE WHEN cnt = 24 AND (cnt * sxx - sx * sx) > 0
+                    THEN CAST(FLOOR((n * cnt - sx)
+                              / sqrt(cnt * sxx - sx * sx)
+                              * 10000.0 + 0.5) AS BIGINT)
+               END AS z_bp
+        FROM st
+    )
+    SELECT event_type, hour, n, z_bp,
+           CASE WHEN z_bp IS NOT NULL
+                THEN CAST(ABS(z_bp) >= 30000 AS INT) END AS is_anomaly
+    FROM z
+    """,
+)
+def q149_rate_anomalies(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import rate_anomalies
+
+    events = _load(spark, sf_dir, "events")
+    # nullable BOOLEAN stringifies differently between the engines'
+    # client layers (NULL vs NaN) — grade the flag as nullable INT
+    return rate_anomalies(events, trailing=24, z_bp_threshold=30_000) \
+        .withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
