@@ -1929,3 +1929,22 @@ class TestVocabularyGrowth:
                 rows[1].cum_types) == (2, 1, 3)
         assert (rows[2].n_tokens, rows[2].new_types,
                 rows[2].cum_types) == (1, 0, 3)
+
+
+class TestCentroidSimilarity:
+    def test_identical_and_orthogonal_labels(self, spark):
+        from vulnerablecode_spark.llm.similarity import (
+            label_centroid_similarity)
+
+        rows = (
+            [(i, [1.0, 0.0], 0) for i in range(5)]
+            + [(10 + i, [1.0, 0.0], 1) for i in range(5)]   # same centroid
+            + [(20 + i, [0.0, 2.0], 2) for i in range(5)]   # orthogonal
+        )
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        got = {(r.label_a, r.label_b): r.cosine_sim
+               for r in label_centroid_similarity(emb).collect()}
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 2)] == 0.0
+        assert got[(1, 2)] == 0.0

@@ -761,3 +761,12 @@ class TestRound10NewOps:
         assert plan.count("SinglePartition") == 0
         assert "CartesianProduct" not in plan
         assert "partial" in plan
+
+    def test_q150_centroid_pairs_over_label_frame_only(self, spark):
+        # corpus-scale work is the one (label, dim) aggregate; the pair
+        # join runs over the broadcast O(labels) centroid frame
+        plan = plan_of(spark, "q150_centroid_similarity")
+        assert ("BroadcastNestedLoopJoin" in plan
+                or "BroadcastHashJoin" in plan)
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan

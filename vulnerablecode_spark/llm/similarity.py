@@ -1097,3 +1097,42 @@ def ann_topk_ivf_pq(corpus: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_dist_ui", "rk")
     )
+
+
+def label_centroid_similarity(corpus: DataFrame, *,
+                              label_col: str = "label",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Pairwise cosine similarity between per-label embedding centroids
+    — the domain-redundancy map a mixture designer reads before
+    allocating training budget across sources (two sources whose
+    centroids sit at 0.99 cosine carry largely redundant signal; the
+    embedding-space complement of the token-overlap source-dup matrix,
+    q119). Also the standard cluster-separation diagnostic for a stored
+    labeling (IVF cells, SemDeDup clusters, classifier strata).
+
+    Exactness: each centroid dimension goes through the micro-unit
+    integer mean (:func:`_mean_6dp_ui` — order-free BIGINT sums), so
+    centroids are bit-identical across engines and the pairwise cosine
+    is one IEEE fold over ≤dim terms. Scale: the corpus-scale work is
+    ONE posexplode + (label, dim) aggregate with map-side combine; the
+    pair join runs over the O(labels) centroid frame.
+    """
+    x = (corpus.select(F.col(label_col).alias("label"),
+                       F.posexplode(vec_col).alias("dim", "_x"))
+         .select("label", "dim", F.col("_x").cast("double").alias("_xd")))
+    cent = x.groupBy("label", "dim").agg(
+        _mean_6dp_ui(F.col("_xd")).alias("mu"))
+    arr = (cent.groupBy("label")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("dim", "mu"))).alias("_s"))
+           .select("label",
+                   F.transform("_s", lambda r: r.mu).alias("centroid")))
+    a = arr.select(F.col("label").alias("label_a"),
+                   F.col("centroid").alias("qv"))
+    b = arr.select(F.col("label").alias("label_b"),
+                   F.col("centroid").alias("cv"))
+    return (a.join(F.broadcast(b))
+            .filter(F.col("label_a") < F.col("label_b"))
+            .select("label_a", "label_b",
+                    F.round(cosine(F.col("qv"), F.col("cv")), 4)
+                    .alias("cosine_sim")))

@@ -3345,3 +3345,44 @@ def q147_vocab_incremental(spark, sf_dir):
               .groupBy("tok").agg(F.min("batch").alias("first_batch")))
     return text.vocabulary_growth_incremental(
         stored, full.filter(F.col("batch") == 4), batch_id=4)
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix (llm/similarity.py
+# label_centroid_similarity): the domain-redundancy map for mixture
+# design — per-label centroids via the micro-unit integer mean
+# (bit-identical across engines), pairwise cosine over the O(labels)
+# centroid frame. Corpus-scale work is ONE posexplode + (label, dim)
+# aggregate with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q150_centroid_similarity",
+    oracle="""
+    WITH x AS (
+        SELECT label, CAST(i AS INT) AS dim,
+               embedding[i + 1]::DOUBLE AS xd
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               FLOOR((2.0 * SUM(CAST(FLOOR(xd * 1000000.0 + 0.5) AS BIGINT))
+                      + COUNT(*)) / (2.0 * COUNT(*))) / 1000000.0 AS mu
+        FROM x GROUP BY label, dim
+    ),
+    arr AS (
+        SELECT label, list(mu ORDER BY dim) AS centroid
+        FROM cent GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(list_dot_product(a.centroid, b.centroid) /
+                 (sqrt(list_dot_product(a.centroid, a.centroid)) *
+                  sqrt(list_dot_product(b.centroid, b.centroid))), 4)
+               AS cosine_sim
+    FROM arr a JOIN arr b ON a.label < b.label
+    """,
+)
+def q150_centroid_similarity(spark, sf_dir):
+    emb = _embedding_artifacts(spark, sf_dir)["cast"]
+    return similarity.label_centroid_similarity(emb)
