@@ -62,7 +62,7 @@ EXTRAS = [
     "q139_windowed_counts", "q143_conversion_attribution",
     "q144_chunk_dedup", "q145_vocabulary_growth",
     "q146_active_users", "q148_weighted_sample", "q149_rate_anomalies",
-    "q150_centroid_similarity",
+    "q150_centroid_similarity", "q151_json_props_rollup",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

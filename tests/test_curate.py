@@ -1038,3 +1038,23 @@ class TestRateAnomalies:
         # first 24 hours lack a full window → NULL z, NULL flag
         assert got["2024-01-01T05:00:00"].z_bp is None
         assert got["2024-01-01T05:00:00"].is_anomaly is None
+
+
+class TestJsonPropsRollup:
+    def test_malformed_and_missing_count_as_null(self, spark):
+        from vulnerablecode_spark.operators.events import json_props_rollup
+
+        rows = [
+            (1, "a", '{"k": 5}'),
+            (2, "a", '{"k": 7}'),
+            (3, "a", '{"other": 1}'),   # missing field
+            (4, "a", 'not json'),        # malformed
+            (5, "b", '{"k": 5}'),
+        ]
+        events = spark.createDataFrame(
+            rows, "event_id long, event_type string, props string")
+        got = {r.event_type: r for r in json_props_rollup(events).collect()}
+        a = got["a"]
+        assert (a.n_events, a.n_missing, a.k_min, a.k_max,
+                a.k_sum, a.k_distinct) == (4, 2, 5, 7, 12, 2)
+        assert got["b"].n_missing == 0 and got["b"].k_sum == 5

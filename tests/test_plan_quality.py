@@ -770,3 +770,12 @@ class TestRound10NewOps:
                 or "BroadcastHashJoin" in plan)
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_q151_json_parse_stays_jvm_side(self, spark):
+        # from_json with a declared schema: no Python eval nodes, one
+        # map-side-combined aggregate on the key
+        plan = plan_of(spark, "q151_json_props_rollup")
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert plan.count("SinglePartition") == 0
+        assert "partial" in plan

@@ -246,3 +246,33 @@ def rate_anomalies(events: DataFrame, *, trailing: int = 24,
         key_col, "hour", "n",
         F.when(full, z_q).alias("z_bp"),
         F.when(full, F.abs(z_q) >= z_bp_threshold).alias("is_anomaly"))
+
+
+def json_props_rollup(events: DataFrame, *, field: str = "k",
+                      props_col: str = "props",
+                      key_col: str = "event_type") -> DataFrame:
+    """Typed extraction over a semi-structured JSON column + per-key
+    rollup — the ubiquitous event-properties pattern (the reference
+    stores the same shape as its never-queried-directly JSONFields,
+    models.py:1387; here the field IS queried, so it parses with a
+    declared schema instead of ad-hoc string surgery). ``from_json``
+    with an explicit schema stays JVM-side (Jackson inside codegen — no
+    Python, no regex), malformed or missing fields become NULL and are
+    counted rather than dropped.
+
+    Scale: parse is a map-side projection on the scan; the rollup is
+    one map-side-combined aggregate on the key. At 100 TB the right
+    move is materializing the parsed column at ingest — this operator
+    is also exactly that ingest projection.
+    """
+    k = F.from_json(F.col(props_col), f"{field} bigint").getField(field)
+    parsed = events.select(F.col(key_col), k.alias("_k"))
+    return parsed.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("_k").isNull().cast("int")).cast("bigint")
+        .alias("n_missing"),
+        F.min("_k").alias("k_min"),
+        F.max("_k").alias("k_max"),
+        F.sum("_k").cast("bigint").alias("k_sum"),
+        F.countDistinct("_k").cast("bigint").alias("k_distinct"),
+    )

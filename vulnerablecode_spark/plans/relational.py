@@ -1160,3 +1160,33 @@ def q149_rate_anomalies(spark, sf_dir):
     # client layers (NULL vs NaN) — grade the flag as nullable INT
     return rate_anomalies(events, trailing=24, z_bp_threshold=30_000) \
         .withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 semi-structured JSON column — typed extraction with a declared
+# schema (from_json, JVM-side) + per-key rollup (operators/events.py
+# json_props_rollup): the event-properties pattern; malformed/missing
+# fields count as NULL instead of dropping rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q151_json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+           MIN(CAST(props->>'$.k' AS BIGINT)) AS k_min,
+           MAX(CAST(props->>'$.k' AS BIGINT)) AS k_max,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS BIGINT)
+               AS k_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q151_json_props_rollup(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import json_props_rollup
+
+    events = _load(spark, sf_dir, "events")
+    return json_props_rollup(events)
