@@ -1058,3 +1058,29 @@ class TestJsonPropsRollup:
         assert (a.n_events, a.n_missing, a.k_min, a.k_max,
                 a.k_sum, a.k_distinct) == (4, 2, 5, 7, 12, 2)
         assert got["b"].n_missing == 0 and got["b"].k_sum == 5
+
+
+class TestTransitionMatrix:
+    def test_counts_rates_and_stream_boundaries(self, spark):
+        from vulnerablecode_spark.operators.events import transition_matrix
+
+        rows = [
+            (1, "2024-01-01T00:00:00", "view", 1),
+            (1, "2024-01-01T01:00:00", "click", 2),
+            (1, "2024-01-01T02:00:00", "view", 3),
+            (1, "2024-01-01T03:00:00", "click", 4),
+            (2, "2024-01-01T00:00:00", "click", 5),   # no prev → no row
+            (2, "2024-01-01T01:00:00", "purchase", 6),
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, "
+                  "event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(r.prev_type, r.next_type): (r.n, r.rate_bp)
+               for r in transition_matrix(events).collect()}
+        # user 1: view→click ×2, click→view ×1; user 2: click→purchase
+        assert got[("view", "click")] == (2, 10000)
+        assert got[("click", "view")] == (1, 5000)
+        assert got[("click", "purchase")] == (1, 5000)
+        # first event of each user stream produces no transition
+        assert len(got) == 3

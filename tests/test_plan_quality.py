@@ -779,3 +779,10 @@ class TestRound10NewOps:
         assert "ArrowEvalPython" not in plan
         assert plan.count("SinglePartition") == 0
         assert "partial" in plan
+
+    def test_q152_transitions_one_user_shuffle(self, spark):
+        plan = plan_of(spark, "q152_transition_matrix")
+        assert plan.count("SinglePartition") == 0
+        assert "CartesianProduct" not in plan
+        assert ("BroadcastHashJoin" in plan
+                or "BroadcastNestedLoopJoin" in plan)

@@ -276,3 +276,36 @@ def json_props_rollup(events: DataFrame, *, field: str = "k",
         F.sum("_k").cast("bigint").alias("k_sum"),
         F.countDistinct("_k").cast("bigint").alias("k_distinct"),
     )
+
+
+def transition_matrix(events: DataFrame, *, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """First-order Markov transition counts/rates over per-user event
+    sequences: one lag window per user stream (ordered by full-precision
+    timestamp with the event id as total-order tie-break), one
+    (prev, next) count rollup, and per-source-state rates in basis
+    points — the journey model behind "what do users do after X"
+    (complements the funnel's fixed-path view with the full graph).
+
+    Scale: ONE user-keyed shuffle feeds the lag window (the q108
+    sessionization shape); the count rollup is map-side combinable and
+    the rate denominator joins on the O(types) prev-state frame.
+    Integer arithmetic throughout.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc())
+    seq = (events.select(user_col, ts_col, id_col,
+                         F.col(type_col).alias("next_type"))
+           .withColumn("prev_type", F.lag("next_type").over(w))
+           .filter(F.col("prev_type").isNotNull()))
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = counts.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("_tot"))
+    return (counts.join(F.broadcast(totals), "prev_type")
+            .selectExpr("prev_type", "next_type", "n",
+                        "(n * 10000) DIV _tot AS rate_bp"))

@@ -1190,3 +1190,41 @@ def q151_json_props_rollup(spark, sf_dir):
 
     events = _load(spark, sf_dir, "events")
     return json_props_rollup(events)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 first-order journey transition matrix (operators/events.py
+# transition_matrix): one user-keyed lag window (the q108 shape), one
+# map-side-combined (prev, next) rollup, per-state rates in basis
+# points against the broadcast O(types) totals frame.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q152_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    counts AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    ),
+    totals AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM counts GROUP BY prev_type
+    )
+    SELECT c.prev_type, c.next_type, c.n,
+           (c.n * 10000) // t.tot AS rate_bp
+    FROM counts c JOIN totals t USING (prev_type)
+    """,
+)
+def q152_transition_matrix(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import transition_matrix
+
+    events = _load(spark, sf_dir, "events")
+    return transition_matrix(events)
