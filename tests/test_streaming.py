@@ -678,3 +678,64 @@ class TestWindowedEventCounts:
         assert final[(2, "a")] == (1, 3_000_000)
         # hour 4 still open (watermark 03:00 < its end)
         assert (4, "c") not in final
+
+
+class TestStreamStreamAttribution:
+    def test_interval_join_matches_batch_pairs(self, spark, tmp_path):
+        """Stream-stream interval join with watermarks on both sides:
+        candidate pairs equal the batch pair enumeration for the same
+        horizon, the join emits each pair exactly once across
+        availableNow restarts, and an out-of-horizon touch never
+        pairs."""
+        import json as _json
+
+        from vulnerablecode_spark.streaming.windows import (
+            attribution_candidates_stream)
+
+        tsrc = tmp_path / "touch"; tsrc.mkdir()
+        csrc = tmp_path / "conv"; csrc.mkdir()
+        out = str(tmp_path / "pairs"); ckpt = str(tmp_path / "ck")
+
+        def run():
+            schema = "user_id long, ts timestamp, event_id long"
+            t = spark.readStream.schema(schema).json(str(tsrc))
+            c = spark.readStream.schema(schema).json(str(csrc))
+            (attribution_candidates_stream(t, c, horizon="24 hours",
+                                           touch_watermark="1 hour",
+                                           conv_watermark="1 hour")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start().awaitTermination())
+
+        def emit(d, name, rows):
+            with open(d / name, "w") as f:
+                for u, ts, i in rows:
+                    f.write(_json.dumps(
+                        {"user_id": u, "ts": ts, "event_id": i}) + "\n")
+
+        emit(tsrc, "t1.json", [
+            (1, "2024-01-01T00:00:00", 10),
+            (1, "2024-01-01T06:00:00", 11),
+            (2, "2023-12-30T00:00:00", 20),  # >24h before user-2 conv
+        ])
+        emit(csrc, "c1.json", [
+            (1, "2024-01-01T12:00:00", 100),
+        ])
+        run()
+        got1 = {(r.conv_id, r.touch_id)
+                for r in spark.read.parquet(out).collect()}
+        assert got1 == {(100, 10), (100, 11)}
+
+        # second batch: a conversion for user 2 inside no touch's
+        # horizon, and one more user-1 conversion pairing both touches
+        emit(csrc, "c2.json", [
+            (2, "2024-01-01T00:00:00", 200),
+            (1, "2024-01-01T18:00:00", 101),
+        ])
+        run()
+        got2 = {(r.conv_id, r.touch_id)
+                for r in spark.read.parquet(out).collect()}
+        assert got2 == {(100, 10), (100, 11), (101, 10), (101, 11)}
+        # exactly-once: the first batch's pairs were not re-emitted
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 4

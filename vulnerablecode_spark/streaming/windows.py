@@ -70,3 +70,42 @@ def windowed_event_counts_stream(events: DataFrame, *,
         events.withWatermark(ts_col, watermark),
         window=window, ts_col=ts_col, key_col=key_col,
         value_col=value_col)
+
+
+def attribution_candidates_stream(touches: DataFrame, convs: DataFrame, *,
+                                  horizon: str = "24 hours",
+                                  touch_watermark: str = "2 hours",
+                                  conv_watermark: str = "2 hours"
+                                  ) -> DataFrame:
+    """Stream-stream interval join: every (touch, conversion) candidate
+    pair for the same user with touch.ts ∈ [conv.ts − horizon, conv.ts]
+    — the streaming front half of last-touch attribution
+    (operators/events.py attribute_conversions is the batch twin; the
+    last-touch reduction over candidates is a downstream batch rollup).
+    Both sides carry watermarks, so Spark bounds the join state: a
+    buffered touch can be dropped once the conversion watermark passes
+    touch.ts + horizon, and the inner join emits a pair exactly once —
+    the canonical watermark + time-range-condition pattern from the
+    Structured Streaming guide.
+
+    Scale: state per key is the watermark-horizon slice of the touch
+    stream, not its history; the join key is (user_id) with the time
+    bound as the range condition, so the stream-stream shuffle is the
+    same user-keyed exchange as the batch form.
+    """
+    t = (touches.withWatermark("ts", touch_watermark)
+         .select(F.col("user_id"),
+                 F.col("ts").alias("touch_ts"),
+                 F.col("event_id").alias("touch_id")))
+    c = (convs.withWatermark("ts", conv_watermark)
+         .select(F.col("user_id").alias("c_user_id"),
+                 F.col("ts").alias("conv_ts"),
+                 F.col("event_id").alias("conv_id")))
+    cond = (
+        (t["user_id"] == c["c_user_id"])
+        & (t["touch_ts"] <= c["conv_ts"])
+        & (t["touch_ts"] >= c["conv_ts"] - F.expr(f"INTERVAL {horizon}"))
+    )
+    return (t.join(c, cond)
+            .select("user_id", "conv_id", "conv_ts",
+                    "touch_id", "touch_ts"))
