@@ -1084,3 +1084,39 @@ class TestTransitionMatrix:
         assert got[("click", "purchase")] == (1, 5000)
         # first event of each user stream produces no transition
         assert len(got) == 3
+
+
+class TestGlobalRankProperty:
+    def test_hypothesis_weights_vs_single_window(self, spark):
+        """Property: for ANY weight multiset (ties, skew, tiny and huge
+        values) and any input partitioning, global_rank equals the
+        single-partition window ROW_NUMBER. Randomized via hypothesis
+        strategies but executed as one batched Spark comparison per
+        example set (Spark jobs are too slow for per-example runs)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from pyspark.sql import Window
+
+        @settings(max_examples=5, deadline=None)
+        @given(st.lists(st.integers(min_value=0, max_value=10**12),
+                        min_size=1, max_size=300),
+               st.integers(min_value=1, max_value=16),
+               st.booleans())
+        def check(weights, parts, descending):
+            rows = [(i, w + 1) for i, w in enumerate(weights)]
+            df = spark.createDataFrame(
+                rows, "doc_id long, tokens long").repartition(parts)
+            got = curate.global_rank(
+                df, "tokens", "doc_id",
+                descending=descending).select("doc_id", "grank")
+            order = (F.col("tokens").desc() if descending
+                     else F.col("tokens").asc())
+            w = Window.orderBy(order, F.col("doc_id").asc())
+            want = df.select(
+                "doc_id",
+                F.row_number().over(w).cast("bigint").alias("grank"))
+            diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+            assert diff == 0
+
+        check()
