@@ -63,7 +63,7 @@ EXTRAS = [
     "q144_chunk_dedup", "q145_vocabulary_growth",
     "q146_active_users", "q148_weighted_sample", "q149_rate_anomalies",
     "q150_centroid_similarity", "q151_json_props_rollup",
-    "q152_transition_matrix",
+    "q152_transition_matrix", "q153_ks_drift",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

@@ -1120,3 +1120,26 @@ class TestGlobalRankProperty:
             assert diff == 0
 
         check()
+
+
+class TestKsDrift:
+    def test_identical_and_shifted_distributions(self, spark):
+        # group "same" draws the corpus-majority distribution → small D;
+        # group "hi" sits entirely above it → D near its mass share
+        rows = ([(i, "same", (i % 5) + 1) for i in range(100)]
+                + [(1000 + i, "hi", 100 + (i % 3)) for i in range(50)])
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, tokens long")
+        got = {r.source: r for r in
+               curate.ks_drift(df, value_col="tokens",
+                               group_col="source").collect()}
+        assert got["same"].n_rows == 100 and got["hi"].n_rows == 50
+        # at any value < 100: ECDF_hi = 0 while ECDF_corpus = 100/150
+        assert got["hi"].ks_bp == 6666
+        # "same" differs from the corpus only by "hi"'s upper mass
+        assert got["same"].ks_bp == 3334
+    def test_self_corpus_is_zero(self, spark):
+        df = spark.createDataFrame(
+            [(i, "only", (i % 7) + 1) for i in range(50)],
+            "doc_id long, source string, tokens long")
+        assert curate.ks_drift(df).head().ks_bp == 0

@@ -786,3 +786,11 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert ("BroadcastHashJoin" in plan
                 or "BroadcastNestedLoopJoin" in plan)
+
+    def test_q153_ks_no_global_window(self, spark):
+        # every window partitions by group or value; the corpus total is
+        # a broadcast scalar — the only SinglePartition exchange is that
+        # 1-row aggregate
+        plan = plan_of(spark, "q153_ks_drift")
+        assert plan.count("SinglePartition") <= 1
+        assert "CartesianProduct" not in plan

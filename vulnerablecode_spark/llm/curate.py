@@ -1253,3 +1253,48 @@ def weighted_sample(df: DataFrame, k: int, *, weight_col: str = "tokens",
         F.col("_lnkey").desc(), F.col(id_col).asc())
     return (keyed.withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= k).drop("_lnkey"))
+
+
+def ks_drift(df: DataFrame, *, value_col: str = "tokens",
+             group_col: str = "source") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic per group against the
+    full corpus: D = max over observed values of |ECDF_group −
+    ECDF_corpus|, in basis points — the distributional drift detector
+    (a source whose LENGTH/quality distribution shifts needs attention
+    even when its content fingerprints are unchanged; the complement of
+    :func:`corpus_diff`'s content view).
+
+    Shape: one (group, value) count, a dense (value × group) grid
+    (distinct values × groups — the value domain must be bounded:
+    discrete metrics like token counts or basis-point scores qualify
+    as-is, continuous ones get quantized first, which only coarsens D),
+    per-group running sums for ECDF numerators, and the corpus ECDF at
+    each value derived as the SUM of group cumulative counts across the
+    value's grid row — no global window anywhere. D uses integer
+    basis-point arithmetic (DIV), deterministic in both engines.
+    """
+    counts = (df.groupBy(F.col(group_col).alias("grp"),
+                         F.col(value_col).alias("val"))
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    vals = counts.select("val").distinct()
+    grps = counts.select("grp").distinct()
+    grid = vals.join(F.broadcast(grps))
+    dense = (grid.join(counts, ["grp", "val"], "left")
+             .withColumn("n", F.coalesce("n", F.lit(0)).cast("bigint")))
+    w_g = (Window.partitionBy("grp").orderBy("val")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dense.withColumn("cum_g", F.sum("n").over(w_g))
+    w_v = Window.partitionBy("val")
+    total = (counts.agg(F.sum("n").cast("bigint").alias("n_all"))
+             .withColumn("_k", F.lit(1)))
+    cum = (cum.withColumn("cum_all", F.sum("cum_g").over(w_v))
+           .withColumn("n_g", F.sum("n").over(
+               Window.partitionBy("grp")))
+           .withColumn("_k", F.lit(1))
+           .join(F.broadcast(total), "_k"))
+    diff = F.abs(F.expr("cum_g * 10000 DIV n_g")
+                 - F.expr("cum_all * 10000 DIV n_all"))
+    return (cum.withColumn("_d", diff)
+            .groupBy(F.col("grp").alias(group_col))
+            .agg(F.max("n_g").cast("bigint").alias("n_rows"),
+                 F.max("_d").cast("bigint").alias("ks_bp")))

@@ -765,3 +765,61 @@ def q148_weighted_sample(spark, sf_dir):
         "doc_id", "lang",
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
     return curate.weighted_sample(weighted, 20, group_col="lang")
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift — per-source two-sample KS statistic on token
+# counts vs the full corpus (llm/curate.py ks_drift): dense
+# (value × group) grid over a bounded value domain, per-group running
+# sums for the ECDF numerators, corpus ECDF derived per grid row (no
+# global window), integer basis-point D.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_ks_drift",
+    oracle="""
+    WITH counts AS (
+        SELECT lang AS grp,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS val,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT v.val, g.grp FROM
+            (SELECT DISTINCT val FROM counts) v
+            CROSS JOIN (SELECT DISTINCT grp FROM counts) g
+    ),
+    dense AS (
+        SELECT gr.grp, gr.val, COALESCE(c.n, 0) AS n
+        FROM grid gr LEFT JOIN counts c
+          ON c.grp = gr.grp AND c.val = gr.val
+    ),
+    cum AS (
+        SELECT grp, val, n,
+               SUM(n) OVER (PARTITION BY grp ORDER BY val
+                            ROWS UNBOUNDED PRECEDING) AS cum_g,
+               SUM(n) OVER (PARTITION BY grp) AS n_g
+        FROM dense
+    ),
+    allc AS (
+        SELECT *,
+               SUM(cum_g) OVER (PARTITION BY val) AS cum_all,
+               (SELECT SUM(n) FROM counts) AS n_all
+        FROM cum
+    )
+    SELECT grp AS lang, CAST(MAX(n_g) AS BIGINT) AS n_rows,
+           CAST(MAX(ABS(cum_g * 10000 // n_g
+                        - cum_all * 10000 // n_all)) AS BIGINT) AS ks_bp
+    FROM allc GROUP BY grp
+    """,
+)
+def q153_ks_drift(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    vals = docs.select(
+        F.col("lang").alias("source"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
+    return (curate.ks_drift(vals, value_col="tokens", group_col="source")
+            .withColumnRenamed("source", "lang"))
