@@ -1143,3 +1143,39 @@ class TestKsDrift:
             [(i, "only", (i % 7) + 1) for i in range(50)],
             "doc_id long, source string, tokens long")
         assert curate.ks_drift(df).head().ks_bp == 0
+
+
+class TestQuantileCalibrate:
+    def test_cdf_matching_semantics(self, spark):
+        # source "low" holds values 1..4, source "high" 101..104; after
+        # calibration both map onto the CORPUS distribution: the k-th of
+        # 4 in either source lands at the same corpus quantile value
+        rows = ([(i, "low", i) for i in range(1, 5)]
+                + [(10 + i, "high", 100 + i) for i in range(1, 5)])
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, tokens long")
+        got = {(r.source, r.tokens): r for r in
+               curate.quantile_calibrate(df, value_col="tokens",
+                                         group_col="source").collect()}
+        # both sources' k-th values share src_bp → identical calibration
+        for k in range(1, 5):
+            lo = got[("low", k)]
+            hi = got[("high", 100 + k)]
+            assert lo.src_bp == hi.src_bp == k * 10000 // 4
+            assert lo.calibrated == hi.calibrated
+        # top of each source maps to the corpus maximum
+        assert got[("low", 4)].calibrated == 104
+        # calibrated values are drawn from the corpus value set
+        corpus_vals = {r[2] for r in rows}
+        assert all(r.calibrated in corpus_vals for r in got.values())
+
+    def test_identity_when_one_source(self, spark):
+        # a single source IS the corpus: calibration maps each value to
+        # the corpus value at its own quantile — identity for distinct
+        # values
+        rows = [(i, "s", i * 10) for i in range(1, 21)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, tokens long")
+        got = curate.quantile_calibrate(
+            df, value_col="tokens", group_col="source").collect()
+        assert all(r.calibrated == r.tokens for r in got)

@@ -794,3 +794,11 @@ class TestRound10NewOps:
         plan = plan_of(spark, "q153_ks_drift")
         assert plan.count("SinglePartition") <= 1
         assert "CartesianProduct" not in plan
+
+    def test_q154_calibration_windows_bounded(self, spark):
+        # source ranks are group-partitioned; every SinglePartition
+        # exchange is a constant-size frame (distinct-value CDF, the
+        # 10001-row bp grid, two scalar aggregates) — never the corpus
+        plan = plan_of(spark, "q154_quantile_calibrate")
+        assert plan.count("SinglePartition") <= 5
+        assert "CartesianProduct" not in plan

@@ -1298,3 +1298,65 @@ def ks_drift(df: DataFrame, *, value_col: str = "tokens",
             .groupBy(F.col("grp").alias(group_col))
             .agg(F.max("n_g").cast("bigint").alias("n_rows"),
                  F.max("_d").cast("bigint").alias("ks_bp")))
+
+
+def quantile_calibrate(df: DataFrame, *, value_col: str = "tokens",
+                       group_col: str = "source",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Cross-source quantile calibration (CDF matching): replace each
+    row's raw metric with the CORPUS value at the same within-source
+    quantile, so scores become comparable across sources whose raw
+    distributions differ (the classifier-score problem: a 0.8 from a
+    clean source and a 0.8 from a noisy one mean different things;
+    quantile mapping is the standard fix — rank within source, read off
+    the corpus distribution at that rank).
+
+    Semantics (all integer): src_bp = within-source rank ·10000 DIV n_g
+    (rank by value asc, id tie-break); corpus_bp(v) = #corpus rows ≤ v
+    ·10000 DIV n; calibrated = the largest corpus value whose corpus_bp
+    ≤ src_bp (corpus minimum when none is — the bottom of the bottom
+    bucket maps to the corpus floor).
+
+    Shape: within-source ranks are group-partitioned windows (never
+    global); the corpus CDF lives on the distinct-VALUE frame (bounded
+    domain by contract, the q153 caveat — quantize continuous metrics
+    first), is densified onto the 10001-slot basis-point grid with a
+    running max over that constant-size frame, and the grid
+    BROADCAST-joins back on the integer src_bp. Corpus-scale work: two
+    scans' worth of windows/aggregates, no corpus-sized single
+    partition anywhere.
+    """
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc())
+    w_grp = Window.partitionBy(group_col)
+    ranked = (df.select(id_col, group_col, value_col)
+              .withColumn("_rk", F.row_number().over(w_rank))
+              .withColumn("_ng", F.count(F.lit(1)).over(w_grp))
+              .withColumn("src_bp", F.expr(
+                  "CAST(_rk AS BIGINT) * 10000 DIV _ng")))
+    vcounts = (df.groupBy(F.col(value_col).alias("_v"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("_n")))
+    w_vals = (Window.orderBy("_v")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = (vcounts.agg(F.sum("_n").cast("bigint").alias("_nt"))
+             .withColumn("_k", F.lit(1)))
+    vcdf = (vcounts.withColumn("_cum", F.sum("_n").over(w_vals))
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(total), "_k")
+            .select("_v", F.expr("_cum * 10000 DIV _nt").alias("_vbp")))
+    grid = (df.sparkSession.range(0, 10_001)
+            .select(F.col("id").cast("bigint").alias("bp")))
+    corpus_floor = vcdf.agg(F.min("_v").alias("_floor")).withColumn(
+        "_k", F.lit(1))
+    w_grid = (Window.orderBy("bp")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    bp_map = (grid.join(
+        vcdf.groupBy("_vbp").agg(F.max("_v").alias("_v")),
+        grid["bp"] == F.col("_vbp"), "left")
+        .withColumn("_mapped", F.max("_v").over(w_grid))
+        .withColumn("_k", F.lit(1))
+        .join(F.broadcast(corpus_floor), "_k")
+        .select("bp", F.coalesce("_mapped", "_floor").alias("calibrated")))
+    return (ranked.join(F.broadcast(bp_map),
+                        ranked["src_bp"] == bp_map["bp"])
+            .select(id_col, group_col, value_col, "src_bp", "calibrated"))

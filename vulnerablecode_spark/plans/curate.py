@@ -823,3 +823,62 @@ def q153_ks_drift(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
     return (curate.ks_drift(vals, value_col="tokens", group_col="source")
             .withColumnRenamed("source", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile calibration (llm/curate.py quantile_calibrate):
+# CDF matching of per-source metrics onto the corpus distribution —
+# group-partitioned rank windows, corpus CDF on the bounded distinct-
+# value frame, densified onto the 10001-slot basis-point grid and
+# broadcast back. Integer arithmetic end to end.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_quantile_calibrate",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, tokens,
+               (ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY tokens, doc_id) * 10000)
+                   // COUNT(*) OVER (PARTITION BY lang) AS src_bp
+        FROM t
+    ),
+    vc AS (SELECT tokens AS v, CAST(COUNT(*) AS BIGINT) AS n
+           FROM t GROUP BY tokens),
+    vcdf AS (
+        SELECT v,
+               (SUM(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                * 10000) // (SELECT SUM(n) FROM vc) AS vbp
+        FROM vc
+    ),
+    best AS (SELECT vbp, MAX(v) AS v FROM vcdf GROUP BY vbp),
+    grid AS (SELECT CAST(i AS BIGINT) AS bp
+             FROM UNNEST(range(0, 10001)) AS u(i)),
+    bp_map AS (
+        SELECT g.bp,
+               COALESCE(MAX(b.v) OVER (ORDER BY g.bp
+                                       ROWS UNBOUNDED PRECEDING),
+                        (SELECT MIN(v) FROM vcdf)) AS calibrated
+        FROM grid g LEFT JOIN best b ON b.vbp = g.bp
+    )
+    SELECT r.doc_id, r.lang, r.tokens, CAST(r.src_bp AS BIGINT) AS src_bp,
+           m.calibrated
+    FROM ranked r JOIN bp_map m ON r.src_bp = m.bp
+    """,
+)
+def q154_quantile_calibrate(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", F.col("lang").alias("source"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
+    return (curate.quantile_calibrate(vals, value_col="tokens",
+                                      group_col="source")
+            .withColumnRenamed("source", "lang"))
