@@ -64,7 +64,7 @@ EXTRAS = [
     "q146_active_users", "q148_weighted_sample", "q149_rate_anomalies",
     "q150_centroid_similarity", "q151_json_props_rollup",
     "q152_transition_matrix", "q153_ks_drift",
-    "q154_quantile_calibrate",
+    "q154_quantile_calibrate", "q155_zorder_key",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

@@ -802,3 +802,10 @@ class TestRound10NewOps:
         plan = plan_of(spark, "q154_quantile_calibrate")
         assert plan.count("SinglePartition") <= 5
         assert "CartesianProduct" not in plan
+
+    def test_q155_zorder_key_codegen_only(self, spark):
+        # pure bit arithmetic on the scan: no exchange, no Python
+        plan = plan_of(spark, "q155_zorder_key")
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

@@ -1228,3 +1228,35 @@ def q152_transition_matrix(spark, sf_dir):
 
     events = _load(spark, sf_dir, "events")
     return transition_matrix(events)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Z-order layout keys (functions/layout.py zorder_key): Morton
+# interleave of (l_orderkey, l_partkey) low bits — the write-time
+# multi-column data-skipping sort key, pure integer bit arithmetic
+# inside codegen (no shuffle, no Python), so the layout primitive
+# itself is value-hash graded.
+# ---------------------------------------------------------------------------
+
+_SQL_ZKEY = " + ".join(
+    f"(((l_orderkey >> {b}) & 1) << {2 * b + 1})"
+    f" + (((l_partkey >> {b}) & 1) << {2 * b})"
+    for b in range(16))
+
+
+@query(
+    "q155_zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST({_SQL_ZKEY} AS BIGINT) AS zkey
+    FROM lineitem
+    """,
+)
+def q155_zorder_key(spark, sf_dir):
+    from vulnerablecode_spark.functions.layout import zorder_key
+
+    li = _load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        zorder_key([F.col("l_orderkey"), F.col("l_partkey")],
+                   bits=16).alias("zkey"))
