@@ -1237,3 +1237,61 @@ class TestZorderKey:
             zorder_key([F.col("x")] * 4, bits=16)
         with _pytest.raises(ValueError):
             zorder_key([])
+
+
+class TestShardsIncremental:
+    def test_empty_store_equals_batch_assignment(self, spark):
+        import random
+
+        rng = random.Random(5)
+        rows = [(i, rng.randint(1, 500)) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens long")
+        empty = spark.createDataFrame(
+            [(s, 0) for s in range(8)], "shard int, w_total long")
+        inc = {r.doc_id: r.shard for r in
+               curate.serpentine_shards_incremental(
+                   empty, df, 8).collect()}
+        batch = {r.doc_id: r.shard for r in
+                 curate.serpentine_shards(df, 8).collect()}
+        assert inc == batch
+
+    def test_heaviest_new_doc_lands_on_lightest_shard(self, spark):
+        totals = spark.createDataFrame(
+            [(s, (s + 1) * 1000) for s in range(4)],
+            "shard int, w_total long")  # shard 0 lightest
+        batch = spark.createDataFrame(
+            [(1, 900), (2, 800), (3, 700), (4, 600), (5, 500)],
+            "doc_id long, tokens long")
+        got = {r.doc_id: r.shard for r in
+               curate.serpentine_shards_incremental(
+                   totals, batch, 4).collect()}
+        # pass 1 deals 900..600 onto shards 0,1,2,3; pass 2 reverses:
+        # doc 5 (500) back onto shard 3
+        assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 3}
+
+    def test_overloaded_shard_gets_light_end_of_skewed_batch(self, spark):
+        import random
+
+        rng = random.Random(9)
+        totals = spark.createDataFrame(
+            [(0, 50_000), (1, 0), (2, 0), (3, 0)],
+            "shard int, w_total long")  # shard 0 grossly overloaded
+        # skewed batch: a few huge docs dominate the weight
+        rows = ([(i, rng.randint(10, 20)) for i in range(100)]
+                + [(1000, 100_000), (1001, 60_000), (1002, 40_000)])
+        batch = spark.createDataFrame(rows, "doc_id long, tokens long")
+        assigned = curate.serpentine_shards_incremental(
+            totals, batch, 4)
+        got = {r.doc_id: r.shard for r in assigned.collect()}
+        # the three huge docs fill the three EMPTY shards (lightest
+        # first by id tie-break); the overloaded shard 0 only gets the
+        # light end of the first pass
+        assert got[1000] == 1 and got[1001] == 2 and got[1002] == 3
+        per = {r.shard: r.n for r in
+               assigned.groupBy("shard").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+        assert max(per.values()) - min(per.values()) <= 1
+        w = {r.shard: r.w for r in
+             assigned.groupBy("shard").agg(
+                 F.sum("tokens").alias("w")).collect()}
+        assert w[0] == min(w.values())

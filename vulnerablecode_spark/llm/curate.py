@@ -1360,3 +1360,36 @@ def quantile_calibrate(df: DataFrame, *, value_col: str = "tokens",
     return (ranked.join(F.broadcast(bp_map),
                         ranked["src_bp"] == bp_map["bp"])
             .select(id_col, group_col, value_col, "src_bp", "calibrated"))
+
+
+def serpentine_shards_incremental(stored_totals: DataFrame,
+                                  batch: DataFrame, n_shards: int, *,
+                                  weight_col: str = "tokens",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Assign an arriving batch to shards WITHOUT reassigning stored
+    documents — the serving half of :func:`serpentine_shards` (the
+    q105/q147 discipline applied to layout): shards order by stored
+    load ascending (lightest first, shard id tie-break), the batch
+    ranks by weight descending, and the serpentine deal runs over that
+    load-ordered shard sequence — the heaviest new document lands on
+    the lightest shard, direction alternating per pass, so imbalance
+    self-corrects instead of compounding. From empty stored totals this
+    reproduces the batch assignment exactly (tested).
+
+    Scale: stored state is the O(n_shards) totals frame (broadcast);
+    batch work is one :func:`global_rank` over the batch only — the
+    stored corpus is never read, let alone re-dealt.
+    """
+    ranked = global_rank(batch, weight_col, id_col, descending=True)
+    w_pos = Window.orderBy(F.col("w_total").asc(), F.col("shard").asc())
+    pos_map = (stored_totals
+               .withColumn("_pos",
+                           (F.row_number().over(w_pos) - 1).cast("bigint"))
+               .select("_pos", "shard"))
+    r0 = F.col("grank") - 1
+    pos = r0 % n_shards
+    even_pass = (F.expr(f"(grank - 1) DIV {n_shards}") % 2) == 0
+    idx = F.when(even_pass, pos).otherwise(n_shards - 1 - pos)
+    return (ranked.withColumn("_pos", idx.cast("bigint"))
+            .join(F.broadcast(pos_map), "_pos")
+            .drop("_pos"))

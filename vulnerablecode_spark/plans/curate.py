@@ -882,3 +882,79 @@ def q154_quantile_calibrate(spark, sf_dir):
     return (curate.quantile_calibrate(vals, value_col="tokens",
                                       group_col="source")
             .withColumnRenamed("source", "lang"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental shard assignment (llm/curate.py
+# serpentine_shards_incremental): the q135 serving half — the batch
+# ranks internally and deals serpentine onto shards ordered by STORED
+# load ascending (heaviest new doc → lightest shard); the stored
+# corpus is never re-dealt. Stored totals derive from the q135 batch
+# assignment of the old docs; the oracle replicates both stages.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_shards_incremental",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        FROM documents
+    ),
+    oldr AS (
+        SELECT tokens,
+               ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id) AS grank
+        FROM t WHERE doc_id % 10 <> 0
+    ),
+    olda AS (
+        SELECT tokens,
+               CASE WHEN ((grank - 1) // 8) % 2 = 0
+                    THEN (grank - 1) % 8
+                    ELSE 7 - ((grank - 1) % 8) END AS shard
+        FROM oldr
+    ),
+    totals AS (
+        SELECT shard, CAST(SUM(tokens) AS BIGINT) AS w_total
+        FROM olda GROUP BY shard
+    ),
+    pos AS (
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (ORDER BY w_total ASC, shard ASC)
+                    - 1 AS BIGINT) AS p
+        FROM totals
+    ),
+    newr AS (
+        SELECT doc_id, tokens,
+               CAST(ROW_NUMBER() OVER (ORDER BY tokens DESC, doc_id)
+                    AS BIGINT) AS grank
+        FROM t WHERE doc_id % 10 = 0
+    ),
+    newa AS (
+        SELECT doc_id, tokens, grank,
+               CAST(CASE WHEN ((grank - 1) // 8) % 2 = 0
+                         THEN (grank - 1) % 8
+                         ELSE 7 - ((grank - 1) % 8) END AS BIGINT) AS p
+        FROM newr
+    )
+    SELECT n.doc_id, n.tokens, n.grank, CAST(po.shard AS INT) AS shard
+    FROM newa n JOIN pos po USING (p)
+    """,
+)
+def q156_shards_incremental(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tokens"))
+    old = t.filter(F.col("doc_id") % 10 != 0)
+    stored_totals = (curate.serpentine_shards(old, 8)
+                     .groupBy("shard")
+                     .agg(F.sum("tokens").cast("bigint").alias("w_total"))
+                     .select(F.col("shard").cast("int").alias("shard"),
+                             "w_total"))
+    batch = t.filter(F.col("doc_id") % 10 == 0)
+    return curate.serpentine_shards_incremental(
+        stored_totals, batch, 8).select(
+        "doc_id", "tokens", "grank", F.col("shard").cast("int"))
