@@ -65,7 +65,7 @@ EXTRAS = [
     "q150_centroid_similarity", "q151_json_props_rollup",
     "q152_transition_matrix", "q153_ks_drift",
     "q154_quantile_calibrate", "q155_zorder_key",
-    "q156_shards_incremental",
+    "q156_shards_incremental", "q157_growth_accounting",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

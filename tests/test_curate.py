@@ -1295,3 +1295,21 @@ class TestShardsIncremental:
              assigned.groupBy("shard").agg(
                  F.sum("tokens").alias("w")).collect()}
         assert w[0] == min(w.values())
+
+
+class TestGrowthAccounting:
+    def test_new_returning_and_cumulative(self, spark):
+        from vulnerablecode_spark.operators.events import growth_accounting
+
+        rows = [
+            (1, "2024-01-01T10:00:00"), (2, "2024-01-01T11:00:00"),
+            (1, "2024-01-02T09:00:00"), (3, "2024-01-02T10:00:00"),
+            (1, "2024-01-02T23:00:00"),  # same user-day: one active row
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {r.day: (r.n_new, r.n_returning, r.cum_users)
+               for r in growth_accounting(events).collect()}
+        assert got["2024-01-01"] == (2, 0, 2)
+        assert got["2024-01-02"] == (1, 1, 3)

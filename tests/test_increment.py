@@ -145,7 +145,9 @@ class TestCrashResume:
         for reader in (inc.read_cleaned, inc.read_pairs, inc.read_seg_counts,
                        inc.read_postings, inc.read_hashed, inc.read_bands,
                        inc.read_docs, inc.read_ivf_assigned,
-                       inc.read_components):
+                       inc.read_components, inc.read_vocab,
+                       inc.read_bm25_postings, inc.read_bm25_lengths,
+                       inc.read_bigram_counts, inc.read_lang_tokens):
             a = sorted(map(tuple, reader(spark, crashed).collect()))
             b = sorted(map(tuple, reader(spark, clean).collect()))
             assert a == b, reader.__name__

@@ -809,3 +809,9 @@ class TestRound10NewOps:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+    def test_q157_growth_cumulative_over_days_only(self, spark):
+        plan = plan_of(spark, "q157_growth_accounting")
+        # the single-partition window runs over the O(days) rollup
+        assert plan.count("SinglePartition") <= 1
+        assert "CartesianProduct" not in plan

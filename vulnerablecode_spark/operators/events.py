@@ -309,3 +309,35 @@ def transition_matrix(events: DataFrame, *, ts_col: str = "ts",
     return (counts.join(F.broadcast(totals), "prev_type")
             .selectExpr("prev_type", "next_type", "n",
                         "(n * 10000) DIV _tot AS rate_bp"))
+
+
+def growth_accounting(events: DataFrame, *, ts_col: str = "ts",
+                      user_col: str = "user_id") -> DataFrame:
+    """Daily growth accounting: per calendar day, how many active users
+    are NEW (first activity that day), RETURNING (active before, active
+    today), and what the cumulative registered-user count is — the
+    decomposition every growth dashboard pairs with the q142 retention
+    matrix. Shape: one first-activity aggregate + one DISTINCT
+    (user, day) projection joined on the user key (the q142 frames,
+    re-used arithmetic); the cumulative sum runs over the O(days)
+    rollup only.
+    """
+    from pyspark.sql import Window
+
+    first = (events.groupBy(F.col(user_col).alias("user_id"))
+             .agg(F.to_date(F.min(ts_col)).alias("d0")))
+    active = (events.select(F.col(user_col).alias("user_id"),
+                            F.to_date(F.col(ts_col)).alias("day"))
+              .distinct())
+    tagged = active.join(first, "user_id")
+    daily = tagged.groupBy("day").agg(
+        F.sum((F.col("day") == F.col("d0")).cast("int")).cast("bigint")
+        .alias("n_new"),
+        F.sum((F.col("day") != F.col("d0")).cast("int")).cast("bigint")
+        .alias("n_returning"),
+    )
+    w = (Window.orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (daily.withColumn("cum_users",
+                             F.sum("n_new").over(w).cast("bigint"))
+            .withColumn("day", F.col("day").cast("string")))

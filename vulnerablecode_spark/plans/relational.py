@@ -1260,3 +1260,43 @@ def q155_zorder_key(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_partkey",
         zorder_key([F.col("l_orderkey"), F.col("l_partkey")],
                    bits=16).alias("zkey"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 daily growth accounting (operators/events.py growth_accounting):
+# new vs returning actives per day + cumulative registered users —
+# the q142 frames re-joined on the user key, cumulative window over
+# the O(days) rollup only.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_growth_accounting",
+    oracle="""
+    WITH first AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS d0
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    daily AS (
+        SELECT a.day,
+               CAST(SUM(CASE WHEN a.day = f.d0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN a.day <> f.d0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning
+        FROM active a JOIN first f USING (user_id)
+        GROUP BY a.day
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_new, n_returning,
+           CAST(SUM(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def q157_growth_accounting(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import growth_accounting
+
+    events = _load(spark, sf_dir, "events")
+    return growth_accounting(events)
