@@ -1313,3 +1313,47 @@ class TestGrowthAccounting:
                for r in growth_accounting(events).collect()}
         assert got["2024-01-01"] == (2, 0, 2)
         assert got["2024-01-02"] == (1, 1, 3)
+
+
+class TestSessionPmi:
+    def test_pair_counts_and_sign(self, spark):
+        import math
+
+        from vulnerablecode_spark.operators.events import (
+            session_cooccurrence_pmi)
+
+        # 4 sessions (distinct users, far-apart events stay one session
+        # each within the 12h gap): a+b together twice, c alone twice
+        rows = [
+            (1, "2024-01-01T00:00:00", "a", 1),
+            (1, "2024-01-01T01:00:00", "b", 2),
+            (2, "2024-01-01T00:00:00", "a", 3),
+            (2, "2024-01-01T01:00:00", "b", 4),
+            (3, "2024-01-01T00:00:00", "c", 5),
+            (4, "2024-01-01T00:00:00", "c", 6),
+        ]
+        events = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, "
+                  "event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {(r.type_a, r.type_b): r for r in
+               session_cooccurrence_pmi(events).collect()}
+        ab = got[("a", "b")]
+        # n=4 sessions, n_a=n_b=2, n_ab=2 → PMI = ln(4·2/(2·2)) = ln 2
+        assert ab.n_ab == 2
+        assert ab.pmi == round(math.log(2), 4)
+        # c never co-occurs → no (a,c)/(b,c) rows at all
+        assert set(got) == {("a", "b")}
+
+    def test_gap_splits_sessions(self, spark):
+        from vulnerablecode_spark.operators.events import (
+            session_cooccurrence_pmi)
+
+        # same user, 13h apart → two sessions, so a and b never co-occur
+        rows = [(1, "2024-01-01T00:00:00", "a", 1),
+                (1, "2024-01-01T13:00:00", "b", 2)]
+        events = spark.createDataFrame(
+            rows, "user_id long, ts string, event_type string, "
+                  "event_id long"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        assert session_cooccurrence_pmi(events).count() == 0

@@ -815,3 +815,11 @@ class TestRound10NewOps:
         # the single-partition window runs over the O(days) rollup
         assert plan.count("SinglePartition") <= 1
         assert "CartesianProduct" not in plan
+
+    def test_q158_pmi_pairs_session_keyed(self, spark):
+        # the pair enumeration joins on the session key — never a
+        # cartesian; dim frames broadcast
+        plan = plan_of(spark, "q158_session_pmi")
+        assert "CartesianProduct" not in plan
+        assert ("BroadcastHashJoin" in plan
+                or "BroadcastNestedLoopJoin" in plan)

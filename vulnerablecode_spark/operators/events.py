@@ -341,3 +341,66 @@ def growth_accounting(events: DataFrame, *, ts_col: str = "ts",
     return (daily.withColumn("cum_users",
                              F.sum("n_new").over(w).cast("bigint"))
             .withColumn("day", F.col("day").cast("string")))
+
+
+def session_cooccurrence_pmi(events: DataFrame, *,
+                             gap_us: int = 43_200_000_000,
+                             ts_col: str = "ts",
+                             user_col: str = "user_id",
+                             type_col: str = "event_type",
+                             id_col: str = "event_id") -> DataFrame:
+    """Association mining over sessions: pointwise mutual information
+    between event-type pairs co-occurring in the same session —
+    PMI(a,b) = ln(n·n_ab / (n_a·n_b)) over session-level presence
+    counts, the "users who do X in a session also do Y" signal that
+    complements the sequential transition matrix (q152) with an
+    order-free view.
+
+    Shape: sessions come from the same gap rule as q108 (ONE user-keyed
+    shuffle), collapse to DISTINCT (session, type) presence rows, and
+    the pair enumeration is a self-join ON THE SESSION KEY — bounded by
+    types-per-session (≤ the type vocabulary), never a cross join.
+    Counts are exact integers; PMI is one IEEE log of an exact integer
+    ratio, quantized to 4dp.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (events.select(user_col, ts_col, id_col,
+                          F.col(type_col).alias("etype"))
+            .withColumn("_prev", F.lag(ts_col).over(w))
+            .withColumn(
+                "_new",
+                F.when(F.col("_prev").isNull()
+                       | (F.expr(f"timestampdiff(MICROSECOND, _prev, "
+                                 f"{ts_col})") > gap_us), 1).otherwise(0))
+            .withColumn("_sidx", F.sum("_new").over(run))
+            .select(F.concat_ws("#", F.col(user_col).cast("string"),
+                                F.col("_sidx").cast("string"))
+                    .alias("sid"), "etype")
+            .distinct())
+    n_sessions = (sess.select("sid").distinct()
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                  .withColumn("_k", F.lit(1)))
+    type_counts = sess.groupBy("etype").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t"))
+    a = sess.select("sid", F.col("etype").alias("type_a"))
+    b = sess.select("sid", F.col("etype").alias("type_b"))
+    pair_counts = (a.join(b, "sid")
+                   .filter(F.col("type_a") < F.col("type_b"))
+                   .groupBy("type_a", "type_b")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")))
+    return (pair_counts
+            .join(F.broadcast(type_counts.withColumnRenamed(
+                "etype", "type_a").withColumnRenamed("n_t", "n_a")),
+                "type_a")
+            .join(F.broadcast(type_counts.withColumnRenamed(
+                "etype", "type_b").withColumnRenamed("n_t", "n_b")),
+                "type_b")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(n_sessions), "_k")
+            .select("type_a", "type_b", "n_ab",
+                    F.round(F.log((F.col("n") * F.col("n_ab"))
+                                  / (F.col("n_a") * F.col("n_b"))), 4)
+                    .alias("pmi")))

@@ -1300,3 +1300,60 @@ def q157_growth_accounting(spark, sf_dir):
 
     events = _load(spark, sf_dir, "events")
     return growth_accounting(events)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 within-session co-occurrence PMI (operators/events.py
+# session_cooccurrence_pmi): the q108 gap sessions collapsed to
+# DISTINCT (session, type) presence, pairs enumerated ON THE SESSION
+# KEY (bounded by types-per-session), PMI from exact integer counts —
+# the order-free association view next to q152's sequential
+# transitions.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_session_pmi",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                            > 43200000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT DISTINCT
+               CAST(user_id AS VARCHAR) || '#' ||
+               CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                    AS VARCHAR) AS sid,
+               event_type AS etype
+        FROM seq
+    ),
+    ns AS (SELECT CAST(COUNT(DISTINCT sid) AS BIGINT) AS n FROM sess),
+    tc AS (SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_t
+           FROM sess GROUP BY etype),
+    pc AS (
+        SELECT a.etype AS type_a, b.etype AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM sess a JOIN sess b ON a.sid = b.sid AND a.etype < b.etype
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           ROUND(ln(CAST(ns.n * p.n_ab AS DOUBLE)
+                    / CAST(ta.n_t * tb.n_t AS DOUBLE)), 4) AS pmi
+    FROM pc p
+    JOIN tc ta ON ta.etype = p.type_a
+    JOIN tc tb ON tb.etype = p.type_b, ns
+    """,
+)
+def q158_session_pmi(spark, sf_dir):
+    from vulnerablecode_spark.operators.events import (
+        session_cooccurrence_pmi)
+
+    events = _load(spark, sf_dir, "events")
+    return session_cooccurrence_pmi(events)
