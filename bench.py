@@ -66,7 +66,7 @@ EXTRAS = [
     "q152_transition_matrix", "q153_ks_drift",
     "q154_quantile_calibrate", "q155_zorder_key",
     "q156_shards_incremental", "q157_growth_accounting",
-    "q158_session_pmi",
+    "q158_session_pmi", "q159_event_cube",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

@@ -1357,3 +1357,21 @@ class TestSessionPmi:
                   "event_id long"
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         assert session_cooccurrence_pmi(events).count() == 0
+
+
+class TestEventCube:
+    def test_marginals_consistent(self, spark):
+        import vulnerablecode_spark.plans.relational  # noqa: F401
+        from vulnerablecode_spark.plans import QUERIES
+
+        from tests.conftest import SF_SMOKE
+
+        rows = QUERIES["q159_event_cube"](spark, SF_SMOKE).collect()
+        total = [r for r in rows if r.g_day == 1 and r.g_type == 1]
+        assert len(total) == 1
+        by_type = [r for r in rows if r.g_day == 1 and r.g_type == 0]
+        by_day = [r for r in rows if r.g_day == 0 and r.g_type == 1]
+        cells = [r for r in rows if r.g_day == 0 and r.g_type == 0]
+        for sub in (by_type, by_day, cells):
+            assert sum(r.n_events for r in sub) == total[0].n_events
+            assert sum(r.value_sum_q for r in sub) == total[0].value_sum_q

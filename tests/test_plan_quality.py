@@ -823,3 +823,12 @@ class TestRound10NewOps:
         assert "CartesianProduct" not in plan
         assert ("BroadcastHashJoin" in plan
                 or "BroadcastNestedLoopJoin" in plan)
+
+    def test_q159_cube_single_aggregate_pass(self, spark):
+        # CUBE expands grouping sets inside ONE aggregate (Expand node,
+        # map-side partial) — never a union of per-marginal scans
+        plan = plan_of(spark, "q159_event_cube")
+        assert plan.count("(") and "Expand" in plan
+        assert len(__import__("re").findall(r"\(\d+\) Scan parquet",
+                                            plan)) == 1
+        assert "partial" in plan

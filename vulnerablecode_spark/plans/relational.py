@@ -1357,3 +1357,39 @@ def q158_session_pmi(spark, sf_dir):
 
     events = _load(spark, sf_dir, "events")
     return session_cooccurrence_pmi(events)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 grouping sets — one pass computing every marginal of the
+# (day, event_type) rollup via CUBE: Spark expands grouping sets inside
+# a single aggregate (map-side combined, one shuffle), the same way the
+# engines' OLAP cubes do; GROUPING() flags distinguish "NULL because
+# subtotal" from data NULLs. Micro-unit value sums keep the double
+# column order-free exact.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q159_event_cube",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_day,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS value_sum_q
+    FROM events
+    GROUP BY CUBE (CAST(ts AS DATE), event_type)
+    """,
+)
+def q159_event_cube(spark, sf_dir):
+    events = _load(spark, sf_dir, "events")
+    base = events.select(
+        F.to_date("ts").cast("string").alias("day"), "event_type", "value")
+    return (base.cube("day", "event_type")
+            .agg(F.grouping("day").cast("int").alias("g_day"),
+                 F.grouping("event_type").cast("int").alias("g_type"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum(F.floor(F.col("value") * 1_000_000.0 + 0.5)
+                       .cast("bigint")).cast("bigint")
+                 .alias("value_sum_q")))
