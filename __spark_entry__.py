@@ -40,12 +40,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # order below ROTATES the window to keep every query's most recent
 # driver-graded row ≤2 rounds old. Staleness is computed from the
 # committed CORRECTNESS_r{N}.json artifacts themselves (no hand-edited
-# round lists): (0) queries with no driver row yet — new this round —
-# by number, (1) the five relational sentinels — one per §2 family —
-# every round, (2) everything else stalest-first (ascending last-graded
-# round, then number). tests/test_oracle_parity.py still hash-checks ALL
-# queries every run regardless of the window, so rotation only affects
-# which rows the driver re-certifies, never what is verified.
+# round lists): (0) queries whose LATEST driver grade is red (hash
+# mismatch or comparator error) — a fix must be re-certified the very
+# next round, and stalest-first would otherwise park them at the BACK
+# of the order (they were graded most recently); (1) queries with no
+# driver row yet — new this round — by number, CAPPED at 40 slots so a
+# large new batch can never again push the sentinels out of the window
+# (the r10 failure mode: 50 new queries consumed all 50 slots);
+# (2) the five relational sentinels — one per §2 family — every round;
+# (3) everything else stalest-first (ascending last-graded round, then
+# number), with capped-out new queries treated as infinitely stale.
+# tests/test_oracle_parity.py still hash-checks ALL queries every run
+# regardless of the window, so rotation only affects which rows the
+# driver re-certifies, never what is verified.
+_NEVER_GRADED_CAP = 40
 _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
     "q01_pricing_summary",   # full-scan aggregation
     "q08_latest_per_key",    # SCD2 / is_latest window
@@ -55,15 +63,17 @@ _SENTINELS = [  # one per relational family: scan-agg, SCD2, range join,
 ]
 
 
-def _last_graded_rounds() -> dict[str, int]:
-    """query name -> highest round number with a CORRECTNESS row."""
+def _grading_history() -> tuple[dict[str, int], set[str]]:
+    """(query name -> highest round with a CORRECTNESS row,
+    names whose row at that latest round was red)."""
     import glob
     import json
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     last: dict[str, int] = {}
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    verdict: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
@@ -73,21 +83,38 @@ def _last_graded_rounds() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+        for name, row in rows.items():
+            if rnd >= last.get(name, 0):
+                last[name] = rnd
+                ok = (isinstance(row, dict)
+                      and row.get("err") in (None, "")
+                      and row.get("rows_match") is True
+                      and row.get("schema_match") in (True, None)
+                      and row.get("hash_match") in (True, None))
+                verdict[name] = ok
+    failed = {n for n, ok in verdict.items() if not ok}
+    return last, failed
 
 
-_LAST_GRADED = _last_graded_rounds()
+_LAST_GRADED, _FAILED_LATEST = _grading_history()
+_NEVER_GRADED = sorted(
+    (n for n in QUERIES if n not in _LAST_GRADED),
+    key=lambda n: (int(n[1:4]) if n[1:4].isdigit()
+                   else int(n[1:3]) if n[1:3].isdigit() else 999, n))
+_NEW_IN_WINDOW = set(_NEVER_GRADED[:_NEVER_GRADED_CAP])
 
 
 def _grade_order(name: str) -> tuple[int, int, int, str]:
-    num = int(name[1:3]) if name[1:3].isdigit() else 99
-    if name not in _LAST_GRADED:
-        return (0, 0, num, name)  # never graded: always inside the window
+    num = (int(name[1:4]) if name[1:4].isdigit()
+           else int(name[1:3]) if name[1:3].isdigit() else 999)
+    if name in _FAILED_LATEST:
+        return (0, 0, num, name)  # red at latest grade: re-certify NOW
+    if name in _NEW_IN_WINDOW:
+        return (1, 0, num, name)  # never graded, inside the cap
     if name in _SENTINELS:
-        return (1, _SENTINELS.index(name), num, name)
-    return (2, _LAST_GRADED[name], num, name)  # stalest first
+        return (2, _SENTINELS.index(name), num, name)
+    # stalest first; capped-out new queries sort as infinitely stale
+    return (3, _LAST_GRADED.get(name, -1), num, name)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

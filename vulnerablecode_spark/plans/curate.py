@@ -636,8 +636,8 @@ def q135_serpentine_shards(spark, sf_dir):
         FROM assigned GROUP BY shard
     )
     SELECT shard, n_docs, w_total,
-           (w_total * 10000) // (SELECT SUM(w_total) FROM per_shard)
-               AS share_bp
+           CAST((w_total * 10000) // (SELECT SUM(w_total) FROM per_shard)
+               AS BIGINT) AS share_bp
     FROM per_shard
     """,
 )
@@ -713,7 +713,7 @@ def q137_chunk_documents(spark, sf_dir):
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
            CAST(SUM(keep) AS BIGINT) AS kept_chunks,
-           (SUM(keep) * 10000) // COUNT(*) AS kept_bp
+           CAST((SUM(keep) * 10000) // COUNT(*) AS BIGINT) AS kept_bp
     FROM marked GROUP BY doc_id
     """,
 )

@@ -2865,7 +2865,12 @@ def q125_ccnet_assign_incremental(spark, sf_dir):
 # 16-bin byte histogram per payload, numpy-vectorized per Arrow batch.
 # The oracle re-derives every byte from hex(payload) — bin = b*16//256 —
 # and int/int division is correctly-rounded IEEE in both engines, so the
-# double arrays hash-match at the comparator's 9dp normalization.
+# double shares hash-match at the comparator's 9dp normalization.
+# GRADED SURFACE IS SCALAR ROWS (doc_id, bin, share): the r10 driver's
+# canonicalizer cannot sort an array<double> column (pandas
+# 'unhashable type: list'), so the feature vector posexplodes to one
+# row per bin on BOTH sides; the operator itself still returns the
+# array<double> feature column for the ANN/cosine consumers.
 # ---------------------------------------------------------------------------
 
 
@@ -2893,17 +2898,17 @@ def q125_ccnet_assign_incremental(spark, sf_dir):
     tot AS (
         SELECT doc_id, SUM(c) AS t FROM dense GROUP BY doc_id
     )
-    SELECT de.doc_id,
-           list(CASE WHEN tt.t = 0 THEN 0.0 ELSE de.c / tt.t END
-                ORDER BY de.bin) AS features
+    SELECT de.doc_id, CAST(de.bin AS INT) AS bin,
+           CASE WHEN tt.t = 0 THEN 0.0 ELSE de.c / tt.t END AS share
     FROM dense de JOIN tot tt USING (doc_id)
-    GROUP BY de.doc_id
     """,
 )
 def q129_byte_histogram(spark, sf_dir):
     payload = _payload_artifact(spark, sf_dir)
-    return multimodal.byte_histogram_features(payload, bins=16,
-                                              spread_input=False)
+    feats = multimodal.byte_histogram_features(payload, bins=16,
+                                               spread_input=False)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("bin", "share"))
 
 
 # ---------------------------------------------------------------------------
@@ -2987,8 +2992,8 @@ def q130_semantic_dedup_incremental(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS novel_grams,
-           (SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 10000)
-               // COUNT(*) AS novelty_bp
+           CAST((SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) * 10000)
+               // COUNT(*) AS BIGINT) AS novelty_bp
     FROM per_doc p JOIN doc_freq f USING (gram)
     GROUP BY p.doc_id
     """,

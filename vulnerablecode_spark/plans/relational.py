@@ -1053,9 +1053,10 @@ def q142_retention_cohorts(spark, sf_dir):
         SELECT user_id, ts AS touch_ts, MAX(event_id) AS touch_id
         FROM events WHERE event_type = 'click' GROUP BY user_id, ts
     )
-    SELECT c.event_id AS conv_id, c.user_id, t2.touch_id,
+    SELECT c.event_id AS conv_id, c.user_id,
+           CAST(t2.touch_id AS DOUBLE) AS touch_id,
            CASE WHEN t2.touch_id IS NOT NULL
-                THEN CAST(c.gap AS BIGINT) END AS gap_us
+                THEN CAST(c.gap AS DOUBLE) END AS gap_us
     FROM conv c
     LEFT JOIN tid t2 ON c.user_id = t2.user_id AND c.lt = t2.touch_ts
                      AND c.gap <= 86400000000
@@ -1065,9 +1066,16 @@ def q143_conversion_attribution(spark, sf_dir):
     from vulnerablecode_spark.operators.events import attribute_conversions
 
     events = _load(spark, sf_dir, "events")
-    return attribute_conversions(events, touch_type="click",
-                                 conv_type="purchase",
-                                 horizon_us=86_400_000_000)
+    # touch_id/gap_us are NULLABLE integers: DuckDB's .df() widens a
+    # nullable BIGINT to float64, so grade both as explicit DOUBLE on
+    # BOTH sides — otherwise the dtype agreement depends on whether the
+    # sample happens to contain a NULL (the r10 judge's latent-twin
+    # finding).
+    return (attribute_conversions(events, touch_type="click",
+                                  conv_type="purchase",
+                                  horizon_us=86_400_000_000)
+            .withColumn("touch_id", F.col("touch_id").cast("double"))
+            .withColumn("gap_us", F.col("gap_us").cast("double")))
 
 
 # ---------------------------------------------------------------------------
@@ -1146,9 +1154,10 @@ def q146_active_users(spark, sf_dir):
                END AS z_bp
         FROM st
     )
-    SELECT event_type, hour, n, z_bp,
+    SELECT event_type, hour, n, CAST(z_bp AS DOUBLE) AS z_bp,
            CASE WHEN z_bp IS NOT NULL
-                THEN CAST(ABS(z_bp) >= 30000 AS INT) END AS is_anomaly
+                THEN CAST(CAST(ABS(z_bp) >= 30000 AS INT) AS DOUBLE)
+           END AS is_anomaly
     FROM z
     """,
 )
@@ -1156,10 +1165,14 @@ def q149_rate_anomalies(spark, sf_dir):
     from vulnerablecode_spark.operators.events import rate_anomalies
 
     events = _load(spark, sf_dir, "events")
-    # nullable BOOLEAN stringifies differently between the engines'
-    # client layers (NULL vs NaN) — grade the flag as nullable INT
-    return rate_anomalies(events, trailing=24, z_bp_threshold=30_000) \
-        .withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
+    # z_bp/is_anomaly are NULLABLE (first 24 hours per key carry no
+    # z-score): DuckDB's .df() widens nullable integers to float64, so
+    # grade both as explicit DOUBLE on BOTH sides — dtype agreement must
+    # not depend on the sample containing a NULL (r10 latent-twin
+    # finding). NULL flag also sidesteps the nullable-BOOLEAN repr gap.
+    return (rate_anomalies(events, trailing=24, z_bp_threshold=30_000)
+            .withColumn("z_bp", F.col("z_bp").cast("double"))
+            .withColumn("is_anomaly", F.col("is_anomaly").cast("double")))
 
 
 # ---------------------------------------------------------------------------
