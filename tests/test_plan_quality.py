@@ -832,3 +832,47 @@ class TestRound10NewOps:
         assert len(__import__("re").findall(r"\(\d+\) Scan parquet",
                                             plan)) == 1
         assert "partial" in plan
+
+    # ---- round 11: KMV sketches, bitext margin, dispersion, AUC ----
+
+    def test_q160_kmv_bottomk_is_group_limited(self, spark):
+        # the bottom-k rank filter must compile to WindowGroupLimit
+        # (partial per-partition bottom-k BEFORE the shuffle) — without
+        # it every distinct hash of a group crosses the wire
+        plan = plan_of(spark, "q160_kmv_cardinality")
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q162_sketch_algebra_never_rescans_corpus(self, spark):
+        # the Jaccard matrix runs on the MATERIALIZED O(groups×k) sketch:
+        # the final plan contains zero parquet scans (corpus touched only
+        # inside the one checkpoint build) and only broadcast joins
+        plan = plan_of(spark, "q162_kmv_jaccard_matrix")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_q163_bitext_margin_shape(self, spark):
+        # one materialized candidate frame serves both directions; the
+        # two top-k windows are rank-limited (WindowGroupLimit)
+        plan = plan_of(spark, "q163_bitext_margin")
+        assert "WindowGroupLimit" in plan
+        assert "CartesianProduct" not in plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+    def test_q164_dispersion_single_scan_no_join(self, spark):
+        # centroid trick: O(n·dim) single scan, two-level aggregate,
+        # NO pair join anywhere
+        plan = plan_of(spark, "q164_embedding_dispersion")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q166_auc_runs_over_score_classes(self, spark):
+        # histogram-AUC: one scan, the rank window runs over (group,
+        # score) classes produced by a partial-aggregated groupBy —
+        # never a per-row global sort, never a join
+        plan = plan_of(spark, "q166_auc_eval")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
+        assert "partial" in plan  # map-side combine before the classes

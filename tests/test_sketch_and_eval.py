@@ -1,0 +1,179 @@
+"""Unit tests for the round-11 operator families: KMV bottom-k sketches
+(llm/sketch.py), margin-based bitext mining and centroid-trick dispersion
+(llm/similarity.py), DoReMi-style domain reweighting (llm/curate.py) and
+exact rank-based AUC (llm/classify.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from vulnerablecode_spark.llm import sketch
+from vulnerablecode_spark.llm.classify import auc_rank_eval
+from vulnerablecode_spark.llm.curate import domain_excess_weights
+from vulnerablecode_spark.llm.similarity import (bitext_margin_mining,
+                                                 embedding_dispersion)
+
+
+def _tok_df(spark, rows):
+    return spark.createDataFrame(rows, "source string, tok string")
+
+
+class TestKMV:
+    def test_merge_equals_from_scratch(self, spark):
+        rows = [("s", f"t{i}") for i in range(300)]
+        full = _tok_df(spark, rows)
+        a = _tok_df(spark, rows[:180])
+        b = _tok_df(spark, rows[150:])  # overlapping batches
+        k = 32
+        direct = sketch.kmv_sketch(full, F.col("tok"), k=k)
+        merged = sketch.kmv_merge(sketch.kmv_sketch(a, F.col("tok"), k=k),
+                                  sketch.kmv_sketch(b, F.col("tok"), k=k),
+                                  k=k)
+        d = {r.h for r in direct.collect()}
+        m = {r.h for r in merged.collect()}
+        assert d == m and len(d) == k
+
+    def test_small_group_short_circuit_is_exact(self, spark):
+        df = _tok_df(spark, [("s", f"t{i}") for i in range(10)])
+        est = sketch.kmv_estimate(
+            sketch.kmv_sketch(df, F.col("tok"), k=64), 64).collect()
+        assert est[0].est_distinct == 10
+
+    def test_estimate_within_sampling_error(self, spark):
+        n = 2000
+        df = _tok_df(spark, [("s", f"t{i}") for i in range(n)])
+        est = sketch.kmv_estimate(
+            sketch.kmv_sketch(df, F.col("tok"), k=128), 128).collect()
+        # KMV relative error ~ 1/sqrt(k-2) ≈ 9%; allow 3σ
+        assert abs(est[0].est_distinct - n) / n < 0.27
+
+    def test_jaccard_identical_and_disjoint(self, spark):
+        same = [(s, f"t{i}") for i in range(200) for s in ("a", "b")]
+        disj = [("c", f"x{i}") for i in range(200)]
+        sk = sketch.kmv_sketch(_tok_df(spark, same + disj),
+                               F.col("tok"), k=64)
+        rows = {(r.src_a, r.src_b): r for r in
+                sketch.kmv_jaccard_matrix(sk, k=64).collect()}
+        assert rows[("a", "b")].jaccard_bp == 10000
+        assert rows[("a", "c")].jaccard_bp == 0
+        assert rows[("b", "c")].jaccard_bp == 0
+
+    def test_k_must_be_sane(self, spark):
+        df = _tok_df(spark, [("s", "t")])
+        with pytest.raises(ValueError):
+            sketch.kmv_sketch(df, F.col("tok"), k=1)
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+class TestBitextMargin:
+    def test_reciprocal_pair_beats_hub(self, spark):
+        # b0 is a hub: moderately close to EVERY a; (a1, b1) is an
+        # isolated reciprocal pair. Margin must rank (a1, b1) above any
+        # hub match even though raw cosines are comparable.
+        a = _emb_df(spark, [
+            (0, [1.0, 0.2, 0.0, 0.0]),
+            (2, [0.2, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.2, 0.0, 1.0]),
+            (6, [0.5, 0.5, 0.5, 0.1]),
+        ])
+        b = _emb_df(spark, [
+            (1, [0.5, 0.5, 0.5, 0.0]),   # hub, near everything
+            (3, [0.0, 0.19, 0.0, 0.98]),  # a4's reciprocal partner
+            (5, [-1.0, 0.1, 0.0, 0.0]),
+        ])
+        res = {r.id_a: r for r in
+               bitext_margin_mining(a, b, k=2).collect()}
+        # a4's best is its true partner b3 and its margin beats the
+        # hub-matched rows
+        assert res[4].id_b == 3
+        hub_margins = [r.margin_bp for i, r in res.items() if r.id_b == 1]
+        assert hub_margins and res[4].margin_bp > max(hub_margins)
+
+    def test_nonpositive_matches_excluded(self, spark):
+        a = _emb_df(spark, [(0, [1.0, 0.0])])
+        b = _emb_df(spark, [(1, [-1.0, 0.0])])
+        assert bitext_margin_mining(a, b, k=1).count() == 0
+
+
+class TestDispersion:
+    def test_identical_vectors_cohere(self, spark):
+        df = spark.createDataFrame(
+            [(i, 7, [3.0, 4.0, 0.0]) for i in range(5)],
+            "vec_id long, label int, embedding array<double>")
+        row = embedding_dispersion(df).collect()[0]
+        assert row.n == 5
+        assert 999_000 <= row.mean_pair_cos_e6 <= 1_000_000
+
+    def test_orthogonal_pair_near_zero(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1, [1.0, 0.0]), (1, 1, [0.0, 1.0])],
+            "vec_id long, label int, embedding array<double>")
+        row = embedding_dispersion(df).collect()[0]
+        assert abs(row.mean_pair_cos_e6) <= 2  # quantization only
+
+    def test_singleton_and_zero_norm_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1, [1.0, 0.0]), (1, 2, [0.0, 0.0])],
+            "vec_id long, label int, embedding array<double>")
+        assert embedding_dispersion(df).count() == 0
+
+
+class TestDomainWeights:
+    def test_below_mean_domain_takes_excess(self, spark):
+        df = spark.createDataFrame(
+            [("good", 8000), ("good", 8000), ("bad", 2000), ("bad", 2000)],
+            "source string, lm_score_bp long")
+        rows = {r.source: r for r in domain_excess_weights(df).collect()}
+        assert rows["good"].excess_bp == 0 and rows["good"].weight_bp == 0
+        assert rows["bad"].excess_bp == 3000  # mean 5000 - 2000
+        assert rows["bad"].weight_bp == 10000
+
+    def test_uniform_corpus_all_zero(self, spark):
+        df = spark.createDataFrame(
+            [("a", 5000), ("b", 5000)], "source string, lm_score_bp long")
+        assert all(r.weight_bp == 0
+                   for r in domain_excess_weights(df).collect())
+
+    def test_weights_sum_to_at_most_10000(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1000), ("b", 4000), ("c", 9000), ("c", 9500)],
+            "source string, lm_score_bp long")
+        total = sum(r.weight_bp for r in domain_excess_weights(df).collect())
+        assert 9998 <= total <= 10000  # integer-div remainder only
+
+
+class TestAUC:
+    def _eval(self, spark, rows):
+        df = spark.createDataFrame(rows, "source string, score long, y int")
+        return {r.source: r for r in
+                auc_rank_eval(df, score_col="score", label_col="y").collect()}
+
+    def test_perfect_separation(self, spark):
+        rows = ([("s", 10 + i, 1) for i in range(5)]
+                + [("s", i, 0) for i in range(5)])
+        assert self._eval(spark, rows)["s"].auc_bp == 10000
+
+    def test_reversed_is_zero(self, spark):
+        rows = ([("s", i, 1) for i in range(5)]
+                + [("s", 10 + i, 0) for i in range(5)])
+        assert self._eval(spark, rows)["s"].auc_bp == 0
+
+    def test_all_tied_is_half(self, spark):
+        rows = [("s", 7, 1)] * 4 + [("s", 7, 0)] * 6
+        assert self._eval(spark, rows)["s"].auc_bp == 5000
+
+    def test_known_hand_value(self, spark):
+        # scores: pos {3, 1}, neg {2, 1} → pairs: (3>2)+(3>1)+(1<2 no)
+        # +(1=1 half) = 2.5 / 4 = 0.625
+        rows = [("s", 3, 1), ("s", 1, 1), ("s", 2, 0), ("s", 1, 0)]
+        assert self._eval(spark, rows)["s"].auc_bp == 6250
+
+    def test_single_class_group_excluded(self, spark):
+        rows = [("only_pos", 5, 1), ("only_pos", 6, 1),
+                ("both", 5, 1), ("both", 4, 0)]
+        res = self._eval(spark, rows)
+        assert "only_pos" not in res and res["both"].auc_bp == 10000

@@ -19,7 +19,7 @@ run both (DSIR to resample, a classifier to hard-filter).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -108,3 +108,45 @@ def classifier_filter_report(
         .cast("bigint").alias("n_kept"),
     ).withColumn(
         "kept_bp", F.expr("n_kept * 10000 div n_docs").cast("bigint"))
+
+
+def auc_rank_eval(df: DataFrame, *, score_col: str, label_col: str,
+                  group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Exact ROC-AUC per group via the Mann-Whitney rank statistic —
+    the distributed classifier-evaluation step (quality filters, PII
+    detectors, language ID all get threshold-free eval this way before
+    a cutoff is chosen). Tie handling is the textbook average-rank rule,
+    carried in DOUBLED integer ranks so everything stays exact BIGINT:
+    a score class preceded by ``cum`` rows with ``c`` members has
+    2·avg_rank = 2·cum + c + 1, and
+    ``AUC = (Σ_pos 2·avg_rank − n₁(n₁+1)) / (2·n₁·n₀)``
+    → ``auc_bp = (s2 − n₁(n₁+1)) · 5000 div (n₁·n₀)`` (numerator is
+    provably non-negative, so trunc-vs-floor never diverges).
+
+    Scale: the input collapses to (group, score) CLASSES first — a
+    map-side-combinable aggregate that shrinks a 100 TB frame to
+    |distinct scores| rows per group — and the rank windows run over
+    those classes only, never the raw rows. This is the histogram-AUC
+    shape, exact because scores are integers; no global per-row sort
+    ever happens.
+
+    Output: (group..., n_pos, n_neg, auc_bp); groups missing one class
+    have undefined AUC and are excluded.
+    """
+    cls = df.groupBy(*group_cols, score_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum(F.col(label_col).cast("bigint")).cast("bigint").alias("p"))
+    w = (Window.partitionBy(*group_cols).orderBy(F.col(score_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    r = cls.withColumn(
+        "cum", F.coalesce(F.sum("c").over(w), F.lit(0).cast("bigint")))
+    per = r.groupBy(*group_cols).agg(
+        F.sum(F.col("p") * (2 * F.col("cum") + F.col("c") + 1)).alias("s2"),
+        F.sum("p").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).alias("n_neg"))
+    return (per.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .selectExpr(*group_cols,
+                        "CAST(n_pos AS BIGINT) AS n_pos",
+                        "CAST(n_neg AS BIGINT) AS n_neg",
+                        "CAST((s2 - n_pos * (n_pos + 1)) * 5000 "
+                        "div (n_pos * n_neg) AS BIGINT) AS auc_bp"))

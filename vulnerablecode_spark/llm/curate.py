@@ -1393,3 +1393,48 @@ def serpentine_shards_incremental(stored_totals: DataFrame,
     return (ranked.withColumn("_pos", idx.cast("bigint"))
             .join(F.broadcast(pos_map), "_pos")
             .drop("_pos"))
+
+
+def domain_excess_weights(scored: DataFrame, *, group_col: str = "source",
+                          score_col: str = "lm_score_bp",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Domain-reweighting from proxy-model scores — the DoReMi idea
+    (Xie et al. 2023) in its deterministic integer form: domains the
+    proxy LM models WORSE than the corpus average carry learnable
+    signal and get proportionally more sampling weight; domains at or
+    above the average get none of the excess pool. With per-domain mean
+    score m_g and corpus mean m (both exact integer divisions of BIGINT
+    sums), ``excess_g = max(0, m − m_g)`` and
+    ``weight_bp = excess_g · 10000 div Σ excess`` (all-zero excess —
+    a perfectly uniform corpus — yields weight 0 everywhere, the
+    caller's cue to fall back to uniform mixing).
+
+    This is the third member of the mixture family: UniMax (q124)
+    allocates by token BUDGETS, temperature sampling (q109) flattens by
+    SIZE, this reweights by MODELABILITY. Output: (group, n_docs,
+    mean_score_bp, excess_bp, weight_bp).
+
+    Scale: one group-key aggregate with map-side combine over the
+    already-scored frame, then an O(domains) broadcast of the two
+    scalars — nothing corpus-sized moves.
+    """
+    per = scored.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col(score_col).cast("bigint")).alias("_s"))
+    glob = (scored.agg(
+        F.sum(F.col(score_col).cast("bigint")).alias("_gs"),
+        F.count(F.lit(1)).cast("bigint").alias("_gn"))
+        .select(F.expr("_gs div _gn").alias("_gmean"), F.lit(1).alias("_k")))
+    w = (per.withColumn("mean_score_bp", F.expr("_s div n_docs"))
+         .withColumn("_k", F.lit(1))
+         .join(F.broadcast(glob), "_k")
+         .withColumn("excess_bp",
+                     F.greatest(F.lit(0).cast("bigint"),
+                                F.col("_gmean") - F.col("mean_score_bp"))))
+    tot = w.agg(F.sum("excess_bp").alias("_t")).withColumn("_k", F.lit(1))
+    return (w.join(F.broadcast(tot), "_k")
+            .select(F.col("grp").alias(group_col), "n_docs",
+                    "mean_score_bp", "excess_bp",
+                    F.when(F.col("_t") > 0,
+                           F.expr("excess_bp * 10000 div _t"))
+                    .otherwise(F.lit(0)).cast("bigint").alias("weight_bp")))

@@ -1136,3 +1136,127 @@ def label_centroid_similarity(corpus: DataFrame, *,
             .select("label_a", "label_b",
                     F.round(cosine(F.col("qv"), F.col("cv")), 4)
                     .alias("cosine_sim")))
+
+
+def bitext_margin_mining(emb_a: DataFrame, emb_b: DataFrame, k: int = 4,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding sets —
+    the CCMatrix/LASER alignment step (Artetxe & Schwenk 2019): for each
+    vector in A, its best match in B is scored not by raw cosine but by
+    the MARGIN over both sides' neighborhood densities,
+    ``margin(x,y) = cos(x,y) / ((avgK(x→B) + avgK(y→A)) / 2)``,
+    which suppresses hub vectors that are everyone's nearest neighbor.
+    This is how web-scale bitext (and cross-modal pair) corpora are
+    actually mined before translation-pair training.
+
+    Output: (id_a, id_b, cos_bp, margin_bp) — one row per A-vector whose
+    best match has positive similarity; ``cos_bp`` is the cosine in
+    integer basis points, ``margin_bp`` the margin ×10000. All ranking
+    and arithmetic happen on integer basis points so the result is
+    bit-stable across engines (the q13 half-boundary discipline): with
+    ka/kb the actual neighbor counts (= k away from tiny inputs),
+    ``margin_bp = 2·cos_bp·ka·kb·10000 div (sumk_a·kb + sumk_b·ka)``.
+
+    Scale: ONE pair frame serves both directions. The A side is the
+    bounded query batch (broadcast, like every cosine tier here); B is
+    scanned in place, never shuffled as vectors — only (id_a, id_b,
+    cos_bp) candidate rows reach the two rank-limited windows, which
+    Spark executes with WindowGroupLimit partial top-k. At production
+    scale the pair frame is first cut by the sign-LSH/IVF bucket join
+    (q31/q46) and this kernel runs per bucket; the margin arithmetic is
+    identical.
+    """
+    a = emb_a.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("_va"))
+    b = emb_b.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("_vb"))
+    cos_bp = F.round(cosine(F.col("_va"), F.col("_vb")) * 10000.0, 0) \
+              .cast("bigint")
+    pairs = (b.join(F.broadcast(a))
+             .select("id_a", "id_b", cos_bp.alias("cos_bp"))
+             .filter(F.col("cos_bp").isNotNull())
+             # three consumers read the scored candidate frame (A-side
+             # top-k twice, B-side once); without a barrier Catalyst
+             # re-evaluates the corpus-scan subtree per consumer — a
+             # mining pipeline materializes candidate scores exactly once
+             .localCheckpoint(eager=False))
+    wa = Window.partitionBy("id_a").orderBy(
+        F.col("cos_bp").desc(), F.col("id_b").asc())
+    topa = (pairs.withColumn("rk", F.row_number().over(wa))
+            .filter(F.col("rk") <= k))
+    suma = topa.groupBy("id_a").agg(
+        F.sum("cos_bp").alias("sumk_a"),
+        F.count(F.lit(1)).alias("ka"))
+    best = topa.filter(F.col("rk") == 1).select("id_a", "id_b", "cos_bp")
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("cos_bp").desc(), F.col("id_a").asc())
+    sumb = (pairs.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") <= k)
+            .groupBy("id_b").agg(F.sum("cos_bp").alias("sumk_b"),
+                                 F.count(F.lit(1)).alias("kb")))
+    denom = F.col("sumk_a") * F.col("kb") + F.col("sumk_b") * F.col("ka")
+    return (best.join(suma, "id_a").join(sumb, "id_b")
+            # positive-similarity matches only: keeps the integer div
+            # numerator non-negative (Spark div truncates toward zero,
+            # DuckDB // floors — they only agree on non-negatives)
+            .filter((F.col("cos_bp") > 0) & (denom > 0))
+            .select("id_a", "id_b", "cos_bp",
+                    (2 * F.col("cos_bp") * F.col("ka") * F.col("kb")
+                     * 10000).cast("bigint").alias("_num"),
+                    denom.cast("bigint").alias("_den"))
+            .selectExpr("id_a", "id_b", "cos_bp",
+                        "CAST(_num div _den AS BIGINT) AS margin_bp"))
+
+
+def embedding_dispersion(corpus: DataFrame, label_col: str = "label",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Mean pairwise cosine within each label — the diversity/collapse
+    diagnostic for embedding groups (a label whose members all point the
+    same way is templated or near-duplicated; a healthy topic cluster
+    sits lower). Computed WITHOUT enumerating pairs via the centroid
+    trick over unit-normalized vectors: with u_i = v_i/|v_i|,
+    ``Σ_{i≠j} cos(u_i,u_j) = |Σu|² − Σ|u_i|²``, so the mean pairwise
+    cosine is one vector-sum pass — O(n·dim) instead of O(n²·dim).
+
+    Determinism: each normalized coordinate quantizes to integer
+    micro-units (⌊u·1e6 + 0.5⌋ — the whitening/centroid convention), so
+    the per-(label, dim) sums and both squared reductions are EXACT
+    BIGINT arithmetic in any engine and in any partition order; the one
+    final division happens in IEEE doubles with a FLOOR to micro-units
+    (negative-safe: floor(x/y) with double division, never integer div,
+    because a near-orthogonal group's mean can be negative and trunc
+    vs floor would diverge between engines).
+
+    Output: (label, n, mean_pair_cos_e6) with the mean in integer
+    micro-units; labels with n < 2 have no pairs and are excluded.
+
+    Scale: one posexplode (rows × dim) into a (label, dim)-keyed
+    aggregate (map-side combinable), then an O(labels × dim) rollup.
+    BIGINT headroom: |s_d| ≤ n·1e6 micro-units, so s_d² stays in range
+    while n·dim < ~3e9·√(1/dim) — past that, lift the per-dim sums into
+    DECIMAL(38,0), the documented centroid-mean escalation.
+    """
+    nrm = norm(_as_double(F.col(vec_col)))
+    q = (corpus.filter(nrm > 0)
+         .select(F.col(label_col).alias("label"),
+                 F.posexplode(F.transform(
+                     _as_double(F.col(vec_col)),
+                     lambda x: F.floor(x / nrm * 1_000_000.0 + 0.5)
+                     .cast("bigint"))).alias("dim", "qd")))
+    # every surviving vector contributes one row per dim, so the count
+    # per (label, dim) IS n — deriving it here keeps the whole operator
+    # a single scan + two-level aggregate (no second corpus pass, no join)
+    per_dim = q.groupBy("label", "dim").agg(
+        F.sum("qd").alias("s_d"),
+        F.sum(F.col("qd") * F.col("qd")).alias("ss_d"),
+        F.count(F.lit(1)).cast("bigint").alias("c_d"))
+    rolled = per_dim.groupBy("label").agg(
+        F.sum(F.col("s_d") * F.col("s_d")).alias("ssq"),
+        F.sum("ss_d").alias("selfsq"),
+        F.max("c_d").alias("n"))
+    return (rolled.filter(F.col("n") > 1)
+            .select("label", "n",
+                    F.floor((F.col("ssq") - F.col("selfsq"))
+                            / (F.col("n") * (F.col("n") - 1) * 1e6))
+                    .cast("bigint").alias("mean_pair_cos_e6")))

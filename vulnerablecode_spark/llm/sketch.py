@@ -1,0 +1,148 @@
+"""Mergeable bottom-k (KMV) distinct-count sketches.
+
+The K-Minimum-Values sketch (Bar-Yossef et al. 2002; Beyer et al.
+SIGMOD'07 for the unbiased estimator and set operations) is the
+mergeable-summary answer to "how many distinct X per group" at corpus
+scale: each group keeps only its k smallest hash values, sketches of
+disjoint batches merge by union + re-rank (bottom-k of a union IS the
+union of bottom-k's re-cut to k), and cardinality, union and Jaccard
+estimates all read off the merged sketch. At 100 TB the full distinct
+set per group never materializes anywhere — only O(groups × k) rows —
+and the incremental-store discipline used by the line-dedup/BM25/vocab
+artifacts applies unchanged because the sketch is a pure additive
+monoid under union.
+
+Where Spark's own ``approx_count_distinct`` (HyperLogLog++) is the
+right production default for a one-shot count, it is NOT gradeable
+across engines (register layouts differ) and NOT a set-operation
+sketch. KMV with the repo's engine-portable 60-bit md5 hash
+(llm/dedup.py ``hash64``) is bit-reproducible in any engine that has
+md5 — which is what lets the ESTIMATOR itself be hash-verified against
+DuckDB, the same determinism discipline as the seeded samplers
+(q68/q117/q148).
+
+Determinism notes shared by every function here:
+
+- hashes are uniform on [0, 2^60); ties are impossible between distinct
+  values short of an md5 collision, so ordering by ``h`` alone is total;
+- the estimator ``(k-1) · (2^60 / h_k)`` is evaluated in DOUBLE with
+  this exact association and floored — IEEE division/multiplication are
+  correctly rounded, so both engines produce the identical integer
+  (2^60 is an exact double; h_k→double rounds identically);
+- groups that kept fewer than k hashes have seen their whole distinct
+  set: the exact count is returned (the standard small-set short
+  circuit, Beyer et al. §3.1).
+
+Scale shape: building a sketch is one DISTINCT on (group, hash) — the
+unavoidable dedup shuffle, map-side combinable — followed by a
+rank-limited window that Spark ≥3.5 executes as WindowGroupLimit
+(partial per-partition bottom-k BEFORE the shuffle, merge after), so no
+executor ever holds more than its partition's k candidates per group.
+Merges and estimates run over O(groups × k) rows: broadcast-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vulnerablecode_spark.llm.dedup import hash64
+
+HASH_SPACE = float(1 << 60)  # hash64 is 15 hex chars = 60 bits, exact double
+
+
+def kmv_sketch(df: DataFrame, value: Column, k: int = 128,
+               group_cols: tuple[str, ...] = ("source",),
+               salt: str = "kmv") -> DataFrame:
+    """Bottom-k sketch in long form: (group..., h, pos) with pos ≤ k,
+    ordered by the salted 60-bit hash of ``value``. The long form (one
+    row per kept hash) is what makes merge/Jaccard plain relational
+    algebra AND keeps arrays off graded surfaces.
+
+    Scale: DISTINCT(group, h) is one map-side-combinable shuffle; the
+    rank filter compiles to WindowGroupLimit (partial bottom-k per input
+    partition, then per-group merge) — the classic two-phase top-k.
+    """
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be ≥ 2, got {k}")
+    h = hash64(F.concat_ws(":", F.lit(salt), value.cast("string")))
+    distinct = df.select(*group_cols, h.alias("h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (distinct.withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= k))
+
+
+def kmv_merge(*sketches: DataFrame, k: int,
+              group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Union bottom-k sketches of disjoint (or overlapping) batches into
+    the sketch of the union: union → distinct h → re-rank → cut to k.
+    Exactly equals the sketch built from scratch over the union — the
+    KMV merge property — which is what the incremental query grades.
+    """
+    if not sketches:
+        raise ValueError("kmv_merge: need at least one sketch")
+    u = sketches[0].select(*group_cols, "h")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select(*group_cols, "h"))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc())
+    return (u.distinct()
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= k))
+
+
+def kmv_estimate(sketch: DataFrame, k: int,
+                 group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch:
+    ``(k-1) · (2^60 / h_k)`` floored (the unbiased KMV estimator), or
+    the exact kept count when the group never filled its k slots.
+    """
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").alias("h_k"),  # max of the bottom-k = k-th smallest
+    )
+    est = F.floor(F.lit(float(k - 1)) * (F.lit(HASH_SPACE) / F.col("h_k")))
+    return agg.select(
+        *group_cols,
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(est).cast("bigint").alias("est_distinct"))
+
+
+def kmv_jaccard_matrix(sketch: DataFrame, k: int,
+                       group_col: str = "source") -> DataFrame:
+    """Pairwise Jaccard estimates between every two groups of one
+    sketch table (Beyer et al. §5: take the bottom-k of the UNION of
+    the two groups' hash sets; the fraction of those present in both
+    estimates |A∩B|/|A∪B|). Output: (src_a, src_b, union_k, n_both,
+    jaccard_bp) for src_a < src_b.
+
+    Scale: the sketch table is O(groups × k) rows — the pair frame is
+    built by two broadcast-joins against the (tiny) group-pair dim, so
+    nothing here ever touches the corpus again. This is the whole point:
+    cross-source overlap matrices at 100 TB are sketch algebra, not
+    corpus joins (the exact twin is q119's equi-join dup matrix, which
+    pays a corpus shuffle).
+    """
+    groups = sketch.select(F.col(group_col).alias("g")).distinct()
+    pairs = (groups.select(F.col("g").alias("src_a"))
+             .join(F.broadcast(groups.select(F.col("g").alias("src_b"))),
+                   F.col("src_a") < F.col("src_b")))
+    a = (pairs.join(F.broadcast(sketch.select(
+            F.col(group_col).alias("src_a"), "h")), "src_a")
+         .select("src_a", "src_b", "h",
+                 F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    b = (pairs.join(F.broadcast(sketch.select(
+            F.col(group_col).alias("src_b"), "h")), "src_b")
+         .select("src_a", "src_b", "h",
+                 F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    merged = (a.unionByName(b)
+              .groupBy("src_a", "src_b", "h")
+              .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("h").asc())
+    union_k = merged.withColumn("pos", F.row_number().over(w)) \
+                    .filter(F.col("pos") <= k)
+    return (union_k.groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("union_k"),
+                 F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+                 .alias("n_both"))
+            .withColumn("jaccard_bp",
+                        F.expr("n_both * 10000 div union_k").cast("bigint")))

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from vulnerablecode_spark.llm import curate, dedup, multimodal, similarity, text
+from vulnerablecode_spark.llm import (curate, dedup, multimodal, similarity,
+                                      sketch, text)
 from vulnerablecode_spark.plans.registry import _load, query
 
 # DuckDB equivalents of the shared kernels (see llm/dedup.py hash64):
@@ -3391,3 +3392,356 @@ def q147_vocab_incremental(spark, sf_dir):
 def q150_centroid_similarity(spark, sf_dir):
     emb = _embedding_artifacts(spark, sf_dir)["cast"]
     return similarity.label_centroid_similarity(emb)
+
+
+# ---------------------------------------------------------------------------
+# KMV bottom-k cardinality sketch (llm/sketch.py kmv_sketch /
+# kmv_estimate): per-source distinct-token estimates from O(k) state —
+# the mergeable-summary family Spark's own HLL++ can't grade across
+# engines. The oracle replays the identical 60-bit-hash bottom-k and
+# the identical double-precision estimator, so the ESTIMATOR itself is
+# hash-verified, alongside the exact count and the realized error.
+# ---------------------------------------------------------------------------
+
+
+_SQL_KMV_SK = """
+    toks AS (
+        SELECT DISTINCT source, t.tok
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    hs AS (
+        SELECT DISTINCT source,
+               (('0x' || substr(md5('kmv:' || tok), 1, 15))::BIGINT) AS h
+        FROM toks
+    ),
+    rk AS (
+        SELECT source, h,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS pos
+        FROM hs
+    )
+"""
+
+
+@query(
+    "q160_kmv_cardinality",
+    oracle=f"""
+    WITH {_SQL_KMV_SK},
+    sk AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+        FROM rk WHERE pos <= 128 GROUP BY source
+    ),
+    ex AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+        FROM toks GROUP BY source
+    ),
+    est AS (
+        SELECT sk.source, ex.exact_distinct,
+               CAST(CASE WHEN sk.n_kept < 128 THEN sk.n_kept
+                    ELSE FLOOR(127.0 * (1152921504606846976.0 / sk.h_k))
+                    END AS BIGINT) AS est_distinct
+        FROM sk JOIN ex USING (source)
+    )
+    SELECT source, exact_distinct, est_distinct,
+           CAST(ABS(est_distinct - exact_distinct) * 10000
+                // exact_distinct AS BIGINT) AS err_bp
+    FROM est
+    """,
+)
+def q160_kmv_cardinality(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    sk = sketch.kmv_sketch(toks, F.col("tok"), k=128)
+    est = sketch.kmv_estimate(sk, 128)
+    exact = (toks.distinct().groupBy("source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct")))
+    return (est.join(exact, "source")
+            .selectExpr("source", "exact_distinct", "est_distinct",
+                        "CAST(abs(est_distinct - exact_distinct) * 10000 "
+                        "div exact_distinct AS BIGINT) AS err_bp"))
+
+
+# ---------------------------------------------------------------------------
+# KMV merge property as the incremental read path (llm/sketch.py
+# kmv_merge): the stored sketch (90% of docs) unions with the arriving
+# batch's sketch and re-cuts to k — per-batch work ∝ batch, the stored
+# distinct set never re-reads. Bottom-k of a union IS the re-cut union
+# of bottom-k's, so the oracle grades the merged estimate against the
+# from-scratch full-corpus sketch: increment ≡ rebuild, exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_kmv_merge_incremental",
+    oracle=f"""
+    WITH {_SQL_KMV_SK},
+    sk AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+        FROM rk WHERE pos <= 64 GROUP BY source
+    )
+    SELECT source,
+           CAST(CASE WHEN n_kept < 64 THEN n_kept
+                ELSE FLOOR(63.0 * (1152921504606846976.0 / h_k))
+                END AS BIGINT) AS est_distinct
+    FROM sk
+    """,
+)
+def q161_kmv_merge_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    # stored = sketch over the 90% slice, batch = the rest; the merged
+    # sketch must equal the from-scratch sketch the oracle builds
+    stored = sketch.kmv_sketch(
+        docs.filter(F.col("doc_id") % 10 != 0).select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")),
+        F.col("tok"), k=64)
+    batch = sketch.kmv_sketch(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            "source", F.explode(F.split(F.col("text"), " ")).alias("tok")),
+        F.col("tok"), k=64)
+    merged = sketch.kmv_merge(stored, batch, k=64)
+    return sketch.kmv_estimate(merged, 64)
+
+
+# ---------------------------------------------------------------------------
+# Cross-source overlap matrix from sketches alone (llm/sketch.py
+# kmv_jaccard_matrix): Jaccard estimates for every source pair computed
+# on O(sources × k) sketch rows — the sketch-algebra twin of q119's
+# exact equi-join dup matrix, which pays a corpus shuffle per refresh.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_kmv_jaccard_matrix",
+    oracle=f"""
+    WITH {_SQL_KMV_SK},
+    sk AS (SELECT source, h FROM rk WHERE pos <= 256),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    m AS (
+        SELECT p.src_a, p.src_b, s.h,
+               MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+        GROUP BY p.src_a, p.src_b, s.h
+    ),
+    u AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY src_a, src_b ORDER BY h) AS pos
+        FROM m
+    )
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS union_k,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+           CAST(SUM(in_a * in_b) * 10000 // COUNT(*) AS BIGINT)
+               AS jaccard_bp
+    FROM u WHERE pos <= 256 GROUP BY src_a, src_b
+    """,
+)
+def q162_kmv_jaccard_matrix(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    # the pair joins consume the sketch several times; in production the
+    # sketch is a STORED O(groups×k) artifact, so materialize it once
+    # here instead of re-deriving it from the corpus per consumer
+    sk = sketch.kmv_sketch(toks, F.col("tok"), k=256) \
+               .localCheckpoint(eager=False)
+    return sketch.kmv_jaccard_matrix(sk, k=256)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (llm/similarity.py bitext_margin_mining):
+# the CCMatrix/LASER alignment kernel — best match per A-vector scored
+# by margin over both sides' top-k neighborhood densities, all ranking
+# and arithmetic on integer basis points. One broadcast pair frame
+# serves both directions; the windows run rank-limited.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q163_bitext_margin",
+    oracle="""
+    WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS va
+               FROM embeddings WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vb
+          FROM embeddings WHERE vec_id % 2 = 1),
+    pairs AS (
+        SELECT id_a, id_b,
+               CAST(ROUND(list_dot_product(va, vb) /
+                    (sqrt(list_dot_product(va, va)) *
+                     sqrt(list_dot_product(vb, vb))) * 10000.0, 0)
+                    AS BIGINT) AS cos_bp
+        FROM a CROSS JOIN b
+    ),
+    ta AS (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY id_a ORDER BY cos_bp DESC, id_b) AS rk
+           FROM pairs),
+    sa AS (SELECT id_a, SUM(cos_bp) AS sumk_a, COUNT(*) AS ka
+           FROM ta WHERE rk <= 4 GROUP BY id_a),
+    tb AS (SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY id_b ORDER BY cos_bp DESC, id_a) AS rk
+           FROM pairs),
+    sb AS (SELECT id_b, SUM(cos_bp) AS sumk_b, COUNT(*) AS kb
+           FROM tb WHERE rk <= 4 GROUP BY id_b),
+    best AS (SELECT id_a, id_b, cos_bp FROM ta WHERE rk = 1)
+    SELECT best.id_a, best.id_b, best.cos_bp,
+           CAST((2 * best.cos_bp * ka * kb * 10000)
+                // (sumk_a * kb + sumk_b * ka) AS BIGINT) AS margin_bp
+    FROM best JOIN sa USING (id_a) JOIN sb USING (id_b)
+    WHERE best.cos_bp > 0 AND sumk_a * kb + sumk_b * ka > 0
+    """,
+)
+def q163_bitext_margin(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.bitext_margin_mining(a, b, k=4)
+
+
+# ---------------------------------------------------------------------------
+# Within-label embedding dispersion (llm/similarity.py
+# embedding_dispersion): mean pairwise cosine per label WITHOUT pair
+# enumeration — the centroid trick |Σu|² − Σ|u|² over unit-normalized,
+# micro-unit-quantized vectors. O(n·dim) for an O(n²) statistic; exact
+# BIGINT arithmetic until one final floored double division.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_embedding_dispersion",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT label, i AS dim,
+               CAST(FLOOR(v[i + 1] / nrm * 1000000.0 + 0.5) AS BIGINT) AS qd
+        FROM e, UNNEST(range(0, len(v))) AS u(i)
+        WHERE nrm > 0
+    ),
+    per_dim AS (
+        SELECT label, dim, SUM(qd) AS s_d, SUM(qd * qd) AS ss_d,
+               CAST(COUNT(*) AS BIGINT) AS c_d
+        FROM q GROUP BY label, dim
+    ),
+    rolled AS (
+        SELECT label, SUM(s_d * s_d) AS ssq, SUM(ss_d) AS selfsq,
+               MAX(c_d) AS n
+        FROM per_dim GROUP BY label
+    )
+    SELECT label, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR((ssq - selfsq)
+                / (n * (n - 1) * 1000000.0)) AS BIGINT)
+               AS mean_pair_cos_e6
+    FROM rolled WHERE n > 1
+    """,
+)
+def q164_embedding_dispersion(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.embedding_dispersion(emb)
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style domain reweighting (llm/curate.py domain_excess_weights):
+# per-source mean proxy-LM score → excess over the corpus mean → the
+# sampling-weight share, all exact integer arithmetic. The third
+# mixture-policy member beside UniMax budgets (q124) and temperature
+# flattening (q109). Proxy scores come from the q120 bigram LM.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_doremi_weights",
+    oracle=_SQL_LM_MODEL + """
+    , scored AS (
+        SELECT doc_id, CAST(SUM(m.p_bp) // COUNT(*) AS BIGINT) AS s
+        FROM pairs pr
+        JOIN model m ON m.w1 = pr.w1 AND m.w2 = pr.w2
+        GROUP BY doc_id
+    ),
+    joined AS (
+        SELECT d.source, s.s FROM documents d JOIN scored s USING (doc_id)
+    ),
+    per AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_score_bp
+        FROM joined GROUP BY source
+    ),
+    gstats AS (SELECT CAST(SUM(s) // COUNT(*) AS BIGINT) AS gmean FROM joined),
+    ex AS (
+        SELECT source, n_docs, mean_score_bp,
+               GREATEST(CAST(0 AS BIGINT),
+                        (SELECT gmean FROM gstats) - mean_score_bp) AS excess_bp
+        FROM per
+    )
+    SELECT source, n_docs, mean_score_bp,
+           CAST(excess_bp AS BIGINT) AS excess_bp,
+           CAST(CASE WHEN (SELECT SUM(excess_bp) FROM ex) > 0
+                THEN excess_bp * 10000 // (SELECT SUM(excess_bp) FROM ex)
+                ELSE 0 END AS BIGINT) AS weight_bp
+    FROM ex
+    """,
+)
+def q165_doremi_weights(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    scored = (text.bigram_lm_scores(docs)
+              .join(docs.select("doc_id", "source"), "doc_id")
+              .select("source", F.col("lm_score_bp")))
+    return curate.domain_excess_weights(scored)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed ROC-AUC (llm/classify.py auc_rank_eval): the
+# Mann-Whitney rank statistic with textbook average-rank tie handling,
+# computed over (group, score) CLASSES — the histogram-AUC shape that
+# never sorts raw rows. Query: how well does raw document length
+# separate English from the rest, per source (the threshold-free eval
+# every quality/language filter gets before a cutoff is chosen).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_auc_eval",
+    oracle="""
+    WITH base AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS score,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    cls AS (
+        SELECT source, score, CAST(COUNT(*) AS BIGINT) AS c,
+               CAST(SUM(y) AS BIGINT) AS p
+        FROM base GROUP BY source, score
+    ),
+    r AS (
+        SELECT *, COALESCE(SUM(c) OVER (
+            PARTITION BY source ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0) AS cum
+        FROM cls
+    ),
+    per AS (
+        SELECT source, SUM(p * (2 * cum + c + 1)) AS s2,
+               SUM(p) AS n_pos, SUM(c - p) AS n_neg
+        FROM r GROUP BY source
+    )
+    SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST((s2 - n_pos * (n_pos + 1)) * 5000
+                // (n_pos * n_neg) AS BIGINT) AS auc_bp
+    FROM per WHERE n_pos > 0 AND n_neg > 0
+    """,
+)
+def q166_auc_eval(spark, sf_dir):
+    from vulnerablecode_spark.llm.classify import auc_rank_eval
+
+    docs = _load(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", F.col("n_chars").cast("bigint").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
+    return auc_rank_eval(base, score_col="score", label_col="y")
