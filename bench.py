@@ -67,6 +67,8 @@ EXTRAS = [
     "q154_quantile_calibrate", "q155_zorder_key",
     "q156_shards_incremental", "q157_growth_accounting",
     "q158_session_pmi", "q159_event_cube",
+    "q160_kmv_cardinality", "q162_kmv_jaccard_matrix",
+    "q163_bitext_margin", "q164_embedding_dispersion", "q166_auc_eval",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

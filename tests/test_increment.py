@@ -147,7 +147,8 @@ class TestCrashResume:
                        inc.read_docs, inc.read_ivf_assigned,
                        inc.read_components, inc.read_vocab,
                        inc.read_bm25_postings, inc.read_bm25_lengths,
-                       inc.read_bigram_counts, inc.read_lang_tokens):
+                       inc.read_bigram_counts, inc.read_lang_tokens,
+                       inc.read_token_sketch):
             a = sorted(map(tuple, reader(spark, crashed).collect()))
             b = sorted(map(tuple, reader(spark, clean).collect()))
             assert a == b, reader.__name__
@@ -373,3 +374,24 @@ class TestVocabIndex:
         after = {r.tok: r.first_batch
                  for r in inc.read_vocab(spark, root).collect()}
         assert after == want
+
+
+class TestTokenSketch:
+    def test_store_merge_equals_from_scratch(self, spark, tmp_path):
+        # the q161 invariant through the composed store: per-batch
+        # bottom-k deltas, re-cut at read, must equal the sketch built
+        # over every doc ever applied
+        from vulnerablecode_spark.llm.sketch import kmv_sketch
+
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2)
+        served = sorted(map(tuple,
+                            inc.read_token_sketch(spark, root).collect()))
+        full = _docs(spark, BATCH1 + BATCH2).select(
+            F.lit("__null__").alias("lang"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        scratch = sorted(map(tuple, kmv_sketch(
+            full, F.col("tok"), k=inc.KMV_K,
+            group_cols=("lang",)).collect()))
+        assert served == scratch and served

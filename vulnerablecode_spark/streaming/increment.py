@@ -30,6 +30,9 @@ Layout (all under one ``root``)::
       bm25/postings/delta-<b>/   (doc_id, tok, tf) inverted index rows
       bm25/lengths/delta-<b>/    (doc_id, dl) document lengths
       bigramlm/counts/delta-<b>/ (w1, w2, c_big) LM count deltas
+      unimax/langtokens/delta-<b>/ (lang, lang_tokens) mixture deltas
+      vocab/firstbatch/delta-<b>/  (tok, first_batch) NEW types only
+      sketch/kmvtokens/delta-<b>/  (lang, h) the batch's own bottom-k
 
 Every artifact is delta-append (per-batch work ∝ batch — the q63/q97/
 q105 discipline): segment counts are ADDITIVE across disjoint batches,
@@ -90,6 +93,11 @@ BM25_LENGTHS = "bm25/lengths"
 BLM_COUNTS = "bigramlm/counts"
 LANG_TOKENS = "unimax/langtokens"
 VOCAB = "vocab/firstbatch"
+SK_TOKENS = "sketch/kmvtokens"
+
+# bottom-k size for the per-language token sketch artifact (q160-q162's
+# KMV family as a stored, mergeable summary)
+KMV_K = 128
 
 _SCHEMAS = {
     DOCS: "doc_id long, text string",
@@ -110,6 +118,7 @@ _SCHEMAS = {
     BLM_COUNTS: "w1 string, w2 string, c_big long",
     LANG_TOKENS: "lang string, lang_tokens long",
     VOCAB: "tok string, first_batch long",
+    SK_TOKENS: "lang string, h long",
 }
 
 
@@ -268,6 +277,20 @@ def read_vocab(spark, root) -> DataFrame:
     delta (llm/text.py vocab_first_seen)."""
     return (_read_artifact(spark, root, VOCAB)
             .groupBy("tok").agg(F.min("first_batch").alias("first_batch")))
+
+
+def read_token_sketch(spark, root, k: int = KMV_K) -> DataFrame:
+    """Per-language KMV bottom-k token sketch (lang, h, pos): each delta
+    is its batch's own bottom-k, and the read re-cuts the union
+    (llm/sketch.py kmv_merge) — bottom-k of a union IS the re-cut union
+    of bottom-k's, so the resolved sketch equals the from-scratch sketch
+    over every document ever applied. Distinct-token cardinality and
+    cross-group overlap estimates (q160-q162) read off O(langs × k)
+    state; per-batch work ∝ batch."""
+    from vulnerablecode_spark.llm.sketch import kmv_merge
+
+    return kmv_merge(_read_artifact(spark, root, SK_TOKENS),
+                     k=k, group_cols=("lang",))
 
 
 def read_seg_counts(spark, root) -> DataFrame:
@@ -509,6 +532,16 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
                     "lang", F.lit(None).cast("string")))
     stage(lang_token_counts(lang_src), LANG_TOKENS)
     stage(vocab_delta, VOCAB)
+    # --- KMV token sketch: the batch's OWN bottom-k per language —
+    # read_token_sketch re-cuts the delta union, so increment ≡ rebuild
+    # by the merge property (q161); stored state is O(langs × k)
+    from vulnerablecode_spark.llm.sketch import kmv_sketch
+
+    sk_toks = lang_src.select(
+        F.coalesce(F.col("lang"), F.lit("__null__")).alias("lang"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    stage(kmv_sketch(sk_toks, F.col("tok"), k=KMV_K,
+                     group_cols=("lang",)).select("lang", "h"), SK_TOKENS)
     if assigned_delta is not None:
         stage(assigned_delta.select("vec_id", "embedding", "cell"),
               IVF_ASSIGNED)
@@ -590,6 +623,9 @@ def compact(spark: SparkSession, root: str,
             return read_lang_tokens(spark, root)
         if rel == VOCAB:
             return read_vocab(spark, root)
+        if rel == SK_TOKENS:
+            # compaction physically drops hashes the re-cut evicted
+            return read_token_sketch(spark, root).select("lang", "h")
         if rel == LD_CLEANED:
             return _cleaned_current(
                 _read_artifact(spark, root, rel), keep_batch=True)
@@ -602,7 +638,8 @@ def compact(spark: SparkSession, root: str,
 
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
             LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS,
-            BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS, LANG_TOKENS, VOCAB)
+            BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS, LANG_TOKENS, VOCAB,
+            SK_TOKENS)
     frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
     for rel, df in frames.items():
         if df is None:
