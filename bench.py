@@ -69,6 +69,7 @@ EXTRAS = [
     "q158_session_pmi", "q159_event_cube",
     "q160_kmv_cardinality", "q162_kmv_jaccard_matrix",
     "q163_bitext_margin", "q164_embedding_dispersion", "q166_auc_eval",
+    "q167_histogram_quantiles", "q168_kmv_containment",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

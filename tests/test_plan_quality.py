@@ -876,3 +876,17 @@ class TestRound10NewOps:
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
         assert "Join" not in plan
         assert "partial" in plan  # map-side combine before the classes
+
+    def test_q167_histogram_all_class_grained(self, spark):
+        # both the sketch and the exact twin aggregate to classes before
+        # any window — no per-row global sort, map-side combine present
+        plan = plan_of(spark, "q167_histogram_quantiles")
+        assert "partial" in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan  # probe/total joins broadcast
+
+    def test_q168_containment_sketch_algebra_only(self, spark):
+        plan = plan_of(spark, "q168_kmv_containment")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan

@@ -177,3 +177,63 @@ class TestAUC:
                 ("both", 5, 1), ("both", 4, 0)]
         res = self._eval(spark, rows)
         assert "only_pos" not in res and res["both"].auc_bp == 10000
+
+
+class TestHistogramSketch:
+    def _vals(self, spark, rows):
+        return spark.createDataFrame(rows, "source string, v long")
+
+    def test_clamping_into_edge_bins(self, spark):
+        df = self._vals(spark, [("s", -50), ("s", 0), ("s", 5000)])
+        h = {r.bin: r.c for r in sketch.histogram_sketch(
+            df, F.col("v"), n_bins=8, lo=0, hi=80).collect()}
+        assert h[0] == 2 and h[7] == 1  # below-range clamps to 0, above to last
+
+    def test_cellwise_additivity(self, spark):
+        rows = [("s", i * 13 % 200) for i in range(100)]
+        a, b = rows[:60], rows[60:]
+        def hist(rs):
+            return {(r.source, r.bin): r.c for r in sketch.histogram_sketch(
+                self._vals(spark, rs), F.col("v"),
+                n_bins=16, lo=0, hi=160).collect()}
+        ha, hb, hf = hist(a), hist(b), hist(rows)
+        merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+        assert merged == hf
+
+    def test_quantile_readoff_uniform(self, spark):
+        # values 0..99 into 10 bins of width 10: p50 lands in bin 4
+        # (cum 50 at value 49), upper edge 50; p99 in bin 9, edge 100
+        df = self._vals(spark, [("s", i) for i in range(100)])
+        h = sketch.histogram_sketch(df, F.col("v"), n_bins=10, lo=0, hi=100)
+        q = {r.probe_pct: r.sketch_q for r in sketch.histogram_quantiles(
+            h, probes=(50, 99), n_bins=10, lo=0, hi=100).collect()}
+        assert q[50] == 50 and q[99] == 100
+
+    def test_invalid_params(self, spark):
+        df = self._vals(spark, [("s", 1)])
+        with pytest.raises(ValueError):
+            sketch.histogram_sketch(df, F.col("v"), n_bins=1, lo=0, hi=10)
+        with pytest.raises(ValueError):
+            sketch.histogram_sketch(df, F.col("v"), n_bins=8, lo=10, hi=10)
+
+
+class TestContainment:
+    def test_subset_source_fully_contained(self, spark):
+        big = [("big", f"t{i}") for i in range(300)]
+        sub = [("sub", f"t{i}") for i in range(40)]  # strict subset
+        sk = sketch.kmv_sketch(_tok_df(spark, big + sub),
+                               F.col("tok"), k=64)
+        rows = {(r.src_a, r.src_b): r for r in
+                sketch.kmv_containment_matrix(sk, k=64).collect()}
+        # every sub-hash in the union bottom-k is also a big-hash
+        assert rows[("sub", "big")].containment_bp == 10000
+        # big is NOT contained in sub
+        assert rows[("big", "sub")].containment_bp < 5000
+
+    def test_disjoint_sources_zero(self, spark):
+        sk = sketch.kmv_sketch(
+            _tok_df(spark, [("a", f"x{i}") for i in range(100)]
+                    + [("b", f"y{i}") for i in range(100)]),
+            F.col("tok"), k=32)
+        rows = sketch.kmv_containment_matrix(sk, k=32).collect()
+        assert rows and all(r.containment_bp == 0 for r in rows)

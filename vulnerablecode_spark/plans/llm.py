@@ -3745,3 +3745,149 @@ def q166_auc_eval(spark, sf_dir):
         "source", F.col("n_chars").cast("bigint").alias("score"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"))
     return auc_rank_eval(base, score_col="score", label_col="y")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram-quantile sketch (llm/sketch.py histogram_sketch /
+# histogram_quantiles): fixed-range equi-width bin counts — the
+# deterministic stand-in for t-digest/KLL, additive across batches like
+# the KMV sketch — with a type-1 quantile read-off, graded against the
+# EXACT per-source quantiles plus the realized error. Integer
+# arithmetic end to end (double divide-then-cast diverges: Spark's
+# cast truncates, DuckDB's rounds).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_histogram_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    hist AS (
+        SELECT source,
+               GREATEST(0, LEAST(127, ((v - 0) * 128) // 2048)) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *, SUM(c) OVER (PARTITION BY source ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM hist GROUP BY source),
+    pr AS (SELECT UNNEST([50, 90, 99]) AS probe_pct),
+    sk AS (
+        SELECT c.source, pr.probe_pct, CAST(t.n AS BIGINT) AS n,
+               CAST(0 + ((MIN(c.bin) + 1) * 2048) // 128 AS BIGINT)
+                   AS sketch_q
+        FROM cum c JOIN tot t USING (source) CROSS JOIN pr
+        WHERE c.cum * 100 >= t.n * pr.probe_pct
+        GROUP BY c.source, pr.probe_pct, t.n
+    ),
+    cls AS (
+        SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY source, v
+    ),
+    ccum AS (
+        SELECT *, SUM(c) OVER (PARTITION BY source ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum
+        FROM cls
+    ),
+    exact AS (
+        SELECT c.source, pr.probe_pct, MIN(c.v) AS exact_q
+        FROM ccum c JOIN tot t USING (source) CROSS JOIN pr
+        WHERE c.cum * 100 >= t.n * pr.probe_pct
+        GROUP BY c.source, pr.probe_pct
+    )
+    SELECT sk.source, sk.probe_pct, sk.n, sk.sketch_q,
+           CAST(e.exact_q AS BIGINT) AS exact_q,
+           CAST(ABS(sk.sketch_q - e.exact_q) * 10000
+                // GREATEST(e.exact_q, 1) AS BIGINT) AS err_bp
+    FROM sk JOIN exact e USING (source, probe_pct)
+    """,
+)
+def q167_histogram_quantiles(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    docs = _load(spark, sf_dir, "documents")
+    vals = docs.select("source", F.col("n_chars").cast("bigint").alias("_v"))
+    hist = sketch.histogram_sketch(vals, F.col("_v"), n_bins=128,
+                                   lo=0, hi=2048)
+    sk = sketch.histogram_quantiles(hist, probes=(50, 90, 99),
+                                    n_bins=128, lo=0, hi=2048)
+    # exact type-1 quantiles over (source, value) classes — the same
+    # histogram-shape discipline as the AUC (q166): never a per-row sort
+    cls = vals.groupBy("source", "_v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = (W.partitionBy("source").orderBy(F.col("_v").asc())
+         .rowsBetween(W.unboundedPreceding, 0))
+    ccum = cls.withColumn("cum", F.sum("c").over(w))
+    tot = cls.groupBy("source").agg(F.sum("c").alias("n"))
+    pr = spark.createDataFrame([(50,), (90,), (99,)], "probe_pct int")
+    exact = (ccum.join(F.broadcast(tot), "source").join(F.broadcast(pr))
+             .filter(F.col("cum") * 100 >= F.col("n") * F.col("probe_pct"))
+             .groupBy("source", "probe_pct")
+             .agg(F.min("_v").alias("exact_q")))
+    return (sk.join(F.broadcast(exact), ["source", "probe_pct"])
+            .selectExpr("source", "probe_pct", "n", "sketch_q",
+                        "CAST(exact_q AS BIGINT) AS exact_q",
+                        "CAST(abs(sketch_q - exact_q) * 10000 "
+                        "div greatest(exact_q, 1L) AS BIGINT) AS err_bp"))
+
+
+# ---------------------------------------------------------------------------
+# Directed containment matrix from KMV sketches (llm/sketch.py
+# kmv_containment_matrix): |A∩B|/|A| per ordered source pair — the
+# asymmetric overlap that tells a mirrored/quoted-from source (high
+# containment one way, low Jaccard) apart from genuine sharing, still
+# pure sketch algebra on O(groups × k) rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q168_kmv_containment",
+    oracle=f"""
+    WITH {_SQL_KMV_SK},
+    sk AS (SELECT source, h FROM rk WHERE pos <= 256),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    m AS (
+        SELECT p.src_a, p.src_b, s.h,
+               MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN sk s ON s.source IN (p.src_a, p.src_b)
+        GROUP BY p.src_a, p.src_b, s.h
+    ),
+    u AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY src_a, src_b ORDER BY h) AS pos
+        FROM m
+    ),
+    base AS (
+        SELECT src_a, src_b,
+               CAST(SUM(in_a) AS BIGINT) AS k_a,
+               CAST(SUM(in_b) AS BIGINT) AS k_b,
+               CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+        FROM u WHERE pos <= 256 GROUP BY src_a, src_b
+    ),
+    both_dirs AS (
+        SELECT src_a, src_b, k_a, n_both FROM base
+        UNION ALL
+        SELECT src_b AS src_a, src_a AS src_b, k_b AS k_a, n_both FROM base
+    )
+    SELECT src_a, src_b, k_a, n_both,
+           CAST(n_both * 10000 // k_a AS BIGINT) AS containment_bp
+    FROM both_dirs WHERE k_a > 0
+    """,
+)
+def q168_kmv_containment(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    sk = sketch.kmv_sketch(toks, F.col("tok"), k=256) \
+               .localCheckpoint(eager=False)
+    return sketch.kmv_containment_matrix(sk, k=256)
