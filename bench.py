@@ -70,6 +70,7 @@ EXTRAS = [
     "q160_kmv_cardinality", "q162_kmv_jaccard_matrix",
     "q163_bitext_margin", "q164_embedding_dispersion", "q166_auc_eval",
     "q167_histogram_quantiles", "q168_kmv_containment",
+    "q169_edit_similarity", "q170_triangle_counts",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

@@ -890,3 +890,17 @@ class TestRound10NewOps:
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" not in plan
+
+    def test_q169_edit_verify_candidates_only(self, spark):
+        # the O(len^2) metric runs on LSH-nominated pairs, never
+        # all-pairs: no cartesian anywhere in the plan
+        plan = plan_of(spark, "q169_edit_similarity")
+        assert "CartesianProduct" not in plan
+        assert "levenshtein" in plan
+
+    def test_q170_triangles_no_cartesian(self, spark):
+        # wedge join is key-equi on the orientation vertex; closing
+        # check is a semi-join against the canonical edge set
+        plan = plan_of(spark, "q170_triangle_counts")
+        assert "CartesianProduct" not in plan
+        assert "LeftSemi" in plan

@@ -237,3 +237,56 @@ class TestContainment:
             F.col("tok"), k=32)
         rows = sketch.kmv_containment_matrix(sk, k=32).collect()
         assert rows and all(r.containment_bp == 0 for r in rows)
+
+
+class TestEditSimilarity:
+    def test_known_pairs(self, spark):
+        from vulnerablecode_spark.llm.dedup import edit_similarity_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, "abcdefghiX"), (3, ""), (4, "")],
+            "doc_id long, text string")
+        cand = spark.createDataFrame(
+            [(1, 2), (3, 4)], "doc_a long, doc_b long")
+        rows = {(r.doc_a, r.doc_b): r for r in
+                edit_similarity_pairs(docs, cand).collect()}
+        assert rows[(1, 2)].lev == 1 and rows[(1, 2)].sim_bp == 9000
+        assert rows[(3, 4)].lev == 0 and rows[(3, 4)].sim_bp == 10000
+
+    def test_threshold_filters(self, spark):
+        from vulnerablecode_spark.llm.dedup import edit_similarity_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "aaaa"), (2, "zzzz")], "doc_id long, text string")
+        cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+        assert edit_similarity_pairs(docs, cand, min_sim_bp=5000).count() == 0
+
+
+class TestTriangles:
+    def _run(self, spark, edges):
+        from vulnerablecode_spark.operators.components import triangle_counts
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {r.node: (r.degree, r.n_triangles)
+                for r in triangle_counts(e).collect()}
+
+    def test_k4_every_node_in_three(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        res = self._run(spark, k4)
+        assert res == {i: (3, 3) for i in range(4)}
+
+    def test_path_has_no_triangles(self, spark):
+        res = self._run(spark, [(1, 2), (2, 3), (3, 4)])
+        assert all(t == 0 for _, t in res.values())
+        assert res[2][0] == 2 and res[1][0] == 1
+
+    def test_star_plus_one_closing_edge(self, spark):
+        # hub 0 to leaves 1..4, plus edge (1,2): exactly one triangle
+        edges = [(0, i) for i in range(1, 5)] + [(1, 2)]
+        res = self._run(spark, edges)
+        assert res[0] == (4, 1) and res[1] == (2, 1) and res[2] == (2, 1)
+        assert res[3] == (1, 0) and res[4] == (1, 0)
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        res = self._run(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3)])
+        assert res[1] == (2, 1) and res[2] == (2, 1) and res[3] == (2, 1)

@@ -1274,3 +1274,42 @@ def stitch_candidates(df: DataFrame, *, w: int = 5,
             .filter((F.col("id_a") != F.col("id_b"))
                     & (F.col("_tail") == F.col("_head")))
             .select("id_a", "id_b", F.col("fp").alias("boundary_fp")))
+
+
+def edit_similarity_pairs(docs: DataFrame, candidates: DataFrame,
+                          min_sim_bp: int = 0, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Edit-distance verification of near-dup candidates — the second
+    verify metric beside exact Jaccard (near_dup_pairs): Levenshtein
+    similarity catches small in-place edits (typo fixes, date bumps,
+    template fills) that shingle Jaccard under-scores because one
+    character edit kills w consecutive shingles. This is the
+    ExactSubstr-paper's edit-similarity stage applied at the candidate
+    grain: NEVER all-pairs — the O(len²) metric only runs on rows the
+    LSH bands already nominated.
+
+    ``sim_bp = (max_len − levenshtein) · 10000 div max_len`` (both
+    empty → 10000 by convention); integer arithmetic, and both engines
+    ship the identical classic Levenshtein definition, so the verdict
+    is hash-stable. Output: (doc_a, doc_b, lev, sim_bp) filtered to
+    ``sim_bp ≥ min_sim_bp``.
+
+    Scale: two co-keyed joins rehydrate candidate TEXT (ids only until
+    here); the quadratic DP runs once per candidate pair, the same
+    budget discipline as the Jaccard verify.
+    """
+    a = docs.select(F.col(id_col).alias("doc_a"),
+                    F.col(text_col).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("doc_b"),
+                    F.col(text_col).alias("_tb"))
+    j = (candidates.select("doc_a", "doc_b").distinct()
+         .join(a, "doc_a").join(b, "doc_b"))
+    mx = F.greatest(F.length("_ta"), F.length("_tb"))
+    lev = F.levenshtein("_ta", "_tb")
+    return (j.select("doc_a", "doc_b", lev.alias("lev"),
+                     mx.alias("_mx"))
+            .selectExpr("doc_a", "doc_b", "CAST(lev AS BIGINT) AS lev",
+                        "CAST(CASE WHEN _mx = 0 THEN 10000 ELSE "
+                        "(_mx - lev) * 10000 div _mx END AS BIGINT) "
+                        "AS sim_bp")
+            .filter(F.col("sim_bp") >= int(min_sim_bp)))

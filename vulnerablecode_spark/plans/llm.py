@@ -3891,3 +3891,96 @@ def q168_kmv_containment(spark, sf_dir):
     sk = sketch.kmv_sketch(toks, F.col("tok"), k=256) \
                .localCheckpoint(eager=False)
     return sketch.kmv_containment_matrix(sk, k=256)
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of near-dup candidates (llm/dedup.py
+# edit_similarity_pairs): Levenshtein similarity on LSH-nominated pairs
+# only — the verify metric that catches small in-place edits shingle
+# Jaccard under-scores (one character edit kills w consecutive
+# shingles). Both engines ship the identical classic Levenshtein, so
+# the integer-bp verdict hash-verifies.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q169_edit_similarity",
+    oracle=f"""
+    WITH {_SQL_BANDS},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y USING (band, band_sig)
+        WHERE x.doc_id < y.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+           CAST(CASE WHEN GREATEST(length(da.text), length(db.text)) = 0
+                THEN 10000
+                ELSE (GREATEST(length(da.text), length(db.text))
+                      - levenshtein(da.text, db.text)) * 10000
+                     // GREATEST(length(da.text), length(db.text))
+                END AS BIGINT) AS sim_bp
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    """,
+)
+def q169_edit_similarity(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    art = _near_dup_artifacts(spark, sf_dir)
+    return dedup.edit_similarity_pairs(
+        docs, art["candidates"].select("doc_a", "doc_b"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the near-dup candidate graph
+# (operators/components.py triangle_counts): degree-oriented wedge
+# counting (Cohen 2009) — per-node out-degree bounded O(√m), each
+# triangle found once at its minimum-(degree, id) vertex. The
+# clustering diagnostic that tells duplicate CLIQUES (template
+# families) from coincidental band-collision stars with the same
+# connected component. The oracle counts the same triangles with the
+# simple id-oriented formulation — triangle sets are
+# orientation-independent, so the two shapes must agree exactly.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_triangle_counts",
+    oracle=f"""
+    WITH {_SQL_BANDS},
+    cand AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        FROM bands x JOIN bands y USING (band, band_sig)
+        WHERE x.doc_id < y.doc_id
+    ),
+    inc AS (SELECT a AS node FROM cand UNION ALL SELECT b AS node FROM cand),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM inc GROUP BY node
+    ),
+    tri AS (
+        SELECT e1.a AS u, e1.b AS x, e2.b AS y
+        FROM cand e1
+        JOIN cand e2 ON e2.a = e1.b
+        JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    part AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT u AS node FROM tri
+              UNION ALL SELECT x AS node FROM tri
+              UNION ALL SELECT y AS node FROM tri)
+        GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN part p USING (node)
+    """,
+)
+def q170_triangle_counts(spark, sf_dir):
+    from vulnerablecode_spark.operators.components import triangle_counts
+
+    art = _near_dup_artifacts(spark, sf_dir)
+    edges = art["candidates"].select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return triangle_counts(edges)
