@@ -71,6 +71,7 @@ EXTRAS = [
     "q163_bitext_margin", "q164_embedding_dispersion", "q166_auc_eval",
     "q167_histogram_quantiles", "q168_kmv_containment",
     "q169_edit_similarity", "q170_triangle_counts",
+    "q171_skipgram_pmi", "q172_histogram_incremental",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

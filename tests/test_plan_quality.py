@@ -904,3 +904,14 @@ class TestRound10NewOps:
         plan = plan_of(spark, "q170_triangle_counts")
         assert "CartesianProduct" not in plan
         assert "LeftSemi" in plan
+
+    def test_q171_pair_generation_is_map_side(self, spark):
+        # skip-gram pairs come from a higher-order transform over each
+        # doc's own token array — never a positional self-join (which
+        # would shuffle token rows); the pair-count frame materializes
+        # ONCE (four consumers), so the final plan re-scans nothing and
+        # the marginal/total joins broadcast
+        plan = plan_of(spark, "q171_skipgram_pmi")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan

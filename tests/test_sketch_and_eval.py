@@ -290,3 +290,60 @@ class TestTriangles:
     def test_duplicate_and_reversed_edges_collapse(self, spark):
         res = self._run(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3)])
         assert res[1] == (2, 1) and res[2] == (2, 1) and res[3] == (2, 1)
+
+
+class TestSkipgramPMI:
+    def test_adjacent_collocation_tops(self, spark):
+        from vulnerablecode_spark.llm.text import skipgram_pmi
+
+        # "new york" always adjacent; fillers vary — the collocation
+        # must carry the highest PMI among pairs meeting min_count
+        docs = spark.createDataFrame(
+            [(i, f"new york w{i} x{i % 3} y{i % 2}") for i in range(10)],
+            "doc_id long, text string")
+        rows = skipgram_pmi(docs, window=2, min_count=5).collect()
+        by_pair = {(r.tok_a, r.tok_b): r.pmi for r in rows}
+        assert ("new", "york") in by_pair
+        assert by_pair[("new", "york")] == max(by_pair.values())
+
+    def test_min_count_bounds_output(self, spark):
+        from vulnerablecode_spark.llm.text import skipgram_pmi
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "c d")], "doc_id long, text string")
+        assert skipgram_pmi(docs, min_count=2).count() == 0
+
+    def test_window_respected(self, spark):
+        from vulnerablecode_spark.llm.text import skipgram_pmi
+
+        # distance-3 pair never co-occurs within window 2
+        docs = spark.createDataFrame(
+            [(i, "far x y z far2") for i in range(6)],
+            "doc_id long, text string")
+        pairs = {(r.tok_a, r.tok_b)
+                 for r in skipgram_pmi(docs, window=2, min_count=1).collect()}
+        assert ("far", "far2") not in pairs
+        assert ("far", "x") in pairs and ("far", "y") in pairs
+
+
+class TestHistogramIncremental:
+    def test_cellwise_merge_equals_full(self, spark):
+        # the q172 invariant at unit grain (additivity is also covered
+        # in TestHistogramSketch; this pins the quantile read-off
+        # through a merge)
+        rows = [("s", i % 500) for i in range(200)]
+        df = spark.createDataFrame(rows, "source string, v long")
+        a = spark.createDataFrame(rows[:120], "source string, v long")
+        b = spark.createDataFrame(rows[120:], "source string, v long")
+
+        def hist(d):
+            return sketch.histogram_sketch(d, F.col("v"),
+                                           n_bins=32, lo=0, hi=512)
+        merged = (hist(a).unionByName(hist(b))
+                  .groupBy("source", "bin")
+                  .agg(F.sum("c").alias("c")))
+        qm = {r.probe_pct: r.sketch_q for r in sketch.histogram_quantiles(
+            merged, probes=(50, 99), n_bins=32, lo=0, hi=512).collect()}
+        qf = {r.probe_pct: r.sketch_q for r in sketch.histogram_quantiles(
+            hist(df), probes=(50, 99), n_bins=32, lo=0, hi=512).collect()}
+        assert qm == qf

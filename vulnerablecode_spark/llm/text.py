@@ -723,3 +723,71 @@ def vocabulary_growth_incremental(stored: DataFrame, batch: DataFrame, *,
                 "n_tokens", "new_types",
                 (F.col("_stored_types") + F.col("new_types"))
                 .cast("bigint").alias("cum_types")))
+
+
+def skipgram_pmi(df: DataFrame, *, window: int = 2, min_count: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id"
+                 ) -> DataFrame:
+    """Word-association mining: pointwise mutual information over
+    skip-gram co-occurrence pairs within a ±``window`` token distance —
+    the word2vec-era association statistic (Church & Hanks 1990; the
+    SGNS objective factorizes a shifted version of this matrix, Levy &
+    Goldberg 2014). A curation pipeline reads it for collocation/
+    compound detection and tokenizer-merge candidates — the word-level
+    complement to the session-grain PMI (q158).
+
+    With N total pair occurrences, n_ab the pair's count and n_a the
+    count of pair slots holding token a,
+    ``pmi = ln(N·n_ab / (n_a·n_b))``, reported at the q158 determinism
+    convention: every operand an exact BIGINT, ONE ln on the exact
+    integer ratio, rounded to 4dp.
+
+    Scale: pair generation is PURE map-side — a higher-order transform
+    over each document's own token array (never a positional self-join,
+    which would shuffle token rows) — followed by one (a, b)-keyed
+    count with map-side combine; marginals roll up from the pair counts
+    themselves (O(vocab) rows), and the two scalar/marginal joins
+    broadcast. ``min_count`` applies AFTER counting, so statistics are
+    exact while output stays bounded.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_t = F.size(toks)
+    pair_structs = F.flatten(F.transform(
+        F.sequence(F.lit(0), n_t - 2),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(window), n_t - 1 - i)),
+            lambda d: F.struct(
+                F.least(F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 1 + d)).alias("a"),
+                F.greatest(F.element_at(toks, i + 1),
+                           F.element_at(toks, i + 1 + d)).alias("b")))))
+    pairs = (df.filter(n_t >= 2)
+             .select(F.explode(pair_structs).alias("p"))
+             .select(F.col("p.a").alias("a"), F.col("p.b").alias("b")))
+    # four consumers read the pair-count frame (the filtered pairs, both
+    # marginals, the total); without a barrier Catalyst re-evaluates the
+    # corpus explode per consumer — materialize the vocabulary²-bounded
+    # counts once instead (the same shared-frame discipline as the
+    # near-dup artifacts)
+    pc = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")) \
+        .localCheckpoint(eager=False)
+    tc = (pc.select(F.col("a").alias("tok"), F.col("n_ab").alias("c"))
+          .unionByName(pc.select(F.col("b").alias("tok"),
+                                 F.col("n_ab").alias("c")))
+          .groupBy("tok").agg(F.sum("c").cast("bigint").alias("n_t")))
+    total = pc.agg(F.sum("n_ab").cast("bigint").alias("n")) \
+              .withColumn("_k", F.lit(1))
+    return (pc.filter(F.col("n_ab") >= int(min_count))
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(total), "_k")
+            .join(F.broadcast(tc.withColumnRenamed("tok", "a")
+                              .withColumnRenamed("n_t", "n_a")), "a")
+            .join(F.broadcast(tc.withColumnRenamed("tok", "b")
+                              .withColumnRenamed("n_t", "n_b")), "b")
+            .select(F.col("a").alias("tok_a"), F.col("b").alias("tok_b"),
+                    "n_ab",
+                    F.round(F.log((F.col("n") * F.col("n_ab"))
+                                  .cast("double")
+                                  / (F.col("n_a") * F.col("n_b"))
+                                  .cast("double")), 4).alias("pmi")))

@@ -3984,3 +3984,105 @@ def q170_triangle_counts(spark, sf_dir):
     edges = art["candidates"].select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# Skip-gram PMI word associations (llm/text.py skipgram_pmi): the
+# word2vec-era collocation statistic over ±2-token co-occurrence — pair
+# generation is PURE map-side (a higher-order transform over each doc's
+# own token array, never a positional self-join), marginals roll up
+# from the pair counts, one ln on an exact integer ratio at the q158
+# determinism convention.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_skipgram_pmi",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+        SELECT LEAST(toks[i + 1], toks[i + 1 + d]) AS a,
+               GREATEST(toks[i + 1], toks[i + 1 + d]) AS b
+        FROM t,
+             UNNEST(range(0, len(toks) - 1)) AS u(i),
+             UNNEST(range(1, LEAST(2, len(toks) - 1 - i) + 1)) AS v(d)
+    ),
+    pc AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY a, b
+    ),
+    tc AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS n_t FROM (
+            SELECT a AS tok, n_ab AS c FROM pc
+            UNION ALL SELECT b AS tok, n_ab AS c FROM pc
+        ) GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM pc)
+    SELECT pc.a AS tok_a, pc.b AS tok_b, pc.n_ab,
+           ROUND(ln(CAST(tot.n * pc.n_ab AS DOUBLE)
+                    / CAST(ta.n_t * tb.n_t AS DOUBLE)), 4) AS pmi
+    FROM pc
+    JOIN tc ta ON ta.tok = pc.a
+    JOIN tc tb ON tb.tok = pc.b, tot
+    WHERE pc.n_ab >= 5
+    """,
+)
+def q171_skipgram_pmi(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.skipgram_pmi(docs, window=2, min_count=5)
+
+
+# ---------------------------------------------------------------------------
+# Incremental histogram maintenance (q167's store twin): fixed-edge bin
+# counts are a cell-wise-additive monoid, so the stored histogram (90%
+# of docs) plus the batch's histogram IS the full-corpus histogram —
+# the oracle grades the merged quantile read-off against a from-scratch
+# build, the q161/q126 increment ≡ rebuild discipline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q172_histogram_incremental",
+    oracle="""
+    WITH v AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+    ),
+    hist AS (
+        SELECT source,
+               GREATEST(0, LEAST(127, ((v - 0) * 128) // 2048)) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM v GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT *, SUM(c) OVER (PARTITION BY source ORDER BY bin
+                     ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM hist GROUP BY source),
+    pr AS (SELECT UNNEST([50, 90, 99]) AS probe_pct)
+    SELECT c.source, pr.probe_pct, CAST(t.n AS BIGINT) AS n,
+           CAST(0 + ((MIN(c.bin) + 1) * 2048) // 128 AS BIGINT) AS sketch_q
+    FROM cum c JOIN tot t USING (source) CROSS JOIN pr
+    WHERE c.cum * 100 >= t.n * pr.probe_pct
+    GROUP BY c.source, pr.probe_pct, t.n
+    """,
+)
+def q172_histogram_incremental(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    stored = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def hist(d):
+        vals = d.select("source",
+                        F.col("n_chars").cast("bigint").alias("_v"))
+        return sketch.histogram_sketch(vals, F.col("_v"), n_bins=128,
+                                       lo=0, hi=2048)
+
+    merged = (hist(stored).unionByName(hist(batch))
+              .groupBy("source", "bin")
+              .agg(F.sum("c").cast("bigint").alias("c")))
+    return sketch.histogram_quantiles(merged, probes=(50, 90, 99),
+                                      n_bins=128, lo=0, hi=2048)
