@@ -867,3 +867,23 @@ class TestMcdcProperties:
         # orthonormal DCT: per-coefficient quantization error ≤ q/2;
         # loose per-pixel bound 4q+2 holds with margin across shapes
         assert err.max() <= 4 * q + 2, (err.max(), q)
+
+
+class TestByteEntropy:
+    def test_uniform_and_constant(self, spark):
+        from vulnerablecode_spark.llm.multimodal import byte_entropy
+
+        uniform = bytes(range(256)) * 4        # all 16 bins equal
+        constant = b"\x00" * 512               # one bin only
+        df = spark.createDataFrame(
+            [(1, uniform), (2, constant), (3, b"")],
+            "doc_id long, payload binary")
+        rows = {r.doc_id: r for r in byte_entropy(df).collect()}
+        # uniform over 16 bins: H = ln 16 = 2.7725887... -> ~2772589 e6
+        # (quantized terms: A=floor(ln1024*1e6+.5), B per bin c=64)
+        assert abs(rows[1].h_e6 - 2_772_589) <= 2
+        # single-bin payload: true H = 0; the B div t floor leaves the
+        # quantization residue 0..1 micro-nat (deterministic)
+        assert 0 <= rows[2].h_e6 <= 1
+        assert 3 not in rows  # empty payload excluded
+        assert rows[1].t_bytes == 1024 and rows[2].t_bytes == 512

@@ -4086,3 +4086,62 @@ def q172_histogram_incremental(spark, sf_dir):
               .agg(F.sum("c").cast("bigint").alias("c")))
     return sketch.histogram_quantiles(merged, probes=(50, 90, 99),
                                       n_bins=128, lo=0, hi=2048)
+
+
+# ---------------------------------------------------------------------------
+# Payload byte-entropy rollup (llm/multimodal.py byte_entropy): the
+# codec-free compressibility signal per source, in integer micro-nats —
+# each c·ln(c) term quantized BEFORE the order-free integer sum, so the
+# statistic is deterministic by construction (a float Σ of ln terms
+# would be summation-order-dependent). numpy-vectorized per Arrow
+# batch on the Spark side; the oracle re-derives every byte from
+# hex(payload), the q129 convention.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_payload_entropy",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ),
+    bytes AS (
+        SELECT doc_id,
+               (('0x' || substr(hx, 2*i + 1, 2))::INT * 16) // 256 AS bin
+        FROM b, UNNEST(range(0, length(hx) // 2)) AS u(i)
+    ),
+    cnt AS (
+        SELECT doc_id, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bytes GROUP BY doc_id, bin
+    ),
+    per AS (
+        SELECT doc_id, SUM(c) AS t,
+               SUM(CAST(FLOOR(c * ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS bsum
+        FROM cnt GROUP BY doc_id
+    ),
+    hdoc AS (
+        SELECT doc_id,
+               CAST(FLOOR(ln(CAST(t AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                   - bsum // t AS h_e6
+        FROM per WHERE t > 0
+    )
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(h.h_e6) // COUNT(*) AS BIGINT) AS mean_entropy_e6,
+           CAST(MIN(h.h_e6) AS BIGINT) AS min_entropy_e6,
+           CAST(MAX(h.h_e6) AS BIGINT) AS max_entropy_e6
+    FROM hdoc h JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q173_payload_entropy(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    payload = _payload_artifact(spark, sf_dir)
+    h = multimodal.byte_entropy(payload)
+    return (h.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.expr("sum(h_e6) div count(1)").cast("bigint")
+                 .alias("mean_entropy_e6"),
+                 F.min("h_e6").cast("bigint").alias("min_entropy_e6"),
+                 F.max("h_e6").cast("bigint").alias("max_entropy_e6")))
