@@ -55,12 +55,25 @@ DOC_QUERIES = [
     "q79_cluster_size_histogram",
     # random bigram multiplicity exercises the count-ratio arithmetic
     "q80_stupid_backoff_lm",
+    # round-11 families — sketches on random token distributions (the
+    # KMV estimator and histogram read-off run on hash/count patterns
+    # the fixed corpus never produces), rank-stat arithmetic on random
+    # tie structure, ln-quantization on random byte mixes
+    "q160_kmv_cardinality", "q161_kmv_merge_incremental",
+    "q162_kmv_jaccard_matrix", "q165_doremi_weights", "q166_auc_eval",
+    "q167_histogram_quantiles", "q168_kmv_containment",
+    "q169_edit_similarity", "q170_triangle_counts",
+    "q171_skipgram_pmi", "q172_histogram_incremental",
+    "q173_payload_entropy",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [
     "q30_embedding_topk", "q31_embedding_ann_lsh", "q46_ann_topk_ivf",
     "q47_embedding_near_dup", "q56_ann_topk_pq", "q64_ann_topk_ivf_pq",
     "q65_semantic_dedup",
+    # round-11: margin arithmetic on full-precision random cosines,
+    # centroid-trick quantization on random unit vectors
+    "q163_bitext_margin", "q164_embedding_dispersion",
 ]
 
 
