@@ -1167,12 +1167,21 @@ def bitext_margin_mining(emb_a: DataFrame, emb_b: DataFrame, k: int = 4,
     (q31/q46) and this kernel runs per bucket; the margin arithmetic is
     identical.
     """
+    from vulnerablecode_spark.llm.dedup import spread
+
     a = emb_a.select(F.col(id_col).alias("id_a"),
-                     F.col(vec_col).alias("_va"))
-    b = emb_b.select(F.col(id_col).alias("id_b"),
-                     F.col(vec_col).alias("_vb"))
-    cos_bp = F.round(cosine(F.col("_va"), F.col("_vb")) * 10000.0, 0) \
-              .cast("bigint")
+                     _as_double(F.col(vec_col)).alias("_va"))
+    # spread the corpus side BEFORE the broadcast join: a small-file B
+    # is one partition, and the whole |A|×|B| scoring fan-out would run
+    # on a single core (at 100 TB the corpus is already many splits)
+    b = spread(emb_b.select(F.col(id_col).alias("id_b"),
+                            _as_double(F.col(vec_col)).alias("_vb")))
+    # the Arrow kernel, not the HOF fold: |A|×|B| pair rows make the
+    # interpreted per-element lambda the whole wall (measured 39s vs
+    # ~2s at sf0.1); cosine_arrow is bit-identical to the fold by
+    # construction (same left-to-right IEEE accumulation)
+    cos_bp = F.round(cosine_arrow(F.col("_va"), F.col("_vb")) * 10000.0,
+                     0).cast("bigint")
     pairs = (b.join(F.broadcast(a))
              .select("id_a", "id_b", cos_bp.alias("cos_bp"))
              .filter(F.col("cos_bp").isNotNull())
