@@ -347,3 +347,37 @@ class TestHistogramIncremental:
         qf = {r.probe_pct: r.sketch_q for r in sketch.histogram_quantiles(
             hist(df), probes=(50, 99), n_bins=32, lo=0, hi=512).collect()}
         assert qm == qf
+
+
+class TestZipfSlope:
+    def test_perfect_zipf_near_minus_one(self, spark):
+        from vulnerablecode_spark.llm.text import zipf_slope
+
+        # build a corpus whose token frequencies follow c(r) = 60//r:
+        # slope of ln c vs ln r is ~-1
+        toks = []
+        for r in range(1, 21):
+            toks.extend([f"w{r}"] * (60 // r))
+        docs = spark.createDataFrame(
+            [(1, " ".join(toks))], "doc_id long, text string") \
+            .withColumn("source", F.lit("s"))
+        row = zipf_slope(docs).collect()[0]
+        assert row.vocab == 20
+        assert -1_150_000 <= row.slope_e6 <= -850_000
+
+    def test_uniform_frequencies_flat(self, spark):
+        from vulnerablecode_spark.llm.text import zipf_slope
+
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"t{i}" for i in range(30)) * 1)],
+            "doc_id long, text string").withColumn("source", F.lit("s"))
+        row = zipf_slope(docs).collect()[0]
+        assert row.slope_e6 == 0  # every count 1 -> y constant -> slope 0
+
+    def test_single_type_excluded(self, spark):
+        from vulnerablecode_spark.llm.text import zipf_slope
+
+        docs = spark.createDataFrame(
+            [(1, "only only only")], "doc_id long, text string") \
+            .withColumn("source", F.lit("s"))
+        assert zipf_slope(docs).count() == 0  # denominator 0: no fit

@@ -795,3 +795,57 @@ def skipgram_pmi(df: DataFrame, *, window: int = 2, min_count: int = 5,
                                   .cast("double")
                                   / (F.col("n_a") * F.col("n_b"))
                                   .cast("double")), 4).alias("pmi")))
+
+
+def zipf_slope(df: DataFrame, *, group_col: str = "source",
+               text_col: str = "text") -> DataFrame:
+    """Zipf's-law slope per group: the least-squares slope of
+    ln(frequency) against ln(rank) over the group's token frequency
+    table — the classic corpus-health diagnostic (natural language sits
+    near −1; templated/boilerplate-heavy text flattens the head,
+    near-random token soup steepens the tail — Zipf 1949, and Piantadosi
+    2014 for the modern reading).
+
+    Determinism: ln(rank) and ln(count) quantize to integer micro-units
+    BEFORE any summation (the q173 discipline — float Σ of ln terms
+    would be order-dependent), all four regression sums are exact
+    BIGINT, and the one closing division runs in IEEE doubles with a
+    FLOOR to micro-units (negative-safe: slopes are negative, and
+    trunc-vs-floor diverges there, so never integer-div this).
+    Output: (group, vocab, slope_e6).
+
+    Scale: token counts are one map-side-combinable aggregate; the rank
+    window runs over the VOCABULARY (types, not tokens — the Heaps-law
+    frame, ~10⁷ rows at web scale); the regression sums are one more
+    group-key aggregate. BIGINT headroom: Σx² ≈ vocab · ln(vocab)²·1e12
+    stays under 2^63 to ~10⁶ types per group — past that, lift the
+    moment sums into DECIMAL(38,0), the dispersion escalation.
+    """
+    from pyspark.sql import Window as W
+
+    cls = (df.select(F.col(group_col).alias("grp"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+           .groupBy("grp", "tok")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    w = W.partitionBy("grp").orderBy(F.col("c").desc(), F.col("tok").asc())
+    q = (cls.withColumn("r", F.row_number().over(w))
+         .select("grp",
+                 F.floor(F.log(F.col("r").cast("double"))
+                         * 1e6 + 0.5).cast("bigint").alias("x"),
+                 F.floor(F.log(F.col("c").cast("double"))
+                         * 1e6 + 0.5).cast("bigint").alias("y")))
+    s = q.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return (s.filter(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                     > 0)
+            .select(F.col("grp").alias(group_col),
+                    F.col("n").alias("vocab"),
+                    F.floor((F.col("n") * F.col("sxy")
+                             - F.col("sx") * F.col("sy"))
+                            * 1_000_000.0
+                            / (F.col("n") * F.col("sxx")
+                               - F.col("sx") * F.col("sx")))
+                    .cast("bigint").alias("slope_e6")))

@@ -4145,3 +4145,48 @@ def q173_payload_entropy(spark, sf_dir):
                  .alias("mean_entropy_e6"),
                  F.min("h_e6").cast("bigint").alias("min_entropy_e6"),
                  F.max("h_e6").cast("bigint").alias("max_entropy_e6")))
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law slope per source (llm/text.py zipf_slope): least-squares
+# ln(freq) vs ln(rank) over each source's token frequency table — the
+# corpus-health diagnostic (natural language ≈ −1; boilerplate flattens
+# it). ln terms quantized to micro-units BEFORE the exact BIGINT
+# regression sums (q173 discipline); the closing division FLOORs a
+# double (negative-safe — slopes are negative, where div/трunc
+# diverge... see operator docstring).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_zipf_slope",
+    oracle="""
+    WITH cls AS (
+        SELECT source, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        GROUP BY source, t.tok
+    ),
+    q AS (
+        SELECT source,
+               CAST(FLOOR(ln(CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY c DESC, tok ASC)
+                   AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS y
+        FROM cls
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM q GROUP BY source
+    )
+    SELECT source, n AS vocab,
+           CAST(FLOOR((n * sxy - sx * sy) * 1000000.0
+                / (n * sxx - sx * sx)) AS BIGINT) AS slope_e6
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q174_zipf_slope(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.zipf_slope(docs)
