@@ -915,3 +915,13 @@ class TestRound10NewOps:
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_q175_tv_pair_algebra_broadcasts(self, spark):
+        # the drift matrix runs on the O(groups×bins) histogram frame:
+        # no sort-merge joins, no cartesian; the pair/grid joins are all
+        # broadcast (CROSS JOIN with a 16-row bins dim is the sanctioned
+        # dense-grid shape, like q129's)
+        plan = plan_of(spark, "q175_byte_tv_drift")
+        assert "SortMergeJoin" not in plan
+        # histogram materialized once: the final plan re-scans nothing
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0

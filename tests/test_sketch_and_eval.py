@@ -381,3 +381,32 @@ class TestZipfSlope:
             [(1, "only only only")], "doc_id long, text string") \
             .withColumn("source", F.lit("s"))
         assert zipf_slope(docs).count() == 0  # denominator 0: no fit
+
+
+class TestByteTVDrift:
+    def _hist(self, spark, rows):
+        return spark.createDataFrame(rows, "source string, bin int, c long")
+
+    def test_identical_distributions_zero(self, spark):
+        from vulnerablecode_spark.llm.multimodal import byte_tv_drift
+
+        h = self._hist(spark, [("a", 0, 10), ("a", 1, 30),
+                               ("b", 0, 20), ("b", 1, 60)])
+        rows = byte_tv_drift(h).collect()
+        assert rows[0].tv_bp == 0  # same shape, different mass
+
+    def test_disjoint_distributions_full(self, spark):
+        from vulnerablecode_spark.llm.multimodal import byte_tv_drift
+
+        h = self._hist(spark, [("a", 0, 50), ("b", 1, 70)])
+        rows = byte_tv_drift(h).collect()
+        assert rows[0].tv_bp == 10000  # one-sided bins ARE counted
+
+    def test_known_half_overlap(self, spark):
+        from vulnerablecode_spark.llm.multimodal import byte_tv_drift
+
+        # P = (1/2, 1/2, 0), Q = (1/2, 0, 1/2) -> TV = 1/2
+        h = self._hist(spark, [("a", 0, 5), ("a", 1, 5),
+                               ("b", 0, 5), ("b", 2, 5)])
+        rows = byte_tv_drift(h).collect()
+        assert rows[0].tv_bp == 5000

@@ -580,3 +580,51 @@ def byte_entropy(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(F.col(id_col), F.col(payload_col)) \
              .mapInPandas(ent, out_schema)
+
+
+def byte_tv_drift(hist: DataFrame, *, group_col: str = "source",
+                  bin_col: str = "bin", count_col: str = "c") -> DataFrame:
+    """Pairwise total-variation distance between groups' byte-bin
+    distributions — the multimodal distribution-shift check (a source
+    whose byte mix drifts from the corpus norm changed encoding, codec,
+    or got polluted; the byte-level companion to the KS length drift,
+    q153). TV is the exact-integer choice:
+    ``TV(P,Q) = ½ Σ_i |p_i − q_i|
+              = Σ_i |c_i·T_q − d_i·T_p| / (2·T_p·T_q)``
+    — every operand an exact BIGINT, one integer division at the end
+    (numerator non-negative, so trunc ≡ floor). Output: (src_a, src_b,
+    t_a, t_b, tv_bp) for src_a < src_b.
+
+    Input is a (group, bin, count) histogram frame — the
+    :func:`byte_histogram_features` counts rolled to group grain, or
+    any stored histogram artifact. Scale: the pair algebra runs on
+    O(groups × bins) rows, broadcast joins only — the same
+    sketch-not-corpus discipline as the KMV matrices (q162/q168).
+    BIGINT headroom: c·T < 2^63 needs total bytes per group < ~3e9;
+    past that, pre-divide counts into per-mille shares or lift into
+    DECIMAL(38,0).
+    """
+    g = (hist.groupBy(F.col(group_col).alias("g"), F.col(bin_col)
+                      .alias("bin"))
+         .agg(F.sum(count_col).cast("bigint").alias("c")))
+    tot = g.groupBy("g").agg(F.sum("c").cast("bigint").alias("t"))
+    bins = g.select("bin").distinct()
+    # dense pair × bin grid: a bin absent on one side is ZERO MASS
+    # there, not a dropped term — an equi-join on the bin key would
+    # silently under-count TV whenever a bin is one-sided
+    pairs = (tot.select(F.col("g").alias("src_a"), F.col("t").alias("t_a"))
+             .join(F.broadcast(tot.select(F.col("g").alias("src_b"),
+                                          F.col("t").alias("t_b"))),
+                   F.col("src_a") < F.col("src_b")))
+    grid = pairs.join(F.broadcast(bins))
+    ca = g.select(F.col("g").alias("src_a"), "bin", F.col("c").alias("c_a"))
+    cb = g.select(F.col("g").alias("src_b"), "bin", F.col("c").alias("c_b"))
+    dense = (grid.join(F.broadcast(ca), ["src_a", "bin"], "left")
+             .join(F.broadcast(cb), ["src_b", "bin"], "left")
+             .fillna(0, subset=["c_a", "c_b"]))
+    num = F.abs(F.col("c_a") * F.col("t_b") - F.col("c_b") * F.col("t_a"))
+    return (dense.groupBy("src_a", "src_b", "t_a", "t_b")
+            .agg(F.sum(num).alias("_num"))
+            .selectExpr("src_a", "src_b", "t_a", "t_b",
+                        "CAST(_num * 10000 div (2 * t_a * t_b) AS BIGINT)"
+                        " AS tv_bp"))

@@ -4190,3 +4190,71 @@ def q173_payload_entropy(spark, sf_dir):
 def q174_zipf_slope(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return text.zipf_slope(docs)
+
+
+# ---------------------------------------------------------------------------
+# Byte-distribution drift matrix (llm/multimodal.py byte_tv_drift):
+# pairwise total-variation distance between sources' byte-bin mixes —
+# the multimodal distribution-shift check (changed encoding/codec/
+# pollution), exact-integer throughout: TV = Σ|c_a·t_b − c_b·t_a| /
+# (2·t_a·t_b) over a DENSE pair×bin grid (one-sided bins are zero
+# mass, not dropped terms). Pair algebra on O(groups×bins) rows.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_byte_tv_drift",
+    oracle="""
+    WITH b AS (
+        SELECT source, hex(encode(text)) AS hx FROM documents
+    ),
+    bytes AS (
+        SELECT source,
+               (('0x' || substr(hx, 2*i + 1, 2))::INT * 16) // 256 AS bin
+        FROM b, UNNEST(range(0, length(hx) // 2)) AS u(i)
+    ),
+    g AS (
+        SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bytes GROUP BY source, bin
+    ),
+    tot AS (SELECT source, SUM(c) AS t FROM g GROUP BY source),
+    bins AS (SELECT DISTINCT bin FROM g),
+    pairs AS (
+        SELECT a.source AS src_a, a.t AS t_a, b.source AS src_b, b.t AS t_b
+        FROM tot a JOIN tot b ON a.source < b.source
+    ),
+    grid AS (SELECT * FROM pairs CROSS JOIN bins),
+    dense AS (
+        SELECT gr.src_a, gr.src_b, gr.t_a, gr.t_b,
+               COALESCE(ga.c, 0) AS c_a, COALESCE(gb.c, 0) AS c_b
+        FROM grid gr
+        LEFT JOIN g ga ON ga.source = gr.src_a AND ga.bin = gr.bin
+        LEFT JOIN g gb ON gb.source = gr.src_b AND gb.bin = gr.bin
+    )
+    SELECT src_a, src_b, CAST(t_a AS BIGINT) AS t_a,
+           CAST(t_b AS BIGINT) AS t_b,
+           CAST(SUM(ABS(c_a * t_b - c_b * t_a)) * 10000
+                // (2 * t_a * t_b) AS BIGINT) AS tv_bp
+    FROM dense GROUP BY src_a, src_b, t_a, t_b
+    """,
+)
+def q175_byte_tv_drift(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    hx = docs.select("source",
+                     F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"))
+    # byte value b ∈ 0..255 → bin = (b·16)//256 ≡ b//16; floor of an
+    # exact small-int double division is engine-identical
+    byte_bins = F.transform(
+        F.sequence(F.lit(0), (F.length("hx") / 2 - 1).cast("int")),
+        lambda i: F.floor(
+            F.conv(F.col("hx").substr(i * 2 + 1, F.lit(2)), 16, 10)
+            .cast("bigint") / 16).cast("int"))
+    # the pair algebra consumes the histogram five times (totals, bins
+    # dim, both count sides); materialize the O(sources×16) frame once
+    # instead of re-running the byte explode per consumer — in
+    # production this is a stored histogram artifact anyway
+    hist = (hx.select("source", F.explode(byte_bins).alias("bin"))
+            .groupBy("source", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .localCheckpoint(eager=False))
+    return multimodal.byte_tv_drift(hist)
