@@ -72,7 +72,7 @@ EXTRAS = [
     "q167_histogram_quantiles", "q168_kmv_containment",
     "q169_edit_similarity", "q170_triangle_counts",
     "q171_skipgram_pmi", "q172_histogram_incremental",
-    "q173_payload_entropy", "q174_zipf_slope", "q175_byte_tv_drift",
+    "q173_payload_entropy", "q174_zipf_slope", "q175_byte_tv_drift", "q176_entropy_rate",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

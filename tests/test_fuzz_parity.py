@@ -64,7 +64,7 @@ DOC_QUERIES = [
     "q167_histogram_quantiles", "q168_kmv_containment",
     "q169_edit_similarity", "q170_triangle_counts",
     "q171_skipgram_pmi", "q172_histogram_incremental",
-    "q173_payload_entropy", "q174_zipf_slope", "q175_byte_tv_drift",
+    "q173_payload_entropy", "q174_zipf_slope", "q175_byte_tv_drift", "q176_entropy_rate",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

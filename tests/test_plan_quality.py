@@ -925,3 +925,11 @@ class TestRound10NewOps:
         assert "SortMergeJoin" not in plan
         # histogram materialized once: the final plan re-scans nothing
         assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 0
+
+    def test_q176_entropy_map_side_bigrams(self, spark):
+        # bigram generation is the shifted-slice zip (map-side), the
+        # prefix-total join is co-keyed on (group, w1): no cartesian,
+        # map-side partial aggregation present
+        plan = plan_of(spark, "q176_entropy_rate")
+        assert "CartesianProduct" not in plan
+        assert "partial" in plan

@@ -410,3 +410,37 @@ class TestByteTVDrift:
                                ("b", 0, 5), ("b", 2, 5)])
         rows = byte_tv_drift(h).collect()
         assert rows[0].tv_bp == 5000
+
+
+class TestEntropyRate:
+    def test_deterministic_sequence_zero_conditional(self, spark):
+        from vulnerablecode_spark.llm.text import entropy_rate
+
+        # strict alternation "a b a b ...": H(W2|W1) = 0 (next token is
+        # fully determined), H(W) = ln 2 ≈ 0.693147 nats
+        docs = spark.createDataFrame(
+            [(1, " ".join(["a", "b"] * 50))], "doc_id long, text string") \
+            .withColumn("source", F.lit("s"))
+        row = entropy_rate(docs).collect()[0]
+        assert abs(row.h_unigram_e6 - 693_147) <= 2
+        assert 0 <= row.h_bigram_cond_e6 <= 1  # quantization residue
+
+    def test_uniform_iid_gap_near_zero(self, spark):
+        from vulnerablecode_spark.llm.text import entropy_rate
+
+        # de Bruijn-ish full coverage: every bigram over {a,b} equally
+        # often -> conditional entropy ~= unigram entropy (ln 2)
+        seq = "a a b b " * 25 + "a b"
+        docs = spark.createDataFrame(
+            [(1, seq.strip())], "doc_id long, text string") \
+            .withColumn("source", F.lit("s"))
+        row = entropy_rate(docs).collect()[0]
+        assert abs(row.h_unigram_e6 - row.h_bigram_cond_e6) < 30_000
+
+    def test_single_token_docs_have_no_bigrams(self, spark):
+        from vulnerablecode_spark.llm.text import entropy_rate
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "solo")], "doc_id long, text string") \
+            .withColumn("source", F.lit("s"))
+        assert entropy_rate(docs).count() == 0  # inner join: no bigram side

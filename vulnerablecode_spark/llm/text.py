@@ -849,3 +849,67 @@ def zipf_slope(df: DataFrame, *, group_col: str = "source",
                             / (F.col("n") * F.col("sxx")
                                - F.col("sx") * F.col("sx")))
                     .cast("bigint").alias("slope_e6")))
+
+
+def entropy_rate(df: DataFrame, *, group_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """Unigram entropy and conditional bigram entropy per group, in
+    integer micro-nats — the information-theoretic corpus-health pair
+    (Shannon 1951's printed-English estimate is the ancestral version):
+    H(W) says how spread the vocabulary is, H(W₂|W₁) how predictable the
+    next token is given the previous one, and their gap is the corpus's
+    first-order redundancy — templated/boilerplate text shows a large
+    gap (next token nearly determined), token soup shows none. The
+    sequence-model-free complement of the bigram-LM scores (q120).
+
+    Determinism: the q173 discipline — every ``c·ln(·)`` term quantizes
+    to micro-nats BEFORE the order-free BIGINT sum; one integer division
+    per statistic (non-negative, trunc ≡ floor):
+    ``H1 = q(ln T) − (Σ_w q(c_w·ln c_w)) div T`` and
+    ``H2 = (Σ_{w1,w2} q(c₂·(ln cp_{w1} − ln c₂))) div T₂`` with cp the
+    bigram-prefix total. Output: (group, n_tokens, n_bigrams,
+    h_unigram_e6, h_bigram_cond_e6).
+
+    Scale: two map-side-combinable count aggregates (types and bigram
+    types — the Heaps-law frames), one co-keyed join of bigram counts
+    to their prefix totals, two O(groups) rollups. Bigram generation is
+    the shifted-slice zip (map-side, never a positional self-join).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_t = F.size(toks)
+    grp = F.col(group_col).alias("grp")
+
+    uni = (df.select(grp, F.explode(toks).alias("w"))
+           .groupBy("grp", "w")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    h1 = (uni.groupBy("grp").agg(
+        F.sum("c").alias("t"),
+        F.sum(F.floor(F.col("c") * F.log(F.col("c").cast("double"))
+                      * 1e6 + 0.5).cast("bigint")).alias("bsum"))
+        .selectExpr("grp", "t AS n_tokens",
+                    "CAST(FLOOR(ln(CAST(t AS DOUBLE)) * 1000000.0 + 0.5) "
+                    "AS BIGINT) - bsum div t AS h_unigram_e6"))
+
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_t - 1), F.slice(toks, 2, n_t - 1),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")))
+    bi = (df.filter(n_t >= 2).select(grp, F.explode(bigrams).alias("p"))
+          .select("grp", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2"))
+          .groupBy("grp", "w1", "w2")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c2")))
+    cp = bi.groupBy("grp", "w1").agg(F.sum("c2").alias("cp"))
+    term = F.floor(F.col("c2")
+                   * (F.log(F.col("cp").cast("double"))
+                      - F.log(F.col("c2").cast("double")))
+                   * 1e6 + 0.5).cast("bigint")
+    h2 = (bi.join(cp, ["grp", "w1"])
+          .groupBy("grp")
+          .agg(F.sum("c2").alias("t2"), F.sum(term).alias("tsum"))
+          .selectExpr("grp", "t2 AS n_bigrams",
+                      "tsum div t2 AS h_bigram_cond_e6"))
+    return (h1.join(h2, "grp")
+            .selectExpr(f"grp AS {group_col}", "n_tokens", "n_bigrams",
+                        "CAST(h_unigram_e6 AS BIGINT) AS h_unigram_e6",
+                        "CAST(h_bigram_cond_e6 AS BIGINT) "
+                        "AS h_bigram_cond_e6"))

@@ -4258,3 +4258,61 @@ def q175_byte_tv_drift(spark, sf_dir):
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
             .localCheckpoint(eager=False))
     return multimodal.byte_tv_drift(hist)
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate / first-order redundancy (llm/text.py entropy_rate):
+# unigram entropy vs conditional bigram entropy per source in integer
+# micro-nats — the information-theoretic corpus-health pair completing
+# the q173/q174 trio (byte entropy, Zipf slope). Every c·ln term
+# quantized before the order-free BIGINT sums, one non-negative
+# integer division per statistic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q176_entropy_rate",
+    oracle="""
+    WITH uni AS (
+        SELECT source, t.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        GROUP BY source, t.tok
+    ),
+    h1 AS (
+        SELECT source, SUM(c) AS t,
+               SUM(CAST(FLOOR(c * ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS bsum
+        FROM uni GROUP BY source
+    ),
+    tk AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bi AS (
+        SELECT source, toks[i + 1] AS w1, toks[i + 2] AS w2,
+               CAST(COUNT(*) AS BIGINT) AS c2
+        FROM tk, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        GROUP BY source, w1, w2
+    ),
+    cp AS (
+        SELECT source, w1, SUM(c2) AS cp FROM bi GROUP BY source, w1
+    ),
+    h2 AS (
+        SELECT b.source, SUM(b.c2) AS t2,
+               SUM(CAST(FLOOR(b.c2 * (ln(CAST(cp.cp AS DOUBLE))
+                                      - ln(CAST(b.c2 AS DOUBLE)))
+                              * 1000000.0 + 0.5) AS BIGINT)) AS tsum
+        FROM bi b JOIN cp ON cp.source = b.source AND cp.w1 = b.w1
+        GROUP BY b.source
+    )
+    SELECT h1.source, CAST(h1.t AS BIGINT) AS n_tokens,
+           CAST(h2.t2 AS BIGINT) AS n_bigrams,
+           CAST(CAST(FLOOR(ln(CAST(h1.t AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) - h1.bsum // h1.t AS BIGINT) AS h_unigram_e6,
+           CAST(h2.tsum // h2.t2 AS BIGINT) AS h_bigram_cond_e6
+    FROM h1 JOIN h2 USING (source)
+    """,
+)
+def q176_entropy_rate(spark, sf_dir):
+    docs = _load(spark, sf_dir, "documents")
+    return text.entropy_rate(docs)
