@@ -123,6 +123,14 @@ def auc_rank_eval(df: DataFrame, *, score_col: str, label_col: str,
     → ``auc_bp = (s2 − n₁(n₁+1)) · 5000 div (n₁·n₀)`` (numerator is
     provably non-negative, so trunc-vs-floor never diverges).
 
+    Headroom: the rank-sum s2 and the bp numerator run in
+    DECIMAL(38,0) (oracle side: DuckDB's SUM(BIGINT)→HUGEINT), the
+    same escalation as the other integer-bp operators — in BIGINT the
+    numerator bound 10⁴·n₁·n₀ wraps int64 near ~2·10⁶ rows per group
+    (and s2's per-term p·(2·cum+c+1) ≤ 2·N² near ~3·10⁹), where Spark
+    would wrap silently while DuckDB stays exact. The DECIMAL bound is
+    10⁴·n₁·n₀ < 10³⁸ → ~10¹⁷ rows per group.
+
     Scale: the input collapses to (group, score) CLASSES first — a
     map-side-combinable aggregate that shrinks a 100 TB frame to
     |distinct scores| rows per group — and the rank windows run over
@@ -141,12 +149,16 @@ def auc_rank_eval(df: DataFrame, *, score_col: str, label_col: str,
     r = cls.withColumn(
         "cum", F.coalesce(F.sum("c").over(w), F.lit(0).cast("bigint")))
     per = r.groupBy(*group_cols).agg(
-        F.sum(F.col("p") * (2 * F.col("cum") + F.col("c") + 1)).alias("s2"),
+        F.sum((F.col("p").cast("decimal(38,0)")
+               * (2 * F.col("cum") + F.col("c") + 1)).cast("decimal(38,0)"))
+        .alias("s2"),
         F.sum("p").alias("n_pos"),
         F.sum(F.col("c") - F.col("p")).alias("n_neg"))
     return (per.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
             .selectExpr(*group_cols,
                         "CAST(n_pos AS BIGINT) AS n_pos",
                         "CAST(n_neg AS BIGINT) AS n_neg",
-                        "CAST((s2 - n_pos * (n_pos + 1)) * 5000 "
-                        "div (n_pos * n_neg) AS BIGINT) AS auc_bp"))
+                        "CAST((s2 - CAST(n_pos AS DECIMAL(38,0))"
+                        " * (n_pos + 1)) * 5000 "
+                        "div (CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                        " AS BIGINT) AS auc_bp"))

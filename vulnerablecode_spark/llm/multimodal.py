@@ -544,8 +544,10 @@ def byte_entropy(df: DataFrame, id_col: str = "doc_id",
     excluded. Output: (id, t_bytes, h_e6).
     """
     nb = int(bins)
+    # the output id column carries the CALLER's name — hardcoding
+    # 'doc_id' here silently renamed any other id column (ADVICE r11)
     out_schema = StructType([
-        StructField("doc_id", LongType()),
+        StructField(id_col, LongType()),
         StructField("t_bytes", LongType()),
         StructField("h_e6", LongType()),
     ])
@@ -573,7 +575,7 @@ def byte_entropy(df: DataFrame, id_col: str = "doc_id",
                     zip(pdf.iloc[:, 0], pdf.iloc[:, 1].map(one))
                     if r is not None]
             yield _pd.DataFrame({
-                "doc_id": [i for i, _ in rows],
+                id_col: [i for i, _ in rows],
                 "t_bytes": [r[0] for _, r in rows],
                 "h_e6": [r[1] for _, r in rows],
             }, dtype="int64")
@@ -600,9 +602,13 @@ def byte_tv_drift(hist: DataFrame, *, group_col: str = "source",
     any stored histogram artifact. Scale: the pair algebra runs on
     O(groups × bins) rows, broadcast joins only — the same
     sketch-not-corpus discipline as the KMV matrices (q162/q168).
-    BIGINT headroom: c·T < 2^63 needs total bytes per group < ~3e9;
-    past that, pre-divide counts into per-mille shares or lift into
-    DECIMAL(38,0).
+    Headroom: every product runs in DECIMAL(38,0) (oracle side:
+    HUGEINT) — the per-term c·T products AND the closing
+    Σ·10⁴ div (2·t_a·t_b) step, whose numerator reaches 2·t_a·t_b·10⁴
+    (that bound wrapped int64 near t ≈ 7e8 bytes per group, four
+    orders below the old comment's ~3e9 which only covered c·T). The
+    binding constraint is now 2·t_a·t_b·10⁴ < 10³⁸ → ~10¹⁶ bytes per
+    group, past any 100 TB corpus.
     """
     g = (hist.groupBy(F.col(group_col).alias("g"), F.col(bin_col)
                       .alias("bin"))
@@ -622,9 +628,10 @@ def byte_tv_drift(hist: DataFrame, *, group_col: str = "source",
     dense = (grid.join(F.broadcast(ca), ["src_a", "bin"], "left")
              .join(F.broadcast(cb), ["src_b", "bin"], "left")
              .fillna(0, subset=["c_a", "c_b"]))
-    num = F.abs(F.col("c_a") * F.col("t_b") - F.col("c_b") * F.col("t_a"))
+    num = F.abs(F.col("c_a").cast("decimal(38,0)") * F.col("t_b")
+                - F.col("c_b").cast("decimal(38,0)") * F.col("t_a"))
     return (dense.groupBy("src_a", "src_b", "t_a", "t_b")
             .agg(F.sum(num).alias("_num"))
             .selectExpr("src_a", "src_b", "t_a", "t_b",
-                        "CAST(_num * 10000 div (2 * t_a * t_b) AS BIGINT)"
-                        " AS tv_bp"))
+                        "CAST(_num * 10000 div (CAST(2 AS DECIMAL(38,0))"
+                        " * t_a * t_b) AS BIGINT) AS tv_bp"))

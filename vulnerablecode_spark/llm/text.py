@@ -808,18 +808,24 @@ def zipf_slope(df: DataFrame, *, group_col: str = "source",
 
     Determinism: ln(rank) and ln(count) quantize to integer micro-units
     BEFORE any summation (the q173 discipline — float Σ of ln terms
-    would be order-dependent), all four regression sums are exact
-    BIGINT, and the one closing division runs in IEEE doubles with a
-    FLOOR to micro-units (negative-safe: slopes are negative, and
-    trunc-vs-floor diverges there, so never integer-div this).
+    would be order-dependent); the per-type products x·y / x² are
+    BIGINT-safe (≤ ~3.4e14 each) but their SUMS and the regression
+    cross terms n·Σxy and Σx·Σy are NOT (Σxy wraps int64 near ~4.6e4
+    types, n·Σxy near ~10³ — DuckDB's SUM(BIGINT)→HUGEINT is exact
+    there, so a BIGINT Spark side silently diverges exactly at web
+    scale), so the moment sums accumulate in DECIMAL(38,0) and the
+    cross terms multiply in DECIMAL(38,0) — exact to n·Σxy < 10³⁸,
+    i.e. ~10¹¹ types per group, past any Heaps-law vocabulary. The one
+    closing division runs in IEEE doubles with a FLOOR to micro-units
+    (negative-safe: slopes are negative, and trunc-vs-floor diverges
+    there, so never integer-div this); decimal→double and
+    hugeint→double are both correctly rounded, so the engines agree.
     Output: (group, vocab, slope_e6).
 
     Scale: token counts are one map-side-combinable aggregate; the rank
     window runs over the VOCABULARY (types, not tokens — the Heaps-law
     frame, ~10⁷ rows at web scale); the regression sums are one more
-    group-key aggregate. BIGINT headroom: Σx² ≈ vocab · ln(vocab)²·1e12
-    stays under 2^63 to ~10⁶ types per group — past that, lift the
-    moment sums into DECIMAL(38,0), the dispersion escalation.
+    group-key aggregate.
     """
     from pyspark.sql import Window as W
 
@@ -834,20 +840,22 @@ def zipf_slope(df: DataFrame, *, group_col: str = "source",
                          * 1e6 + 0.5).cast("bigint").alias("x"),
                  F.floor(F.log(F.col("c").cast("double"))
                          * 1e6 + 0.5).cast("bigint").alias("y")))
+    dec = "decimal(38,0)"
     s = q.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"))
-    return (s.filter(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-                     > 0)
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"))
+    num = (F.col("n").cast(dec) * F.col("sxy")
+           - F.col("sx") * F.col("sy"))
+    den = (F.col("n").cast(dec) * F.col("sxx")
+           - F.col("sx") * F.col("sx"))
+    return (s.filter(den > 0)
             .select(F.col("grp").alias(group_col),
                     F.col("n").alias("vocab"),
-                    F.floor((F.col("n") * F.col("sxy")
-                             - F.col("sx") * F.col("sy"))
-                            * 1_000_000.0
-                            / (F.col("n") * F.col("sxx")
-                               - F.col("sx") * F.col("sx")))
+                    F.floor(num.cast("double") * 1_000_000.0
+                            / den.cast("double"))
                     .cast("bigint").alias("slope_e6")))
 
 

@@ -3726,14 +3726,15 @@ def q165_doremi_weights(spark, sf_dir):
         FROM cls
     ),
     per AS (
-        SELECT source, SUM(p * (2 * cum + c + 1)) AS s2,
+        SELECT source,
+               SUM(CAST(p AS HUGEINT) * (2 * cum + c + 1)) AS s2,
                SUM(p) AS n_pos, SUM(c - p) AS n_neg
         FROM r GROUP BY source
     )
     SELECT source, CAST(n_pos AS BIGINT) AS n_pos,
            CAST(n_neg AS BIGINT) AS n_neg,
-           CAST((s2 - n_pos * (n_pos + 1)) * 5000
-                // (n_pos * n_neg) AS BIGINT) AS auc_bp
+           CAST((s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 5000
+                // (CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_bp
     FROM per WHERE n_pos > 0 AND n_neg > 0
     """,
 )
@@ -4233,8 +4234,9 @@ def q174_zipf_slope(spark, sf_dir):
     )
     SELECT src_a, src_b, CAST(t_a AS BIGINT) AS t_a,
            CAST(t_b AS BIGINT) AS t_b,
-           CAST(SUM(ABS(c_a * t_b - c_b * t_a)) * 10000
-                // (2 * t_a * t_b) AS BIGINT) AS tv_bp
+           CAST(SUM(ABS(CAST(c_a AS HUGEINT) * t_b
+                        - CAST(c_b AS HUGEINT) * t_a)) * 10000
+                // (2 * CAST(t_a AS HUGEINT) * t_b) AS BIGINT) AS tv_bp
     FROM dense GROUP BY src_a, src_b, t_a, t_b
     """,
 )
