@@ -94,6 +94,41 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # impossible to miss in the committed artifact.
 REGRESSION_THRESHOLD = 0.25
 
+# Number of full sf0.1 phase repetitions (VERDICT r11 directive #2):
+# three identical-code suite runs spread 1.42x-2.67x on this box, and a
+# single-run artifact commits whichever draw happened last. The
+# committed per-query numbers are now the MEDIAN across PHASE_RUNS
+# suite passes (each pass itself min-of-4 per query), with the per-run
+# total ratios recorded in a "band" field — regression warnings fire
+# off the median only, so in-band noise can no longer page anyone.
+PHASE_RUNS = 3
+
+
+def median_timings(runs):
+    """Per-query median across phase runs (each run: {query: sec})."""
+    import statistics
+
+    out = {}
+    for name in runs[0] if runs else ():
+        vals = [r[name] for r in runs if name in r]
+        out[name] = round(statistics.median(vals), 3)
+    return out
+
+
+def ratio_band(spark_runs, duck_runs):
+    """Per-phase-run total ratios -> band summary for the artifact."""
+    rows = []
+    for i, s in enumerate(spark_runs):
+        st = round(sum(s.values()), 3)
+        d = duck_runs[i] if i < len(duck_runs) else None
+        dt = round(sum(d.values()), 3) if d else None
+        rows.append({"run": i + 1, "spark_total": st, "duckdb_total": dt,
+                     "ratio": round(st / dt, 3) if dt else None})
+    ratios = [r["ratio"] for r in rows if r["ratio"] is not None]
+    return {"runs": rows,
+            "ratio_min": min(ratios) if ratios else None,
+            "ratio_max": max(ratios) if ratios else None}
+
 
 def load_prior_bench(repo=REPO):
     """Latest committed BENCH_r*.json with per-query sf0.1 timings.
@@ -152,7 +187,8 @@ def requested_scale_points(repo=REPO, environ=None):
     pts = {}
     for label, env_var, default_dir in (
             ("sf1", "SPARK_GRAFT_SF1_DIR", "sf1"),
-            ("sf10", "SPARK_GRAFT_SF10_DIR", "sf10")):
+            ("sf10", "SPARK_GRAFT_SF10_DIR", "sf10"),
+            ("sf30", "SPARK_GRAFT_SF30_DIR", "sf30")):
         d = environ.get(env_var, os.path.join(repo, "testdata", default_dir))
         pts[label] = d if os.path.isdir(d) else None
     return pts
@@ -278,8 +314,26 @@ def main() -> None:
     # first rep, min-of-4 reads the warm ones; the DuckDB oracle's inline
     # casts cost microseconds at this scale, an asymmetry in ITS favor).
     # Policy documented in SCALE.md §bench-fairness.
+    #
+    # The sf0.1 phase runs PHASE_RUNS full suite passes, interleaving
+    # the DuckDB baseline pass right after each Spark pass so each
+    # (spark, duck) pair shares the same neighbor-load conditions; the
+    # committed numbers are per-query MEDIANS across passes and the
+    # per-pass total ratios land in the "band" field.
     clear = _plans_llm._ARTIFACTS.clear
-    timings = _time_spark(spark, QUERIES, HEADLINE, sf_dir, 4, clear, "sf0.1")
+    spark_runs: list[dict[str, float]] = []
+    duck_runs: list[dict[str, float]] = []
+    for i in range(PHASE_RUNS):
+        spark_runs.append(_time_spark(spark, QUERIES, HEADLINE, sf_dir, 4,
+                                      clear, f"sf0.1#{i + 1}"))
+        try:
+            duck_runs.append(_time_duck(ORACLES, HEADLINE, sf_dir, 4,
+                                        f"sf0.1#{i + 1}"))
+        except Exception as exc:  # baseline is informational
+            print(f"# duckdb baseline pass {i + 1} skipped: {exc}",
+                  file=sys.stderr)
+            duck_runs.append({})
+    timings = median_timings(spark_runs)
     total = round(sum(timings.values()), 3)
 
     # Informational extras — tracked per-round but OUTSIDE the headline
@@ -306,12 +360,10 @@ def main() -> None:
 
     # Baseline per BASELINE.md: the DuckDB oracle runtime on the same
     # queries at the same scale factor (the reference publishes no
-    # latency numbers).
-    duck_timings: dict[str, float] = {}
-    try:
-        duck_timings = _time_duck(ORACLES, HEADLINE, sf_dir, 4, "sf0.1")
-    except Exception as exc:  # baseline is informational — never fail bench
-        print(f"# duckdb baseline skipped: {exc}", file=sys.stderr)
+    # latency numbers) — measured inside the interleaved phase passes
+    # above; committed as the per-query median like the Spark side.
+    nonempty_duck = [r for r in duck_runs if r]
+    duck_timings: dict[str, float] = median_timings(nonempty_duck)
     duck_total = round(sum(duck_timings.values()), 3) if duck_timings else None
 
     # Scale points beyond the driver's sf0.1 (VERDICT r4 ask → sf1;
@@ -381,6 +433,11 @@ def main() -> None:
         # queries every prior round measured, so the ratio trend stays
         # comparable across BENCH_r{N} artifacts.
         "like_for_like_r5": _like_for_like(timings, duck_timings),
+        # per-pass noise band (r11 directive #2): the committed numbers
+        # above are medians across PHASE_RUNS passes; this records each
+        # pass's total ratio so the round's draw is visible, not hidden.
+        "band": ratio_band(spark_runs, duck_runs),
+        "phase_runs": PHASE_RUNS,
     }
 
     # Round-over-round regression guard (r8 directive #1): flag headline
@@ -414,14 +471,19 @@ def main() -> None:
             json.dump(full, fh, indent=1)
             fh.write("\n")
 
-    write_full(sf1=None, sf10=None)
+    write_full(sf1=None, sf10=None, sf30=None)
     sf1_obj = scale_point("sf1", "SPARK_GRAFT_SF1_DIR", "sf1", 2, 2)
-    write_full(sf1=sf1_obj, sf10=None)
+    write_full(sf1=sf1_obj, sf10=None, sf30=None)
     sf10_obj = scale_point("sf10", "SPARK_GRAFT_SF10_DIR", "sf10", 2, 2)
+    write_full(sf1=sf1_obj, sf10=sf10_obj, sf30=None)
+    # sf30 (r11 directive #3): one larger point to test whether the four
+    # standing sf10 constants' ratios keep falling as data grows.
+    sf30_obj = scale_point("sf30", "SPARK_GRAFT_SF30_DIR", "sf30", 2, 2)
     missing = missing_scale_points(requested, {"sf1": sf1_obj,
-                                               "sf10": sf10_obj})
+                                               "sf10": sf10_obj,
+                                               "sf30": sf30_obj})
     write_full(incomplete=bool(missing), missing=missing,
-               sf1=sf1_obj, sf10=sf10_obj)
+               sf1=sf1_obj, sf10=sf10_obj, sf30=sf30_obj)
 
     def summarize(obj):
         if obj is None:
@@ -438,6 +500,7 @@ def main() -> None:
         "extras_total": round(sum(extras.values()), 3) if extras else None,
         "sf1": summarize(sf1_obj),
         "sf10": summarize(sf10_obj),
+        "sf30": summarize(sf30_obj),
         "incomplete": bool(missing),
         "missing_scale_points": missing,
         "full": "BENCH_FULL.json",

@@ -101,3 +101,38 @@ class TestIncompleteGuard:
         requested = {"sf1": None, "sf10": None}
         assert bench.missing_scale_points(
             requested, {"sf1": None, "sf10": None}) == []
+
+
+class TestMedianBand:
+    """r11 directive #2: committed sf0.1 numbers are per-query medians
+    across PHASE_RUNS suite passes, with per-pass ratios in a band."""
+
+    RUNS = [{"q01": 1.0, "q06": 4.0}, {"q01": 3.0, "q06": 2.0},
+            {"q01": 2.0, "q06": 9.0}]
+
+    def test_median_is_per_query(self):
+        assert bench.median_timings(self.RUNS) == {"q01": 2.0, "q06": 4.0}
+
+    def test_median_empty(self):
+        assert bench.median_timings([]) == {}
+
+    def test_band_per_run_ratios(self):
+        duck = [{"q01": 0.5, "q06": 0.5}, {"q01": 1.0, "q06": 1.0},
+                {"q01": 0.5, "q06": 0.5}]
+        band = bench.ratio_band(self.RUNS, duck)
+        assert [r["ratio"] for r in band["runs"]] == [5.0, 2.5, 11.0]
+        assert band["ratio_min"] == 2.5 and band["ratio_max"] == 11.0
+
+    def test_band_survives_failed_duck_pass(self):
+        duck = [{"q01": 0.5, "q06": 0.5}, {}, {}]
+        band = bench.ratio_band(self.RUNS, duck)
+        assert band["runs"][1]["ratio"] is None
+        assert band["ratio_min"] == band["ratio_max"] == 5.0
+
+    def test_phase_runs_at_least_three(self):
+        assert bench.PHASE_RUNS >= 3
+
+    def test_sf30_is_a_requested_point(self, tmp_path):
+        (tmp_path / "testdata" / "sf30").mkdir(parents=True)
+        pts = bench.requested_scale_points(repo=str(tmp_path), environ={})
+        assert pts["sf30"] and pts["sf1"] is None

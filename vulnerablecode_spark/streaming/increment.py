@@ -384,8 +384,24 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
     os.makedirs(root, exist_ok=True)
     recover_increment(root)
     ledger = read_ledger(root)
-    if batch_id in [b["batch_id"] for b in ledger["batches"]]:
+    committed = [b["batch_id"] for b in ledger["batches"]]
+    if batch_id in committed:
         return {"applied": False, "batch_id": batch_id}
+    # The non-additive artifacts (cleaned last-batch-wins, the CC remap
+    # chain) SERIALIZE by batch id: resolution folds/resolves in batch-
+    # id order, which is apply order for every legitimate producer
+    # (foreachBatch ids are monotonic; a replayed committed id is the
+    # no-op above). A NEVER-committed lower id arriving after a higher
+    # one is out-of-order delivery the store cannot serialize — a stale
+    # row with a higher stamp would silently shadow the repair (measured:
+    # applying (2, 1) left batch-2 docs serving boilerplate their retro
+    # re-clean had already removed). Fail loud instead of serving stale.
+    if committed and batch_id <= max(committed):
+        raise ValueError(
+            f"batch_id {batch_id} arrived after committed "
+            f"{max(committed)}: non-monotonic batch ids cannot be "
+            f"serialized by the last-batch-wins artifacts; replay a "
+            f"committed id for a no-op, or renumber the batch")
 
     # the batch is pinned ONCE (with its lang column when present) so
     # every artifact — including the LANG_TOKENS deltas — derives from
