@@ -65,6 +65,15 @@ DOC_QUERIES = [
     "q169_edit_similarity", "q170_triangle_counts",
     "q171_skipgram_pmi", "q172_histogram_incremental",
     "q173_payload_entropy", "q174_zipf_slope", "q175_byte_tv_drift", "q176_entropy_rate",
+    # round-12 corpus-health family — double-ratio ln args with random
+    # count structure (JS), within-doc dup structure from the planted
+    # near-dups (repetition/diversity), regression sums on random
+    # per-doc (tokens, types) points (Heaps), register bit-arithmetic
+    # on random hash populations (HLL), rank-1/rank-2 counts on random
+    # multiplicity (Good-Turing/Simpson), top-k tie-breaks (burstiness)
+    "q177_js_divergence", "q178_gopher_repetition",
+    "q179_distinct_ngrams", "q180_term_burstiness", "q181_heaps_law",
+    "q182_hll_estimate", "q183_good_turing", "q184_simpson_index",
 ]
 # queries reading ONLY the embeddings table — the float-heavy family
 EMB_QUERIES = [

@@ -933,3 +933,59 @@ class TestRound10NewOps:
         plan = plan_of(spark, "q176_entropy_rate")
         assert "CartesianProduct" not in plan
         assert "partial" in plan
+
+
+class TestRound12PlanQuality:
+    """Round-12 corpus-health family: every query is explode → map-side
+    combinable aggregation with at most co-keyed type joins and
+    broadcast dims — no cartesian growth, no corpus self-joins."""
+
+    def test_q177_js_type_frame_joins_only(self, spark):
+        # group-vs-corpus: the type frame joins corpus counts co-keyed
+        # on the token plus two broadcast dims (totals, the 1-row
+        # corpus constants) — never a pair grid over groups
+        plan = plan_of(spark, "q177_js_divergence")
+        assert "CartesianProduct" not in plan
+        assert "partial" in plan            # map-side combine present
+        assert "BroadcastNestedLoopJoin" in plan  # the 1-row constants
+
+    def test_q178_repetition_map_side_ngrams(self, spark):
+        # trigrams by shifted-slice zip_with: no positional self-join
+        plan = plan_of(spark, "q178_gopher_repetition")
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan           # one scan, zero joins
+        assert "zip_with" in plan
+
+    def test_q179_diversity_no_cartesian(self, spark):
+        plan = plan_of(spark, "q179_distinct_ngrams")
+        assert "CartesianProduct" not in plan
+        assert "partial" in plan
+
+    def test_q180_burstiness_topk_broadcasts(self, spark):
+        # the O(top) dim broadcasts back into the postings prune; the
+        # doc-count scalar rides a 1-row broadcast
+        plan = plan_of(spark, "q180_term_burstiness")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+    def test_q181_heaps_single_scan_no_join(self, spark):
+        # per-doc (tokens, types) is within-row array algebra — the
+        # whole regression is ONE scan + one group-key aggregate
+        plan = plan_of(spark, "q181_heaps_law")
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+        assert "Join" not in plan
+
+    def test_q182_hll_register_min_is_partial(self, spark):
+        # the register aggregate is min(h') — map-side combinable — and
+        # the estimate reads O(groups × 64) rows; no joins anywhere
+        plan = plan_of(spark, "q182_hll_estimate")
+        assert "Join" not in plan
+        assert "partial_min" in plan or "partial" in plan
+
+    def test_q183_q184_one_rollup(self, spark):
+        for name in ("q183_good_turing", "q184_simpson_index"):
+            plan = plan_of(spark, name)
+            assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+            assert "Join" not in plan
+            assert "partial" in plan

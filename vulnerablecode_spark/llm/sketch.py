@@ -263,3 +263,95 @@ def kmv_containment_matrix(sketch: DataFrame, k: int,
             .filter(F.col("k_a") > 0)
             .withColumn("containment_bp",
                         F.expr("n_both * 10000 div k_a").cast("bigint")))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog-style register sketch.
+# ---------------------------------------------------------------------------
+
+HLL_M = 64          # registers; m = 64 → α·m² = 0.709·4096
+_HLL_HBITS = 54     # 60-bit hash minus 6 register-index bits
+_HLL_POW = float(1 << 55)  # 2^55, exact in double — the S scale factor
+
+
+def hll_registers(df: DataFrame, value: Column,
+                  group_cols: tuple[str, ...] = ("source",),
+                  salt: str = "hll") -> DataFrame:
+    """Flajolet-style register sketch (Flajolet et al. 2007) per group,
+    in long form (group..., reg, m): the hash's low 6 bits pick one of
+    64 registers, the remaining 54 bits contribute their
+    leading-zero-rank ρ, and the register keeps max ρ. Unlike Spark's
+    own HyperLogLog++ (approx_count_distinct), the register layout here
+    is ENGINE-PORTABLE — built on the repo's 60-bit md5 hash with
+    integer-only bit arithmetic — so the sketch and its estimator are
+    hash-verifiable against DuckDB (the same reason kmv_sketch exists
+    beside approx_count_distinct).
+
+    ρ is EXACT integer bit arithmetic, no float log: ρ = 55 − bitlen(h')
+    with bitlen via base-2 string length (Spark ``conv``/DuckDB ``bin``
+    agree, including bitlen ∈ [1,54] for h' > 0), and max ρ per register
+    = 55 − bitlen(min h') because bitlen is monotone — so the register
+    aggregate is ONE map-side-combinable MIN, not a max over derived
+    ranks. h' = 0 caps at ρ = 55.
+
+    Mergeable monoid: registers of any two corpus slices merge by
+    element-wise MAX (equivalently min of the underlying h') — the
+    sketch of a 100 TB corpus is maintained as O(groups × 64) rows
+    under delta-append exactly like the KMV/histogram artifacts.
+    """
+    from vulnerablecode_spark.llm.dedup import hash64
+
+    h = hash64(F.concat_ws(":", F.lit(salt), value.cast("string")))
+    per = (df.select(*group_cols, h.alias("h"))
+           .select(*group_cols, (F.col("h") % HLL_M).alias("reg"),
+                   F.expr(f"h div {HLL_M}").alias("h2"))
+           .groupBy(*group_cols, "reg")
+           .agg(F.min("h2").alias("hmin")))
+    m = F.when(F.col("hmin") == 0, F.lit(_HLL_HBITS + 1)).otherwise(
+        F.lit(_HLL_HBITS + 1) - F.length(F.conv(F.col("hmin"), 10, 2)))
+    return per.select(*group_cols, "reg",
+                      m.cast("int").alias("m"))
+
+
+def hll_merge(*sketches: DataFrame,
+              group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Element-wise max of register sketches — the HLL merge monoid:
+    merging per-batch sketches equals the sketch of the union."""
+    if not sketches:
+        raise ValueError("hll_merge: need at least one sketch")
+    u = sketches[0].select(*group_cols, "reg", "m")
+    for s in sketches[1:]:
+        u = u.unionByName(s.select(*group_cols, "reg", "m"))
+    return u.groupBy(*group_cols, "reg").agg(F.max("m").alias("m"))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Raw HLL estimate per group from a register sketch:
+    ``E = α_m · m² / Σ_j 2^(−M_j)`` with unset registers at M = 0.
+
+    Exact cross-engine: the harmonic sum is computed SCALED by 2^55 as
+    Σ shiftleft(1, 55−M) — every term an exact BIGINT power of two
+    (max 64·2^55 = 2^61), unset registers folded in as (64−n_set)·2^55
+    — so the only float step is one double multiply-divide chain with
+    fixed association, identical in IEEE on both engines. Output:
+    (group..., n_registers_set, s_scaled, est_hll). The small/large-
+    range corrections of the production HLL (linear counting under
+    2.5m, the 2^L clamp) are deliberately omitted: this grades the raw
+    estimator; a production counter would wrap this in the standard
+    correction ladder.
+    """
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(HLL_M)))
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_set"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_HBITS + 1} - m)")
+              .cast("bigint")).alias("s_set"))
+    s = (F.col("s_set")
+         + (F.lit(HLL_M) - F.col("n_set"))
+         * F.lit(1 << (_HLL_HBITS + 1)).cast("bigint")).cast("bigint")
+    return agg.select(
+        *group_cols,
+        F.col("n_set").alias("n_registers_set"),
+        s.alias("s_scaled"),
+        F.floor(alpha * F.lit(float(HLL_M * HLL_M)) * F.lit(_HLL_POW)
+                / s.cast("double")).cast("bigint").alias("est_hll"))

@@ -921,3 +921,334 @@ def entropy_rate(df: DataFrame, *, group_col: str = "source",
                         "CAST(h_unigram_e6 AS BIGINT) AS h_unigram_e6",
                         "CAST(h_bigram_cond_e6 AS BIGINT) "
                         "AS h_bigram_cond_e6"))
+
+
+def js_divergence(df: DataFrame, *, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Jensen-Shannon divergence of each group's unigram distribution
+    from the CORPUS distribution, in integer micro-nats — the smooth
+    domain-representativeness score (Lin 1991): TV (byte_tv_drift)
+    says how far apart two mixes are in mass, JS says how surprising
+    one is under a mixture code, bounded by ln 2 and defined even when
+    supports differ. The standard "which domain drifted from the
+    corpus norm" dashboard number for mixture rebalancing (DoReMi-style
+    reweighting reads exactly this kind of divergence).
+
+    Algebra (P = group, Q = corpus, M = (P+Q)/2):
+    ``JS = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)`` with
+    ``p/m = 2cT / (cT + C·T_g)`` and ``q/m = 2C·T_g / (cT + C·T_g)``
+    for a token with group count c, corpus count C, group total T_g,
+    corpus total T. Tokens ABSENT from the group contribute
+    ``(C/T)·ln 2`` to the Q-side sum — folded in exactly as a corpus
+    constant (Σ over all types) minus the group's own Σ, never by
+    materializing the zero grid.
+
+    Determinism: the q173 discipline — each ``c·ln(·)`` term quantizes
+    to micro-nats BEFORE the order-free sums (summed in DECIMAL(38,0):
+    term magnitude ≤ c·ln2·1e6, so a BIGINT sum would wrap near 10¹³
+    tokens per group — inside 100 TB range); the ln arguments are
+    single double-division ratios with fixed association (products in
+    DOUBLE, never int64); the one closing step is FLOOR over two double
+    divisions by exact-integer totals. Output: (group, n_tokens,
+    js_e6), js_e6 ∈ [0, 693147].
+
+    Scale: one token explode → (group, type) counts (map-side
+    combinable); the corpus type frame re-aggregates FROM those counts
+    (the corpus is scanned once, total); the join is co-keyed on the
+    type — the Heaps-law frame — plus two broadcast dims (group totals,
+    the 1-row corpus constants). No pair grid: group-vs-corpus is
+    O(groups × types-in-group), not O(groups² × vocab).
+    """
+    dec = "decimal(38,0)"
+    cls = (df.select(F.col(group_col).alias("grp"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+           .groupBy("grp", "w")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    corp = cls.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    # l2 = quantized C·ln2 contribution of a type to the Q-side sum
+    l2 = F.floor(F.col("cw").cast("double") * F.log(F.lit(2.0))
+                 * 1e6 + 0.5).cast("bigint")
+    corp = corp.withColumn("l2", l2)
+    glob = corp.agg(F.sum("cw").cast("bigint").alias("t_all"),
+                    F.sum(F.col("l2").cast(dec)).alias("g2"))
+    tots = cls.groupBy("grp").agg(F.sum("c").cast("bigint").alias("t_g"))
+
+    j = (cls.join(corp, "w")
+         .join(F.broadcast(tots), "grp")
+         .join(F.broadcast(glob)))
+    cd = F.col("c").cast("double")
+    cwd = F.col("cw").cast("double")
+    td = F.col("t_all").cast("double")
+    tgd = F.col("t_g").cast("double")
+    den = cd * td + cwd * tgd
+    term_p = F.floor(cd * F.log(F.lit(2.0) * cd * td / den)
+                     * 1e6 + 0.5).cast("bigint")
+    term_q = F.floor(cwd * F.log(F.lit(2.0) * cwd * tgd / den)
+                     * 1e6 + 0.5).cast("bigint")
+    per = j.groupBy("grp", "t_g", "t_all", "g2").agg(
+        F.sum(term_p.cast(dec)).alias("klp"),
+        F.sum(term_q.cast(dec)).alias("klq_in"),
+        F.sum(F.col("l2").cast(dec)).alias("l2_in"))
+    return per.select(
+        F.col("grp").alias(group_col),
+        F.col("t_g").alias("n_tokens"),
+        F.floor(F.col("klp").cast("double")
+                / (F.lit(2.0) * F.col("t_g").cast("double"))
+                + (F.col("klq_in") + F.col("g2")
+                   - F.col("l2_in")).cast("double")
+                / (F.lit(2.0) * F.col("t_all").cast("double")))
+        .cast("bigint").alias("js_e6"))
+
+
+def repetition_stats(df: DataFrame, *, group_col: str = "source",
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 3) -> DataFrame:
+    """Within-document n-gram repetition per group — the Gopher-style
+    repetition filter signal (Rae et al. 2021 §A1.3.3 measure "duplicate
+    n-grams"): for each document, the fraction of its overlapping
+    n-grams that are repeats of an n-gram already seen IN THAT document
+    (``1 − distinct/total``, in basis points); rolled up per group as
+    mean/max over documents. Degenerate generated text and boilerplate
+    spike this long before perplexity notices.
+
+    Exact integer arithmetic end-to-end: dup_bp = (total − distinct) ·
+    10⁴ div total per doc (non-negative, trunc ≡ floor), group mean =
+    Σdup_bp div n_docs. Documents with < n tokens have no n-grams and
+    are excluded.
+
+    Scale: n-gram generation is the shifted-slice zip (map-side, the
+    q176 discipline — never a positional self-join); the per-doc
+    distinct count shuffles on (doc, gram) — the corpus's token-order
+    frame, the same O(tokens) shuffle every n-gram operator pays — then
+    everything collapses to one row per doc before the group rollup.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_t = F.size(toks)
+    sl = [F.slice(toks, i + 1, n_t - (n - 1)) for i in range(n)]
+    grams = sl[0]
+    for nxt in sl[1:]:
+        grams = F.zip_with(grams, nxt,
+                           lambda a, b: F.concat_ws(" ", a, b))
+    per_doc = (df.filter(n_t >= n)
+               .select(F.col(group_col).alias("grp"),
+                       F.col(id_col).alias("doc"),
+                       F.explode(grams).alias("g"))
+               .groupBy("grp", "doc")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("total"),
+                    F.count_distinct("g").cast("bigint").alias("dst"))
+               .selectExpr("grp", "doc",
+                           "(total - dst) * 10000 div total AS dup_bp"))
+    return (per_doc.groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.expr("sum(dup_bp) div count(1)").cast("bigint")
+                 .alias("mean_dup_bp"),
+                 F.max("dup_bp").cast("bigint").alias("max_dup_bp"))
+            .withColumnRenamed("grp", group_col))
+
+
+def ngram_diversity(df: DataFrame, *, group_col: str = "source",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-level distinct-n diversity per group: distinct unigrams /
+    total unigrams and distinct bigrams / total bigrams, in basis
+    points — the distinct-n metric generation work reports as a
+    mode-collapse check (Li et al. 2016's distinct-1/distinct-2): a
+    group whose distinct-2 share collapses is template-dominated even
+    when its vocabulary looks healthy.
+
+    Integer-exact: both ratios are distinct·10⁴ div total over exact
+    counts. Bigrams by shifted-slice zip (map-side). Output: (group,
+    n_tokens, distinct1_bp, n_bigrams, distinct2_bp).
+
+    Scale: two map-side-combinable count-distinct aggregates over the
+    type / bigram-type frames — the same Heaps-law shapes as q145/q176;
+    no joins, no windows.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n_t = F.size(toks)
+    grp = F.col(group_col).alias("grp")
+    uni = (df.select(grp, F.explode(toks).alias("w"))
+           .groupBy("grp")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                F.count_distinct("w").cast("bigint").alias("d1")))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n_t - 1), F.slice(toks, 2, n_t - 1),
+        lambda x, y: F.concat_ws(" ", x, y))
+    bi = (df.filter(n_t >= 2).select(grp, F.explode(bigrams).alias("b"))
+          .groupBy("grp")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+               F.count_distinct("b").cast("bigint").alias("d2")))
+    return (uni.join(bi, "grp")
+            .selectExpr(f"grp AS {group_col}", "n_tokens",
+                        "d1 * 10000 div n_tokens AS distinct1_bp",
+                        "n_bigrams",
+                        "d2 * 10000 div n_bigrams AS distinct2_bp"))
+
+
+def term_burstiness(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", top: int = 20) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of per-document counts,
+    zeros included) for the corpus's top-``top`` tokens — the classic
+    burstiness diagnostic (Church & Gale 1995): function words sit near
+    the Poisson line (F ≈ 1), topical/boilerplate terms are bursty
+    (F ≫ 1), and a "common" token with F ≈ 0 appears once everywhere —
+    the injected-template signature.
+
+    Exact rational arithmetic: over N docs with per-doc counts x
+    (zero when absent), ``F = (N·Σx² − (Σx)²) / (N·Σx)`` — the zero
+    docs contribute nothing to Σx/Σx², so only docs CONTAINING the
+    token are ever touched. Numerator is Cauchy-Schwarz non-negative
+    (trunc ≡ floor); products run in DECIMAL(38,0) (N·Σx² wraps int64
+    near 10⁹ docs — the silent-wrap regime the r12 ADVICE fixes
+    closed). Output: (tok, total_c, n_docs_with, fano_bp).
+
+    Scale: the top-k dim is O(top) rows selected from the map-side
+    type counts and BROADCAST back into the per-doc count aggregation
+    — the corpus explode is pruned to the top tokens' postings before
+    any shuffle; the moment rollup is O(top) rows; N rides in as a
+    1-row broadcast.
+    """
+    dec = "decimal(38,0)"
+    ex = df.select(F.col(id_col).alias("doc"),
+                   F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    topk = (ex.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("total_c"))
+            .orderBy(F.col("total_c").desc(), F.col("w").asc())
+            .limit(int(top)))
+    n_docs = df.select(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    per_doc = (ex.join(F.broadcast(topk.select("w")), "w")
+               .groupBy("w", "doc")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("x")))
+    mo = per_doc.groupBy("w").agg(
+        F.sum("x").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_with"))
+    return (mo.join(F.broadcast(topk), "w").join(F.broadcast(n_docs))
+            .select(F.col("w").alias("tok"), "total_c",
+                    F.col("n_with").alias("n_docs_with"),
+                    ((F.col("n_all").cast(dec) * F.col("sxx")
+                      - F.col("sx").cast(dec) * F.col("sx"))
+                     * 10000).alias("_num"),
+                    (F.col("n_all").cast(dec) * F.col("sx")).alias("_den"))
+            .selectExpr("tok", "total_c", "n_docs_with",
+                        "CAST(_num div _den AS BIGINT) AS fano_bp"))
+
+
+def heaps_law(df: DataFrame, *, group_col: str = "source",
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law fit per group: the least-squares line of ln(types)
+    against ln(tokens) across the group's DOCUMENTS (Heaps 1978;
+    Egghe 2007 for the modern treatment) — β near the language's
+    natural 0.4–0.6 says vocabulary grows healthily with length;
+    β → 0 is template text (length grows, vocabulary doesn't), β → 1
+    is token soup. The per-document complement of the corpus-level
+    Zipf slope (q174) — same exact-regression discipline, different
+    frame.
+
+    Determinism: the zipf_slope/r12 discipline — ln(tokens)/ln(types)
+    quantize to micro-units per document BEFORE summation, moment sums
+    and cross terms run in DECIMAL(38,0) (the BIGINT cross terms would
+    wrap near ~10³ documents — the exact regime the r12 ADVICE fix
+    closed for q174), slope and intercept close in IEEE doubles with a
+    FLOOR (negative-safe). Output: (group, n_docs, beta_e6,
+    ln_k_e6) where ln_k is the intercept (ln of Heaps' K).
+
+    Scale: one map-side pass computes each document's (tokens, types)
+    — the per-doc distinct count is within-row array algebra, no
+    shuffle — then one group-key aggregate over O(docs) rows.
+    """
+    dec = "decimal(38,0)"
+    toks = F.split(F.col(text_col), " ")
+    q = (df.select(F.col(group_col).alias("grp"),
+                   F.size(toks).alias("nt"),
+                   F.size(F.array_distinct(toks)).alias("ty"))
+         .filter(F.col("nt") >= 1)
+         .select("grp",
+                 F.floor(F.log(F.col("nt").cast("double"))
+                         * 1e6 + 0.5).cast("bigint").alias("x"),
+                 F.floor(F.log(F.col("ty").cast("double"))
+                         * 1e6 + 0.5).cast("bigint").alias("y")))
+    s = q.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"))
+    num = F.col("n").cast(dec) * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n").cast(dec) * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    nd = F.col("n").cast("double")
+    icept = (F.col("sy").cast("double") - slope * F.col("sx")
+             .cast("double")) / nd
+    return (s.filter(den > 0)
+            .select(F.col("grp").alias(group_col),
+                    F.col("n").alias("n_docs"),
+                    F.floor(slope * 1e6).cast("bigint").alias("beta_e6"),
+                    F.floor(icept).cast("bigint").alias("ln_k_e6")))
+
+
+def coverage_stats(df: DataFrame, *, group_col: str = "source",
+                   text_col: str = "text") -> DataFrame:
+    """Good-Turing sample-coverage diagnostics per group: hapax and
+    dis-legomena counts and the Turing missing-mass estimate
+    ``f1/N`` in basis points (Good 1953) — the "how much of this
+    domain's distribution have we NOT seen yet" number that says
+    whether a source is exhausted or still surfacing new vocabulary
+    (the decision input for UniMax-style per-source epoch caps).
+
+    Integer-exact throughout: counts and one non-negative integer
+    division. Output: (group, n_tokens, vocab, hapax, dis, p0_bp).
+
+    Scale: one map-side-combinable (group, type) count, one group
+    rollup over the Heaps-law type frame. No joins.
+    """
+    cls = (df.select(F.col(group_col).alias("grp"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+           .groupBy("grp", "w")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    return (cls.groupBy("grp")
+            .agg(F.sum("c").cast("bigint").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("bigint").alias("vocab"),
+                 F.sum((F.col("c") == 1).cast("bigint")).cast("bigint")
+                 .alias("hapax"),
+                 F.sum((F.col("c") == 2).cast("bigint")).cast("bigint")
+                 .alias("dis"))
+            .selectExpr(f"grp AS {group_col}", "n_tokens", "vocab",
+                        "hapax", "dis",
+                        "hapax * 10000 div n_tokens AS p0_bp"))
+
+
+def simpson_index(df: DataFrame, *, group_col: str = "source",
+                  text_col: str = "text") -> DataFrame:
+    """Simpson lexical concentration per group: the probability two
+    tokens drawn WITHOUT replacement are the same type,
+    ``λ = Σ c(c−1) / (T(T−1))`` (Simpson 1949), in parts-per-million —
+    the heavy-head companion to the entropy family: entropy reacts to
+    the whole distribution, λ is dominated by the few most-repeated
+    types, so boilerplate floods λ first.
+
+    Exact rational arithmetic: both Σc(c−1) and T(T−1) are exact
+    integers; the products and the ppm step run in DECIMAL(38,0)
+    (num·10⁶ wraps int64 near T ≈ 3·10⁶ tokens per group in BIGINT —
+    the r12 ADVICE regime; DECIMAL holds to T ≈ 3·10¹⁵). One
+    non-negative integer division. Output: (group, n_tokens, vocab,
+    simpson_e6).
+
+    Scale: the same one-explode one-rollup shape as coverage_stats.
+    """
+    dec = "decimal(38,0)"
+    cls = (df.select(F.col(group_col).alias("grp"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+           .groupBy("grp", "w")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    per = cls.groupBy("grp").agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c").cast(dec) * (F.col("c") - 1))).alias("num"))
+    return (per.filter(F.col("t") >= 2)
+            .select(F.col("grp").alias(group_col),
+                    F.col("t").alias("n_tokens"), "vocab",
+                    ((F.col("num") * 1000000)
+                     .cast(dec)).alias("_n"),
+                    (F.col("t").cast(dec) * (F.col("t") - 1)).alias("_d"))
+            .selectExpr(group_col, "n_tokens", "vocab",
+                        "CAST(_n div _d AS BIGINT) AS simpson_e6"))

@@ -4318,3 +4318,304 @@ def q175_byte_tv_drift(spark, sf_dir):
 def q176_entropy_rate(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return text.entropy_rate(docs)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 corpus-health additions (≤10 per the r11 rotation directive):
+# the divergence/diversity/coverage statistics a mixture-rebalancing
+# pipeline reads next to the r11 sketch family. All integer-exact or
+# fixed-association-double graded surfaces; every products path runs in
+# DECIMAL(38,0)/HUGEINT per the r12 ADVICE discipline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q177_js_divergence",
+    oracle="""
+    WITH cls AS (
+        SELECT source, t.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        GROUP BY source, t.tok
+    ),
+    corp AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS cw,
+               CAST(FLOOR(CAST(SUM(c) AS DOUBLE) * ln(2.0) * 1000000.0
+                          + 0.5) AS BIGINT) AS l2
+        FROM cls GROUP BY w
+    ),
+    gtot AS (SELECT CAST(SUM(cw) AS BIGINT) AS t_all, SUM(l2) AS g2
+             FROM corp),
+    tots AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t_g
+             FROM cls GROUP BY source),
+    j AS (
+        SELECT cls.source, cls.c, corp.cw, corp.l2, tots.t_g,
+               gtot.t_all, gtot.g2
+        FROM cls JOIN corp USING (w) JOIN tots USING (source)
+        CROSS JOIN gtot
+    ),
+    per AS (
+        SELECT source, t_g, t_all, g2,
+               SUM(CAST(FLOOR(CAST(c AS DOUBLE)
+                   * ln(2.0 * CAST(c AS DOUBLE) * CAST(t_all AS DOUBLE)
+                        / (CAST(c AS DOUBLE) * CAST(t_all AS DOUBLE)
+                           + CAST(cw AS DOUBLE) * CAST(t_g AS DOUBLE)))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS klp,
+               SUM(CAST(FLOOR(CAST(cw AS DOUBLE)
+                   * ln(2.0 * CAST(cw AS DOUBLE) * CAST(t_g AS DOUBLE)
+                        / (CAST(c AS DOUBLE) * CAST(t_all AS DOUBLE)
+                           + CAST(cw AS DOUBLE) * CAST(t_g AS DOUBLE)))
+                   * 1000000.0 + 0.5) AS BIGINT)) AS klq_in,
+               SUM(l2) AS l2_in
+        FROM j GROUP BY source, t_g, t_all, g2
+    )
+    SELECT source, CAST(t_g AS BIGINT) AS n_tokens,
+           CAST(FLOOR(CAST(klp AS DOUBLE) / (2.0 * CAST(t_g AS DOUBLE))
+                + CAST(klq_in + g2 - l2_in AS DOUBLE)
+                / (2.0 * CAST(t_all AS DOUBLE))) AS BIGINT) AS js_e6
+    FROM per
+    """,
+)
+def q177_js_divergence(spark, sf_dir):
+    """JS divergence of each source's unigram mix from the corpus mix
+    (llm/text.py js_divergence) — the smooth domain-drift score."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.js_divergence(docs)
+
+
+@query(
+    "q178_gopher_repetition",
+    oracle="""
+    WITH tk AS (
+        SELECT source, doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ),
+    g AS (
+        SELECT source, doc_id,
+               toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS g
+        FROM tk, UNNEST(range(0, len(toks) - 2)) AS u(i)
+    ),
+    per AS (
+        SELECT source, doc_id, CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(COUNT(DISTINCT g) AS BIGINT) AS dst
+        FROM g GROUP BY source, doc_id
+    ),
+    bp AS (SELECT source, (total - dst) * 10000 // total AS dup_bp
+           FROM per)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dup_bp) // COUNT(*) AS BIGINT) AS mean_dup_bp,
+           CAST(MAX(dup_bp) AS BIGINT) AS max_dup_bp
+    FROM bp GROUP BY source
+    """,
+)
+def q178_gopher_repetition(spark, sf_dir):
+    """Within-doc duplicate-trigram share per source (llm/text.py
+    repetition_stats) — the Gopher repetition filter signal."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+@query(
+    "q179_distinct_ngrams",
+    oracle="""
+    WITH uni AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS d1
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        GROUP BY source
+    ),
+    tk AS (
+        SELECT source, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) >= 2
+    ),
+    bi AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(DISTINCT toks[i+1] || ' ' || toks[i+2])
+                    AS BIGINT) AS d2
+        FROM tk, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        GROUP BY source
+    )
+    SELECT source, n_tokens,
+           CAST(d1 * 10000 // n_tokens AS BIGINT) AS distinct1_bp,
+           n_bigrams,
+           CAST(d2 * 10000 // n_bigrams AS BIGINT) AS distinct2_bp
+    FROM uni JOIN bi USING (source)
+    """,
+)
+def q179_distinct_ngrams(spark, sf_dir):
+    """Distinct-1/distinct-2 diversity per source (llm/text.py
+    ngram_diversity) — the mode-collapse check."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.ngram_diversity(docs)
+
+
+@query(
+    "q180_term_burstiness",
+    oracle="""
+    WITH ex AS (
+        SELECT doc_id AS doc, t.tok AS w
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    topk AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS total_c
+        FROM ex GROUP BY w ORDER BY total_c DESC, w ASC LIMIT 20
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM documents),
+    pd AS (
+        SELECT ex.w, ex.doc, CAST(COUNT(*) AS BIGINT) AS x
+        FROM ex JOIN topk USING (w) GROUP BY ex.w, ex.doc
+    ),
+    mo AS (
+        SELECT w, SUM(x) AS sx, SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               CAST(COUNT(*) AS BIGINT) AS n_with
+        FROM pd GROUP BY w
+    )
+    SELECT mo.w AS tok, topk.total_c, mo.n_with AS n_docs_with,
+           CAST((CAST(nd.n_all AS HUGEINT) * mo.sxx
+                 - CAST(mo.sx AS HUGEINT) * mo.sx) * 10000
+                // (CAST(nd.n_all AS HUGEINT) * mo.sx) AS BIGINT)
+               AS fano_bp
+    FROM mo JOIN topk USING (w) CROSS JOIN nd
+    """,
+)
+def q180_term_burstiness(spark, sf_dir):
+    """Fano factor of per-doc counts for the corpus top-20 tokens
+    (llm/text.py term_burstiness) — Church-Gale burstiness."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.term_burstiness(docs)
+
+
+@query(
+    "q181_heaps_law",
+    oracle="""
+    WITH q AS (
+        SELECT source,
+               CAST(FLOOR(ln(CAST(len(string_split(text, ' '))
+                    AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(ln(CAST(len(list_distinct(
+                    string_split(text, ' '))) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS y
+        FROM documents WHERE len(string_split(text, ' ')) >= 1
+    ),
+    s AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM q GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS beta_e6,
+           CAST(FLOOR((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                AS BIGINT) AS ln_k_e6
+    FROM s WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q181_heaps_law(spark, sf_dir):
+    """Heaps'-law β and ln K per source from per-doc (tokens, types)
+    points (llm/text.py heaps_law) — vocabulary-growth health."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.heaps_law(docs)
+
+
+@query(
+    "q182_hll_estimate",
+    oracle="""
+    WITH h AS (
+        SELECT source,
+               (('0x' || substr(md5('hll:' || t.tok), 1, 15))::BIGINT)
+                   AS h
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+    ),
+    per AS (
+        SELECT source, h % 64 AS reg, MIN(h // 64) AS hmin
+        FROM h GROUP BY source, h % 64
+    ),
+    regs AS (
+        SELECT source, reg,
+               CASE WHEN hmin = 0 THEN 55
+                    ELSE 55 - length(bin(hmin)) END AS m
+        FROM per
+    ),
+    agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_set,
+               CAST(SUM(1::BIGINT << (55 - m)) AS BIGINT) AS s_set
+        FROM regs GROUP BY source
+    )
+    SELECT source, n_set AS n_registers_set,
+           CAST(s_set + (64 - n_set) * (1::BIGINT << 55) AS BIGINT)
+               AS s_scaled,
+           CAST(FLOOR(0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+                * 36028797018963968.0
+                / CAST(s_set + (64 - n_set) * (1::BIGINT << 55)
+                       AS DOUBLE)) AS BIGINT) AS est_hll
+    FROM agg
+    """,
+)
+def q182_hll_estimate(spark, sf_dir):
+    """Engine-portable HLL register sketch + raw estimate per source
+    (llm/sketch.py hll_registers/hll_estimate) — the fixed-size
+    complement of the KMV family (q160): 64 registers instead of
+    bottom-k, element-wise-max merge instead of union+re-cut."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    regs = sketch.hll_registers(toks, F.col("tok"))
+    return sketch.hll_estimate(regs)
+
+
+@query(
+    "q183_good_turing",
+    oracle="""
+    WITH cls AS (
+        SELECT source, t.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        GROUP BY source, t.tok
+    )
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+                // SUM(c) AS BIGINT) AS p0_bp
+    FROM cls GROUP BY source
+    """,
+)
+def q183_good_turing(spark, sf_dir):
+    """Good-Turing missing mass per source (llm/text.py
+    coverage_stats) — is this domain exhausted or still surfacing
+    vocabulary."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.coverage_stats(docs)
+
+
+@query(
+    "q184_simpson_index",
+    oracle="""
+    WITH cls AS (
+        SELECT source, t.tok AS w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        GROUP BY source, t.tok
+    ),
+    per AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               SUM(CAST(c AS HUGEINT) * (c - 1)) AS num
+        FROM cls GROUP BY source
+    )
+    SELECT source, t AS n_tokens, vocab,
+           CAST(num * 1000000 // (CAST(t AS HUGEINT) * (t - 1))
+                AS BIGINT) AS simpson_e6
+    FROM per WHERE t >= 2
+    """,
+)
+def q184_simpson_index(spark, sf_dir):
+    """Simpson lexical concentration per source (llm/text.py
+    simpson_index) — the heavy-head boilerplate detector."""
+    docs = _load(spark, sf_dir, "documents")
+    return text.simpson_index(docs)
