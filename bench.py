@@ -73,6 +73,9 @@ EXTRAS = [
     "q169_edit_similarity", "q170_triangle_counts",
     "q171_skipgram_pmi", "q172_histogram_incremental",
     "q173_payload_entropy", "q174_zipf_slope", "q175_byte_tv_drift", "q176_entropy_rate",
+    "q177_js_divergence", "q178_gopher_repetition", "q179_distinct_ngrams",
+    "q180_term_burstiness", "q181_heaps_law", "q182_hll_estimate",
+    "q183_good_turing", "q184_simpson_index",
 ]
 
 FAMILY_FIRST = {"q24_ngram_jaccard"}

@@ -57,7 +57,15 @@ def get_spark(app_name: str = "vulnerablecode-spark", master: str | None = None,
         # Broadcast threshold: dimension tables (region/nation/weight maps/
         # LSH band tables) must broadcast, never shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode heap: the driver IS the executor pool here, so 32
+        # concurrent tasks share this heap's execution region. 8g held
+        # to sf10; the sf30 point (180M lineitem / 1.5M docs) blew the
+        # q24 shingle hash-aggregation at 8g (AGGREGATE_OUT_OF_MEMORY:
+        # ~150 MB execution memory per running task), so the default is
+        # now sized to the box (128 GiB shared). On a real cluster this
+        # maps to ordinary 8-64g executors — per-task execution memory,
+        # not a driver-side requirement.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
