@@ -203,6 +203,23 @@ def missing_scale_points(requested, results):
             if d is not None and results.get(label) is None]
 
 
+def matched_ratio(spark_timings, duck_timings):
+    """(ratio over queries present on BOTH sides, missing-baseline list,
+    matched spark subtotal).
+
+    _time_duck skips a baseline query that dies (sf30's q24 spilled >70 GB
+    of DuckDB temp and hit disk-full); dividing the full Spark total by a
+    partial baseline total would flatter the ratio exactly when the
+    baseline's hardest query is the one that failed.
+    """
+    missing = [q for q in spark_timings if q not in duck_timings]
+    s_matched = round(sum(v for q, v in spark_timings.items()
+                          if q in duck_timings), 3)
+    d_total = round(sum(duck_timings.values()), 3) if duck_timings else None
+    ratio = round(s_matched / d_total, 3) if d_total else None
+    return ratio, missing, s_matched
+
+
 def _like_for_like(spark_timings, duck_timings):
     s = sum(v for q, v in spark_timings.items() if q not in R6_ADDED)
     k = sum(v for q, v in duck_timings.items() if q not in R6_ADDED)
@@ -240,10 +257,26 @@ def _time_duck(oracles, names, sf_dir, reps, label):
         if name not in oracles:
             continue
         per = []
-        for _ in range(reps):
-            start = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            per.append(time.perf_counter() - start)
+        try:
+            for _ in range(reps):
+                start = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                per.append(time.perf_counter() - start)
+        except Exception as exc:
+            # Per-query fault isolation: at sf30 the q24 baseline spilled
+            # >70 GB of DuckDB temp and died on disk-full, and the old
+            # whole-pass try/except threw away the 17 queries already
+            # measured. One pathological baseline must not erase the
+            # rest — skip it loudly, keep the dict, and reopen the
+            # connection (a died query can leave it poisoned).
+            print(f"# {label} duck {name} skipped: {exc}",
+                  file=sys.stderr, flush=True)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duckdb_conn(sf_dir)
+            continue
         timings[name] = round(min(per), 3)
         print(f"# {label} duck {name}: {timings[name]}s",
               file=sys.stderr, flush=True)
@@ -398,13 +431,15 @@ def main() -> None:
                       file=sys.stderr)
             s_total = round(sum(s.values()), 3)
             d_total = round(sum(dk.values()), 3) if dk else None
+            ratio, baseline_missing, s_matched = matched_ratio(s, dk)
             return {
                 "value": s_total,
                 "queries": s,
                 "duckdb_baseline_total": d_total,
                 "duckdb_baseline_queries": dk,
-                "spark_vs_duckdb_ratio": (
-                    round(s_total / d_total, 3) if d_total else None),
+                "spark_vs_duckdb_ratio": ratio,
+                "baseline_missing_queries": baseline_missing,
+                "spark_total_matched": s_matched if baseline_missing else None,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
             }
         except Exception as exc:  # scale points are additive — never fail

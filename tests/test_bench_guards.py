@@ -136,3 +136,39 @@ class TestMedianBand:
         (tmp_path / "testdata" / "sf30").mkdir(parents=True)
         pts = bench.requested_scale_points(repo=str(tmp_path), environ={})
         assert pts["sf30"] and pts["sf1"] is None
+
+
+class TestBaselineFaultIsolation:
+    """One pathological DuckDB baseline query must not erase the rest.
+
+    At sf30 the q24 baseline spilled >70 GB of DuckDB temp and died on
+    disk-full; the old whole-pass try/except in scale_point() then threw
+    away the 17 baselines already measured. _time_duck now skips the
+    failing query per-query (reopening the connection), and the scale
+    ratio is computed over the intersection of queries present on both
+    sides, so a missing baseline can never flatter the ratio.
+    """
+
+    def test_time_duck_skips_failing_query(self, tmp_path):
+        oracles = {"good": "SELECT 1 AS x",
+                   "bad": "SELECT * FROM no_such_table",
+                   "good2": "SELECT 2 AS y"}
+        t = bench._time_duck(oracles, ["good", "bad", "good2"],
+                             str(tmp_path), 1, "test")
+        assert set(t) == {"good", "good2"}
+
+    def test_matched_ratio_full_overlap(self):
+        ratio, missing, s_matched = bench.matched_ratio(
+            {"q1": 2.0, "q2": 4.0}, {"q1": 1.0, "q2": 2.0})
+        assert ratio == 2.0 and missing == [] and s_matched == 6.0
+
+    def test_matched_ratio_excludes_spark_only_queries(self):
+        # q2's baseline died: its Spark seconds must leave the numerator
+        ratio, missing, s_matched = bench.matched_ratio(
+            {"q1": 2.0, "q2": 100.0}, {"q1": 1.0})
+        assert ratio == 2.0 and missing == ["q2"] and s_matched == 2.0
+
+    def test_matched_ratio_no_baseline(self):
+        ratio, missing, s_matched = bench.matched_ratio(
+            {"q1": 2.0}, {})
+        assert ratio is None and missing == ["q1"] and s_matched == 0.0
