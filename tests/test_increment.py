@@ -148,7 +148,7 @@ class TestCrashResume:
                        inc.read_components, inc.read_vocab,
                        inc.read_bm25_postings, inc.read_bm25_lengths,
                        inc.read_bigram_counts, inc.read_lang_tokens,
-                       inc.read_token_sketch):
+                       inc.read_token_sketch, inc.read_hll_registers):
             a = sorted(map(tuple, reader(spark, crashed).collect()))
             b = sorted(map(tuple, reader(spark, clean).collect()))
             assert a == b, reader.__name__
@@ -397,6 +397,60 @@ class TestTokenSketch:
         assert served == scratch and served
 
 
+class TestHllRegisters:
+    def test_store_merge_equals_from_scratch(self, spark, tmp_path):
+        # the max-merge monoid through the composed store: per-batch
+        # register deltas, max-resolved at read, must equal the sketch
+        # built over every doc ever applied — and therefore the q182
+        # estimate read-off is identical too
+        from vulnerablecode_spark.llm.sketch import hll_registers
+
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2)
+        served = sorted(map(tuple,
+                            inc.read_hll_registers(spark, root).collect()))
+        full = _docs(spark, BATCH1 + BATCH2).select(
+            F.lit("__null__").alias("lang"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        scratch = sorted(map(tuple, hll_registers(
+            full, F.col("tok"), group_cols=("lang",)).collect()))
+        assert served == scratch and served
+
+    def test_double_apply_of_same_content_cannot_inflate(self, spark,
+                                                         tmp_path):
+        # registers are idempotent maxes: even when the SAME documents
+        # arrive again as a NEW batch id (upstream at-least-once without
+        # dedup — the ledger can't catch it), the resolved registers are
+        # unchanged, unlike the additive counts which double. This is
+        # the property that makes the register sketch the store's most
+        # replay-tolerant artifact.
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        before = sorted(map(tuple,
+                            inc.read_hll_registers(spark, root).collect()))
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=2)
+        after = sorted(map(tuple,
+                           inc.read_hll_registers(spark, root).collect()))
+        assert before == after and before
+
+    def test_compaction_preserves_registers(self, spark, tmp_path):
+        root = str(tmp_path / "store")
+        inc.apply_increment(spark, _docs(spark, BATCH1), root, batch_id=1)
+        inc.apply_increment(spark, _docs(spark, BATCH2), root, batch_id=2)
+        before = sorted(map(tuple,
+                            inc.read_hll_registers(spark, root).collect()))
+        inc.compact(spark, root)
+        after = sorted(map(tuple,
+                           inc.read_hll_registers(spark, root).collect()))
+        assert before == after and before
+        # folded to ONE base delta dir
+        import os
+        path = os.path.join(root, inc.SK_HLLREG)
+        assert [d for d in os.listdir(path) if d.startswith("delta-")] \
+            == [f"delta-base-2"]
+
+
 class TestReplayAndCommutation:
     """VERDICT r11 directive #4: a 100 TB lakehouse also REPLAYS — a
     retry after a lost ack re-applies an already-committed batch, and
@@ -415,15 +469,17 @@ class TestReplayAndCommutation:
         inc.read_ivf_assigned, inc.read_components, inc.read_vocab,
         inc.read_bm25_postings, inc.read_bm25_lengths,
         inc.read_bigram_counts, inc.read_lang_tokens,
-        inc.read_token_sketch,
+        inc.read_token_sketch, inc.read_hll_registers,
     ]
-    # content-additive artifacts: the two batches applied in either
-    # CONTENT order (ids follow apply order) resolve byte-identically
+    # content-additive (or max-merge) artifacts: the two batches applied
+    # in either CONTENT order (ids follow apply order) resolve
+    # byte-identically
     COMMUTATIVE = [
         inc.read_docs, inc.read_hashed, inc.read_bands,
         inc.read_seg_counts, inc.read_postings, inc.read_bm25_postings,
         inc.read_bm25_lengths, inc.read_bigram_counts,
         inc.read_lang_tokens, inc.read_token_sketch,
+        inc.read_hll_registers,
     ]
 
     @staticmethod

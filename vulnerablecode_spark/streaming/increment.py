@@ -33,6 +33,7 @@ Layout (all under one ``root``)::
       unimax/langtokens/delta-<b>/ (lang, lang_tokens) mixture deltas
       vocab/firstbatch/delta-<b>/  (tok, first_batch) NEW types only
       sketch/kmvtokens/delta-<b>/  (lang, h) the batch's own bottom-k
+      sketch/hllregisters/delta-<b>/ (lang, reg, m) the batch's own registers
 
 Every artifact is delta-append (per-batch work ∝ batch — the q63/q97/
 q105 discipline): segment counts are ADDITIVE across disjoint batches,
@@ -94,6 +95,7 @@ BLM_COUNTS = "bigramlm/counts"
 LANG_TOKENS = "unimax/langtokens"
 VOCAB = "vocab/firstbatch"
 SK_TOKENS = "sketch/kmvtokens"
+SK_HLLREG = "sketch/hllregisters"
 
 # bottom-k size for the per-language token sketch artifact (q160-q162's
 # KMV family as a stored, mergeable summary)
@@ -119,6 +121,8 @@ _SCHEMAS = {
     LANG_TOKENS: "lang string, lang_tokens long",
     VOCAB: "tok string, first_batch long",
     SK_TOKENS: "lang string, h long",
+    # reg matches hll_registers' output type (h % 64 stays bigint)
+    SK_HLLREG: "lang string, reg long, m int",
 }
 
 
@@ -291,6 +295,22 @@ def read_token_sketch(spark, root, k: int = KMV_K) -> DataFrame:
 
     return kmv_merge(_read_artifact(spark, root, SK_TOKENS),
                      k=k, group_cols=("lang",))
+
+
+def read_hll_registers(spark, root) -> DataFrame:
+    """Per-language HLL register sketch (lang, reg, m): each delta is
+    its batch's own 64-register sketch, and the read resolves the union
+    by element-wise MAX (llm/sketch.py hll_merge) — the max-merge
+    monoid, so the resolved registers equal the from-scratch sketch
+    over every document ever applied. The SECOND merge class the store
+    carries (the counts/postings artifacts are ADDITIVE; registers are
+    idempotent maxes — replaying a slice cannot inflate them even
+    outside the ledger's protection). Distinct-token estimates (q182's
+    read-off) come from O(langs × 64) rows; per-batch work ∝ batch."""
+    from vulnerablecode_spark.llm.sketch import hll_merge
+
+    return hll_merge(_read_artifact(spark, root, SK_HLLREG),
+                     group_cols=("lang",))
 
 
 def read_seg_counts(spark, root) -> DataFrame:
@@ -558,6 +578,13 @@ def apply_increment(spark: SparkSession, batch_docs: DataFrame, root: str,
         F.explode(F.split(F.col("text"), " ")).alias("tok"))
     stage(kmv_sketch(sk_toks, F.col("tok"), k=KMV_K,
                      group_cols=("lang",)).select("lang", "h"), SK_TOKENS)
+    # --- HLL register sketch: same shared token frame, max-merge monoid
+    # (q182) — read_hll_registers resolves the delta union by
+    # element-wise max, so increment ≡ rebuild; state is O(langs × 64)
+    from vulnerablecode_spark.llm.sketch import hll_registers
+
+    stage(hll_registers(sk_toks, F.col("tok"), group_cols=("lang",)),
+          SK_HLLREG)
     if assigned_delta is not None:
         stage(assigned_delta.select("vec_id", "embedding", "cell"),
               IVF_ASSIGNED)
@@ -642,6 +669,9 @@ def compact(spark: SparkSession, root: str,
         if rel == SK_TOKENS:
             # compaction physically drops hashes the re-cut evicted
             return read_token_sketch(spark, root).select("lang", "h")
+        if rel == SK_HLLREG:
+            # compaction folds the per-batch registers to their maxes
+            return read_hll_registers(spark, root)
         if rel == LD_CLEANED:
             return _cleaned_current(
                 _read_artifact(spark, root, rel), keep_batch=True)
@@ -655,7 +685,7 @@ def compact(spark: SparkSession, root: str,
     rels = (DOCS, ND_HASHED, ND_BANDS, ND_PAIRS, LD_COUNTS,
             LD_POSTINGS, LD_CLEANED, IVF_ASSIGNED, CC_LABELS,
             BM25_POSTINGS, BM25_LENGTHS, BLM_COUNTS, LANG_TOKENS, VOCAB,
-            SK_TOKENS)
+            SK_TOKENS, SK_HLLREG)
     frames = {rel: resolved(rel) for rel in rels}  # all BEFORE staging
     for rel, df in frames.items():
         if df is None:
