@@ -44,6 +44,16 @@ HEADLINE = [
     "q96_serving_view_read", # serving: materialized-view point read (r6 #1)
 ]
 
+# DuckDB baselines measured to be INFEASIBLE on this box at a given
+# scale point: q24's sf30 n-gram self-join spilled >70 GB of hash-join
+# temp and died at disk-full after ~10 minutes, in two independent
+# attempts (with and without the 24 GB Spark JVM resident; SCALE.md
+# round 12). Skipping it up front keeps the per-round bench inside its
+# window and the disk away from 100%; matched_ratio() already excludes
+# a baseline-less query from the ratio numerator, so the reported
+# ratio is identical to letting it die. The SPARK side still runs.
+DUCK_INFEASIBLE = {"sf30": ("q24_ngram_jaccard",)}
+
 EXTRAS = [
     "q40_connected_components", "q60_near_dup_dedup",
     "q63_incremental_near_dup", "q65_semantic_dedup",
@@ -424,8 +434,10 @@ def main() -> None:
             s = _time_spark(spark, QUERIES, HEADLINE, d, spark_reps, clear,
                             label)
             dk: dict[str, float] = {}
+            duck_names = [n for n in HEADLINE
+                          if n not in DUCK_INFEASIBLE.get(label, ())]
             try:  # a baseline failure must not discard the Spark run
-                dk = _time_duck(ORACLES, HEADLINE, d, duck_reps, label)
+                dk = _time_duck(ORACLES, duck_names, d, duck_reps, label)
             except Exception as exc:
                 print(f"# {label} duckdb baseline skipped: {exc}",
                       file=sys.stderr)

@@ -172,3 +172,11 @@ class TestBaselineFaultIsolation:
         ratio, missing, s_matched = bench.matched_ratio(
             {"q1": 2.0}, {})
         assert ratio is None and missing == ["q1"] and s_matched == 0.0
+
+    def test_infeasible_list_is_headline_subset(self):
+        # every pre-skipped baseline must name a real headline query at
+        # a real scale point, so a rename can't silently disable a skip
+        for label, names in bench.DUCK_INFEASIBLE.items():
+            assert label in ("sf1", "sf10", "sf30")
+            for n in names:
+                assert n in bench.HEADLINE, n
