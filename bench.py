@@ -451,6 +451,9 @@ def main() -> None:
                 "duckdb_baseline_queries": dk,
                 "spark_vs_duckdb_ratio": ratio,
                 "baseline_missing_queries": baseline_missing,
+                # subset of the missing list skipped UP FRONT as
+                # measured-infeasible (vs died during this run)
+                "baseline_infeasible": list(DUCK_INFEASIBLE.get(label, ())),
                 "spark_total_matched": s_matched if baseline_missing else None,
                 "load_avg_1m": round(os.getloadavg()[0], 2),
             }
