@@ -64,7 +64,9 @@ def get_spark(app_name: str = "vulnerablecode-spark", master: str | None = None,
         # ~150 MB execution memory per running task), so the default is
         # now sized to the box (128 GiB shared). On a real cluster this
         # maps to ordinary 8-64g executors — per-task execution memory,
-        # not a driver-side requirement.
+        # not a driver-side requirement. A/B-measured at sf0.1 (6 reps,
+        # fresh sessions): 24g is not slower than 8g (q24 min 1.334s vs
+        # 1.584s), so the bigger default costs nothing at small SF.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
