@@ -133,6 +133,34 @@ class TestHll:
         assert sorted(map(tuple, merged.collect())) \
             == sorted(map(tuple, direct.collect()))
 
+    def test_registers_match_pure_python_replica(self, spark):
+        # exact register-level replica: the same 60-bit md5 hash and
+        # ρ = 55 − bitlen(h') register math in plain Python, over 40
+        # randomized-but-seeded groups in ONE Spark job — any drift in
+        # the hash salt, register split, or bitlen edge cases (h'=0,
+        # single-bit h') breaks value equality, not a statistical band
+        import hashlib
+        import random
+
+        rng = random.Random(12012)
+        rows = [(f"g{g}", f"v{rng.randrange(10_000)}")
+                for g in range(40) for _ in range(rng.randrange(1, 120))]
+        df = spark.createDataFrame(rows, "source string, v string")
+
+        def h60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        want: dict[tuple[str, int], int] = {}
+        for g, v in rows:
+            h = h60(f"hll:{v}")
+            reg, h2 = h % 64, h // 64
+            rho = 55 if h2 == 0 else 55 - h2.bit_length()
+            key = (g, reg)
+            want[key] = max(want.get(key, 0), rho)
+        got = {(r["source"], r["reg"]): r["m"]
+               for r in sketch.hll_registers(df, F.col("v")).collect()}
+        assert got == want and len(got) > 100
+
     def test_estimate_tracks_cardinality(self, spark):
         df = spark.createDataFrame(
             [("s", f"item{i}") for i in range(1000)] * 3,  # dups no-op

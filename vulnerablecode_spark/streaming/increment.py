@@ -58,6 +58,14 @@ freshness-inside-marker rule). :func:`recover_increment` — called on
 every entry — finishes or undoes an interrupted run, and the ledger
 makes driver-level replays (e.g. a foreachBatch retry) no-ops.
 
+SINGLE-WRITER contract, stated precisely: recovery-on-read means a
+READER that observes marker-less staging treats it as an aborted run
+and rolls it back — so reads must not interleave with an ACTIVE
+writer's staging window (between first staged write and marker).
+Writers serialize trivially (one ingest job owns the store); readers
+run between commits. On Delta/Iceberg this window disappears behind
+the table format's own atomic commit.
+
 IVF policy: the composed driver is ASSIGN-ONLY — the per-batch
 production shape — and records each batch's assignment quality and max
 cell share in the ledger; the drift/skew-triggered REBUILD
